@@ -1,0 +1,20 @@
+"""Test harness: run everything on CPU with 8 fake devices so mesh/sharding
+semantics (pjit, psum over 'data') are exercised without a TPU pod
+(SURVEY.md §4 item 4). Must set env before jax is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,70 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpudet.ops import roi_align as R
+from tests import oracles
+
+
+def make_features(rng, h=16, w=16, c=3):
+    return rng.normal(0, 1, (h, w, c)).astype(np.float32)
+
+
+def make_rois(rng, n, h, w):
+    xy1 = rng.uniform(0, w * 0.6, (n, 2))
+    wh = rng.uniform(2.0, w * 0.4, (n, 2))
+    return np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
+
+
+def test_roi_align_matches_oracle(rng):
+    feat = make_features(rng)
+    rois = make_rois(rng, 8, 16, 16)
+    got = np.asarray(R.roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 2))
+    want = oracles.np_roi_align(feat, rois, 7, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_constant_map(rng):
+    # Constant feature map -> constant output wherever samples are in-bounds.
+    feat = np.full((16, 16, 2), 3.5, dtype=np.float32)
+    rois = np.asarray([[2.0, 2.0, 10.0, 10.0]], dtype=np.float32)
+    out = np.asarray(R.roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 2))
+    np.testing.assert_allclose(out, 3.5, rtol=1e-5)
+
+
+def test_crop_and_resize_tf_parity(rng):
+    """Bit-level convention parity with tf.image.crop_and_resize
+    (SURVEY.md §4.2 and 'hard parts': this defines the oracle)."""
+    tf = pytest.importorskip("tensorflow")
+    h = w = 16
+    feat = make_features(rng, h, w, c=4)
+    rois = make_rois(rng, 6, h, w)
+    # Some boxes partially outside to exercise extrapolation.
+    rois[0] = [-4.0, -4.0, 8.0, 8.0]
+    rois[1] = [10.0, 10.0, 25.0, 25.0]
+
+    got = np.asarray(
+        R.crop_and_resize(jnp.asarray(feat), jnp.asarray(rois), 7)
+    )
+    # TF: normalized [y1, x1, y2, x2] against (dim - 1).
+    tf_boxes = np.stack(
+        [
+            rois[:, 1] / (h - 1),
+            rois[:, 0] / (w - 1),
+            rois[:, 3] / (h - 1),
+            rois[:, 2] / (w - 1),
+        ],
+        axis=-1,
+    )
+    want = tf.image.crop_and_resize(
+        feat[None], tf_boxes, np.zeros(len(rois), np.int32), [7, 7]
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_crop_and_resize_identity(rng):
+    # Cropping the full map at native size reproduces it exactly.
+    feat = make_features(rng, 8, 8, 2)
+    rois = np.asarray([[0.0, 0.0, 7.0, 7.0]], dtype=np.float32)
+    out = np.asarray(R.crop_and_resize(jnp.asarray(feat), jnp.asarray(rois), 8))
+    np.testing.assert_allclose(out[0], feat, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,253 @@
+"""Configuration tree for tpudet.
+
+Mirrors the knob surface of the TF2 Faster R-CNN reference
+(``antoineBarbez/2D_object_detection`` — see SURVEY.md C23; the reference mount
+was empty during the survey, so knob names follow the canonical Faster R-CNN /
+Fast R-CNN papers [arXiv:1506.01497 §3, arXiv:1504.08083 §2] which the
+reference implements): anchor scales/ratios, pre/post-NMS top-k, NMS
+thresholds, fg/bg IoU thresholds, sampler sizes/fractions, LR schedule, paths.
+
+All configs are frozen dataclasses so they can be closed over by ``jax.jit``
+traces safely (hashable, immutable); anything shape-determining lives here so
+compiled programs have fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline (reference layer L1 — SURVEY.md C1–C4)."""
+
+    dataset: str = "voc"  # "voc" | "coco" | "synthetic"
+    data_dir: str = ""
+    split: str = "train"
+    num_classes: int = 20  # foreground classes (VOC=20, COCO=80)
+    # Aspect-preserving resize: min side / max side (Fast R-CNN §2.2 canonical
+    # 600/1000; defaults here are TPU-friendly multiples of the stride).
+    min_size: int = 600
+    max_size: int = 1000
+    # Static canvas the resized image is padded onto. XLA requires static
+    # shapes; every image becomes (canvas_height, canvas_width, 3) plus masks.
+    canvas_height: int = 1024
+    canvas_width: int = 1024
+    # GT boxes are padded to this many per image with a validity mask.
+    max_gt_boxes: int = 100
+    # Per-channel normalization (ImageNet RGB means/stds).
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # Augmentation: random horizontal flip (the only augmentation in the
+    # reference, per Faster R-CNN §3.1.3).
+    random_flip: bool = True
+    shuffle_buffer: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """Conv feature extractor (SURVEY.md C5, C24)."""
+
+    name: str = "resnet50"  # "resnet50" | "resnet101" | "tiny" (tests)
+    # Feature pyramid. False → single C4-style stride-16 feature map like the
+    # reference; True → FPN P2–P6 (build-only requirement, SURVEY.md C24).
+    use_fpn: bool = False
+    # Freeze the stem + first stage and all batch-norm statistics, standard
+    # detection fine-tuning practice (Faster R-CNN §3.2).
+    freeze_stem: bool = True
+    norm: str = "frozen_bn"  # "frozen_bn" | "bn" | "gn"
+    # Compute dtype for conv/matmul tiers. bf16 keeps the MXU fed at double
+    # rate on TPU; params stay f32.
+    dtype: str = "float32"  # "float32" | "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor grid (SURVEY.md C6; Faster R-CNN §3.1.1: k=9 anchors/cell)."""
+
+    # sqrt(area) of the base anchors in input pixels.
+    scales: Tuple[float, ...] = (128.0, 256.0, 512.0)
+    aspect_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    stride: int = 16
+    # FPN mode: one scale per level, strides (4..64); scales here are then the
+    # per-level base scale multipliers.
+    fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    fpn_scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)
+
+    @property
+    def num_anchors_per_cell(self) -> int:
+        return len(self.scales) * len(self.aspect_ratios)
+
+    @property
+    def num_fpn_anchors_per_cell(self) -> int:
+        return len(self.aspect_ratios)
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    """Region proposal network head + proposal generation + RPN targets
+    (SURVEY.md C9–C11; Faster R-CNN §3.1–3.3)."""
+
+    conv_channels: int = 512
+    # Proposal generation (§3.3): decode → clip → min-size filter → top-k by
+    # score pre-NMS → NMS@nms_thresh → top-N post-NMS. Static shapes: outputs
+    # are padded to post_nms_topk with a validity mask.
+    pre_nms_topk_train: int = 12000
+    post_nms_topk_train: int = 2000
+    pre_nms_topk_test: int = 6000
+    post_nms_topk_test: int = 300
+    nms_thresh: float = 0.7
+    min_box_size: float = 0.0
+    # Target assignment (§3.1.2): pos if IoU > fg_thresh OR argmax per GT;
+    # neg if IoU < bg_thresh; else ignored.
+    fg_iou_thresh: float = 0.7
+    bg_iou_thresh: float = 0.3
+    # Minibatch sampling (§3.1.3): 256 anchors, up to 1:1 pos:neg.
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    # Loss balancing: L = cls/N_cls + lambda * reg/N_reg (§3.1.2).
+    loss_weight_box: float = 1.0
+    # Box-delta coder weights for the RPN (canonically all ones).
+    box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # Ignore anchors crossing the image boundary during training (§3.1.3).
+    ignore_cross_boundary: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ROIConfig:
+    """RoI feature extraction + Fast R-CNN head + detection targets +
+    inference post-processing (SURVEY.md C12–C14, C16)."""
+
+    # RoI feature extractor: "roi_align" (2x2-sample averaged bilinear) or
+    # "crop_and_resize" (TF convention — the float-tolerance parity oracle).
+    pooler: str = "roi_align"
+    output_size: int = 7
+    sampling_ratio: int = 2  # samples per bin side for roi_align
+    # Fast R-CNN head (Fast R-CNN §2.1): two hidden FCs.
+    fc_dim: int = 1024
+    # Detection target assignment (Fast R-CNN §2.3).
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh_hi: float = 0.5
+    bg_iou_thresh_lo: float = 0.0
+    batch_size_per_image: int = 128
+    positive_fraction: float = 0.25
+    # Append GT boxes to proposals during training so some fg always exists.
+    append_gt: bool = True
+    # Box-delta coder weights for the second stage (Fast R-CNN convention).
+    box_reg_weights: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # Per-class box regression (Fast R-CNN) vs class-agnostic.
+    class_agnostic_bbox: bool = False
+    # Inference post-processing (SURVEY.md C16): per-class decode → score
+    # threshold → per-class NMS → global top-k detections.
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer, schedule, loop, checkpointing (SURVEY.md C17–C19)."""
+
+    batch_size: int = 2  # global batch size
+    optimizer: str = "sgd"  # "sgd" | "adam"
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    # Step LR schedule: lr * gamma at each milestone step.
+    lr_milestones: Tuple[int, ...] = (60000,)
+    lr_gamma: float = 0.1
+    warmup_steps: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    total_steps: int = 80000
+    grad_clip_norm: float = 0.0  # 0 disables
+    seed: int = 0
+    # Checkpointing (orbax): save every N steps, keep last k, restore-on-start.
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 1000
+    keep_checkpoints: int = 3
+    log_every: int = 20
+    # Mesh: data-parallel size (-1 → all devices), model axis reserved for TP.
+    num_data_shards: int = -1
+    num_model_shards: int = 1
+    # Mixed precision for the forward/backward compute path.
+    bf16: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """mAP evaluation (SURVEY.md C20)."""
+
+    iou_thresh: float = 0.5
+    # "all_points" (VOC2010+/COCO-style) or "11_points" (VOC2007).
+    ap_interpolation: str = "11_points"
+    max_images: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = DataConfig()
+    backbone: BackboneConfig = BackboneConfig()
+    anchors: AnchorConfig = AnchorConfig()
+    rpn: RPNConfig = RPNConfig()
+    roi: ROIConfig = ROIConfig()
+    train: TrainConfig = TrainConfig()
+    eval: EvalConfig = EvalConfig()
+    # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
+    # False falls back to the pure-jnp XLA reference path.
+    use_pallas: bool = True
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config(
+    canvas: int = 128,
+    num_classes: int = 3,
+    use_fpn: bool = False,
+) -> Config:
+    """Small config for unit tests / CPU: tiny backbone, small canvas."""
+    return Config(
+        data=DataConfig(
+            dataset="synthetic",
+            num_classes=num_classes,
+            min_size=canvas,
+            max_size=canvas,
+            canvas_height=canvas,
+            canvas_width=canvas,
+            max_gt_boxes=10,
+        ),
+        backbone=BackboneConfig(name="tiny", use_fpn=use_fpn, norm="bn",
+                                freeze_stem=False),
+        anchors=AnchorConfig(scales=(32.0, 64.0), aspect_ratios=(0.5, 1.0, 2.0)),
+        rpn=RPNConfig(
+            conv_channels=64,
+            pre_nms_topk_train=512,
+            post_nms_topk_train=128,
+            pre_nms_topk_test=256,
+            post_nms_topk_test=64,
+            batch_size_per_image=64,
+        ),
+        roi=ROIConfig(fc_dim=64, batch_size_per_image=32, max_detections=20),
+        train=TrainConfig(batch_size=2, checkpoint_every=10**9),
+        use_pallas=False,
+    )
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    """Apply ``{"rpn.nms_thresh": 0.6, ...}``-style dotted overrides."""
+    grouped: dict = {}
+    for key, value in overrides.items():
+        if "." in key:
+            group, field = key.split(".", 1)
+            grouped.setdefault(group, {})[field] = value
+        else:
+            grouped[key] = value
+    updates = {}
+    for group, fields in grouped.items():
+        current = getattr(cfg, group)
+        if isinstance(fields, dict) and dataclasses.is_dataclass(current):
+            updates[group] = dataclasses.replace(current, **fields)
+        else:
+            updates[group] = fields
+    return dataclasses.replace(cfg, **updates)

@@ -1,0 +1,133 @@
+"""RoI feature extraction, jnp reference path (SURVEY.md C12).
+
+Two flavors, selected by ``ROIConfig.pooler``:
+
+  * :func:`crop_and_resize` — exact semantics of ``tf.image.crop_and_resize``
+    (what the TF2 reference uses; the float-tolerance parity oracle): a
+    ``crop × crop`` bilinear sample grid spanning the box corners inclusive,
+    with box coordinates interpreted against pixel *indices* (normalization by
+    ``dim - 1``), zero extrapolation outside the image.
+  * :func:`roi_align` — canonical RoI Align (Mask R-CNN): ``sampling_ratio²``
+    bilinear samples averaged per output bin, half-pixel-center convention
+    (``aligned=True``), clamped sampling near borders.
+
+Both take boxes in **feature-map coordinates** ``[x1, y1, x2, y2]`` (callers
+divide image-space boxes by the stride) and operate on one image; callers
+``jax.vmap`` over the batch. Gather-based bilinear; static shapes throughout.
+The Pallas fast path lives in ``tpudet.kernels.roi_align``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear(features: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample [H, W, C] at (clamped) float coords ys/xs [...].
+
+    Coordinates are in index space (pixel i sits at coordinate i). Inputs are
+    assumed already clipped to [0, H-1] / [0, W-1]; returns [..., C].
+    """
+    h, w = features.shape[0], features.shape[1]
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.clip(y0, 0, h - 1)
+    x0 = jnp.clip(x0, 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (ys - y0.astype(ys.dtype))[..., None]
+    lx = (xs - x0.astype(xs.dtype))[..., None]
+
+    v00 = features[y0, x0]
+    v01 = features[y0, x1]
+    v10 = features[y1, x0]
+    v11 = features[y1, x1]
+    top = v00 * (1.0 - lx) + v01 * lx
+    bot = v10 * (1.0 - lx) + v11 * lx
+    return top * (1.0 - ly) + bot * ly
+
+
+def crop_and_resize(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    crop_size: int,
+    extrapolation_value: float = 0.0,
+) -> jnp.ndarray:
+    """TF-convention crop and resize: [H, W, C], [N, 4] -> [N, S, S, C]."""
+    h, w = features.shape[0], features.shape[1]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    s = crop_size
+
+    # Sample grid spans corners inclusive: crop_size points from c1 to c2.
+    if s > 1:
+        steps = jnp.arange(s, dtype=boxes.dtype) / (s - 1)  # [S] in [0, 1]
+        ys = y1[:, None] + steps[None, :] * (y2 - y1)[:, None]  # [N, S]
+        xs = x1[:, None] + steps[None, :] * (x2 - x1)[:, None]
+    else:
+        ys = (0.5 * (y1 + y2))[:, None]
+        xs = (0.5 * (x1 + x2))[:, None]
+
+    valid_y = (ys >= 0) & (ys <= h - 1)  # [N, S]
+    valid_x = (xs >= 0) & (xs <= w - 1)
+    ys_c = jnp.clip(ys, 0, h - 1)
+    xs_c = jnp.clip(xs, 0, w - 1)
+
+    yy = jnp.broadcast_to(ys_c[:, :, None], (boxes.shape[0], s, s))
+    xx = jnp.broadcast_to(xs_c[:, None, :], (boxes.shape[0], s, s))
+    out = _bilinear(features, yy, xx)  # [N, S, S, C]
+
+    valid = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
+    return jnp.where(valid, out, extrapolation_value)
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """RoI Align: [H, W, C], [N, 4] -> [N, out, out, C].
+
+    ``sampling_ratio`` bilinear samples per bin side, averaged. With
+    ``aligned=True`` coordinates are shifted by -0.5 so that pixel centers sit
+    at half-integer positions (the Detectron2 convention).
+    """
+    h, w = features.shape[0], features.shape[1]
+    n = boxes.shape[0]
+    s, r = output_size, sampling_ratio
+    offset = 0.5 if aligned else 0.0
+
+    x1 = boxes[:, 0] - offset
+    y1 = boxes[:, 1] - offset
+    bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1e-6 if aligned else 1.0)
+    bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1e-6 if aligned else 1.0)
+
+    bin_w = bw / s
+    bin_h = bh / s
+    # Sample position (i, u): y1 + (i + (u + 0.5)/r) * bin_h, i in [0, s),
+    # u in [0, r). Flattened to S*R sample rows/cols per box.
+    grid = (
+        jnp.arange(s, dtype=boxes.dtype)[:, None]
+        + (jnp.arange(r, dtype=boxes.dtype)[None, :] + 0.5) / r
+    ).reshape(-1)  # [S*R]
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]  # [N, S*R]
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+
+    # Border handling (Detectron2): samples outside [-1, dim] contribute 0,
+    # in-range samples are clamped to [0, dim-1].
+    vy = (ys >= -1.0) & (ys <= h)
+    vx = (xs >= -1.0) & (xs <= w)
+    ys_c = jnp.clip(ys, 0, h - 1)
+    xs_c = jnp.clip(xs, 0, w - 1)
+
+    yy = jnp.broadcast_to(ys_c[:, :, None], (n, s * r, s * r))
+    xx = jnp.broadcast_to(xs_c[:, None, :], (n, s * r, s * r))
+    sampled = _bilinear(features, yy, xx)  # [N, S*R, S*R, C]
+    vmask = (vy[:, :, None] & vx[:, None, :])[..., None]
+    sampled = jnp.where(vmask, sampled, 0.0)
+
+    # Average the r x r samples inside each bin.
+    c = features.shape[-1]
+    sampled = sampled.reshape(n, s, r, s, r, c)
+    return jnp.mean(sampled, axis=(2, 4))
