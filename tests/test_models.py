@@ -1,0 +1,160 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet.config import tiny_test_config
+from tpudet.models import FasterRCNN
+from tpudet.models.resnet import ResNet, TinyBackbone
+from tpudet.models.fpn import FPN
+from tpudet.models.rpn_head import RPNHead
+from tpudet.models.det_head import FastRCNNHead
+
+
+def make_batch(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    h, w = cfg.data.canvas_height, cfg.data.canvas_width
+    g = cfg.data.max_gt_boxes
+    images = rng.normal(0, 1, (b, h, w, 3)).astype(np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_classes = np.zeros((b, g), np.int32)
+    gt_valid = np.zeros((b, g), bool)
+    for i in range(b):
+        n = 3
+        xy1 = rng.uniform(0, w * 0.5, (n, 2))
+        wh = rng.uniform(16, w * 0.4, (n, 2))
+        gt_boxes[i, :n] = np.concatenate([xy1, np.minimum(xy1 + wh, w - 1)], -1)
+        gt_classes[i, :n] = rng.integers(1, cfg.data.num_classes + 1, n)
+        gt_valid[i, :n] = True
+    return {
+        "image": jnp.asarray(images),
+        "image_hw": jnp.asarray([[h, w]] * b, jnp.float32),
+        "gt_boxes": jnp.asarray(gt_boxes),
+        "gt_classes": jnp.asarray(gt_classes),
+        "gt_valid": jnp.asarray(gt_valid),
+    }
+
+
+def test_tiny_backbone_pyramid():
+    m = TinyBackbone(width=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(jax.random.key(0), x)
+    feats = m.apply(vars_, x)
+    assert feats["c2"].shape == (1, 16, 16, 16)
+    assert feats["c4"].shape == (1, 4, 4, 16)
+    assert feats["c5"].shape == (1, 2, 2, 16)
+
+
+def test_resnet50_shapes_and_frozen_constants():
+    m = ResNet(blocks=(1, 1, 1, 1), norm="frozen_bn")  # depth-1 for speed
+    x = jnp.zeros((1, 64, 64, 3))
+    vars_ = m.init(jax.random.key(0), x)
+    assert "constants" in vars_  # frozen BN stats live outside params
+    feats = m.apply(vars_, x)
+    assert feats["c2"].shape == (1, 16, 16, 256)
+    assert feats["c3"].shape == (1, 8, 8, 512)
+    assert feats["c4"].shape == (1, 4, 4, 1024)
+    assert feats["c5"].shape == (1, 2, 2, 2048)
+
+
+def test_fpn_shapes():
+    m = FPN(channels=32)
+    feats = {
+        "c2": jnp.zeros((1, 32, 32, 8)),
+        "c3": jnp.zeros((1, 16, 16, 16)),
+        "c4": jnp.zeros((1, 8, 8, 32)),
+        "c5": jnp.zeros((1, 4, 4, 64)),
+    }
+    vars_ = m.init(jax.random.key(0), feats)
+    out = m.apply(vars_, feats)
+    assert out["p2"].shape == (1, 32, 32, 32)
+    assert out["p5"].shape == (1, 4, 4, 32)
+    assert out["p6"].shape == (1, 2, 2, 32)
+
+
+def test_rpn_head_alignment():
+    m = RPNHead(num_anchors=6, conv_channels=32)
+    feat = jnp.zeros((2, 8, 8, 16))
+    vars_ = m.init(jax.random.key(0), feat)
+    logits, deltas = m.apply(vars_, feat)
+    assert logits.shape == (2, 8 * 8 * 6)
+    assert deltas.shape == (2, 8 * 8 * 6, 4)
+
+
+def test_det_head_shapes():
+    m = FastRCNNHead(num_classes=5, fc_dim=32)
+    rois = jnp.zeros((7, 7, 7, 16))
+    vars_ = m.init(jax.random.key(0), rois)
+    cls, deltas = m.apply(vars_, rois)
+    assert cls.shape == (7, 6)
+    assert deltas.shape == (7, 5, 4)
+    m = FastRCNNHead(num_classes=5, fc_dim=32, class_agnostic=True)
+    vars_ = m.init(jax.random.key(0), rois)
+    _, deltas = m.apply(vars_, rois)
+    assert deltas.shape == (7, 1, 4)
+
+
+@pytest.mark.parametrize("use_fpn", [False, True])
+def test_faster_rcnn_loss_finite(use_fpn):
+    cfg = tiny_test_config(use_fpn=use_fpn)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+    loss, metrics = jax.jit(model.loss)(variables, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["num_fg_rois"]) > 0
+
+
+def test_faster_rcnn_loss_differentiable():
+    cfg = tiny_test_config()
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def f(p):
+        return model.loss({"params": p, **rest}, batch, jax.random.key(1))[0]
+
+    grads = jax.jit(jax.grad(f))(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    total = sum(float(np.abs(np.asarray(g)).sum()) for g in leaves)
+    assert total > 0
+
+
+@pytest.mark.parametrize("use_fpn", [False, True])
+def test_faster_rcnn_predict_shapes(use_fpn):
+    cfg = tiny_test_config(use_fpn=use_fpn)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+    out = jax.jit(model.predict)(variables, batch)
+    d = cfg.roi.max_detections
+    b = batch["image"].shape[0]
+    assert out["boxes"].shape == (b, d, 4)
+    assert out["scores"].shape == (b, d)
+    assert out["classes"].shape == (b, d)
+    assert out["valid"].shape == (b, d)
+    assert np.all(np.asarray(out["num_detections"]) <= d)
+    # Valid detections have classes in 1..C and boxes inside the canvas.
+    boxes = np.asarray(out["boxes"])
+    valid = np.asarray(out["valid"])
+    classes = np.asarray(out["classes"])
+    assert np.all(classes[valid] >= 1)
+    assert np.all(classes[valid] <= cfg.data.num_classes)
+    assert np.all(boxes[valid] >= 0)
+    assert np.all(boxes[valid] <= cfg.data.canvas_width)
+
+
+def test_loss_no_gt_is_finite():
+    cfg = tiny_test_config()
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+    batch["gt_valid"] = jnp.zeros_like(batch["gt_valid"])
+    loss, metrics = jax.jit(model.loss)(variables, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    assert float(metrics["num_fg_rois"]) == 0

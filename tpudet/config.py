@@ -56,7 +56,11 @@ class BackboneConfig:
     # Freeze the stem + first stage and all batch-norm statistics, standard
     # detection fine-tuning practice (Faster R-CNN §3.2).
     freeze_stem: bool = True
-    norm: str = "frozen_bn"  # "frozen_bn" | "bn" | "gn"
+    # "frozen_bn" (pretrained stats folded to constants) or "gn" (stateless,
+    # for from-scratch training). Trainable BN is deliberately absent: its
+    # per-device batch stats diverge across a data-parallel mesh without
+    # cross-replica sync; GN is the TPU-native answer.
+    norm: str = "frozen_bn"
     # Compute dtype for conv/matmul tiers. bf16 keeps the MXU fed at double
     # rate on TPU; params stay f32.
     dtype: str = "float32"  # "float32" | "bfloat16"
@@ -217,7 +221,7 @@ def tiny_test_config(
             canvas_width=canvas,
             max_gt_boxes=10,
         ),
-        backbone=BackboneConfig(name="tiny", use_fpn=use_fpn, norm="bn",
+        backbone=BackboneConfig(name="tiny", use_fpn=use_fpn, norm="gn",
                                 freeze_stem=False),
         anchors=AnchorConfig(scales=(32.0, 64.0), aspect_ratios=(0.5, 1.0, 2.0)),
         rpn=RPNConfig(

@@ -1,0 +1,425 @@
+"""Faster R-CNN assembly (SURVEY.md C5–C16 wired together; reference call
+stacks 3a/3b).
+
+Design (TPU-first, not a translation of the TF2 reference):
+  * ``DetectorCore`` — one Flax module owning backbone / FPN / RPN head /
+    detection head so all parameters live in a single tree that shards
+    cleanly over a mesh.
+  * All pipeline geometry (proposal generation, target assignment, pooling,
+    post-processing) is pure static-shape jnp from ``tpudet.ops``, vmapped
+    over the batch; the whole forward/loss is one jit-compiled program — no
+    host round-trips inside the step.
+  * Dynamic-count quantities (proposals, detections, samples) are fixed-size
+    arrays + validity masks everywhere.
+
+Batch dict contract (produced by ``tpudet.data``):
+  image      [B, H, W, 3] float32, normalized, padded to the static canvas
+  image_hw   [B, 2] float32 — valid (height, width) region after resize
+  gt_boxes   [B, G, 4] float32 (x1, y1, x2, y2), padded
+  gt_classes [B, G] int32 in 1..C (0 reserved for background)
+  gt_valid   [B, G] bool
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudet.config import Config
+from tpudet.models.resnet import build_backbone
+from tpudet.models.fpn import FPN
+from tpudet.models.rpn_head import RPNHead
+from tpudet.models.det_head import FastRCNNHead
+from tpudet.ops import boxes as box_ops
+from tpudet.ops import anchors as anchor_ops
+from tpudet.ops.nms import nms as nms_op
+from tpudet.ops.nms import batched_nms
+from tpudet.ops.matchers import match_boxes
+from tpudet.ops.samplers import sample_balanced
+from tpudet.ops.roi_align import roi_align, crop_and_resize
+from tpudet.train import losses as L
+
+# Cap on flattened (box, class) candidates entering the final per-class NMS;
+# top-k-ed by score first so the sequential NMS loop stays short on TPU.
+MAX_NMS_CANDIDATES = 1024
+
+
+class DetectorCore(nn.Module):
+    """Backbone + (optional) FPN + RPN head + Fast R-CNN head."""
+
+    cfg: Config
+
+    def setup(self):
+        bb = self.cfg.backbone
+        dtype = jnp.bfloat16 if bb.dtype == "bfloat16" else jnp.float32
+        self.backbone = build_backbone(bb.name, bb.norm, dtype, bb.freeze_stem)
+        if bb.use_fpn:
+            self.fpn = FPN(dtype=dtype)
+            num_anchors = self.cfg.anchors.num_fpn_anchors_per_cell
+        else:
+            num_anchors = self.cfg.anchors.num_anchors_per_cell
+        self.rpn_head = RPNHead(
+            num_anchors=num_anchors,
+            conv_channels=self.cfg.rpn.conv_channels,
+            dtype=dtype,
+        )
+        self.det_head = FastRCNNHead(
+            num_classes=self.cfg.data.num_classes,
+            fc_dim=self.cfg.roi.fc_dim,
+            class_agnostic=self.cfg.roi.class_agnostic_bbox,
+            dtype=dtype,
+        )
+
+    def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        feats = self.backbone(images)
+        if self.cfg.backbone.use_fpn:
+            return self.fpn(feats)
+        return {"c4": feats["c4"]}
+
+    def rpn(self, feats: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Shared RPN head over levels; outputs concatenated in level order
+        (sorted by stride — matches ``generate_fpn_anchors``)."""
+        logits_all, deltas_all = [], []
+        for name in sorted(feats.keys()):
+            logits, deltas = self.rpn_head(feats[name])
+            logits_all.append(logits)
+            deltas_all.append(deltas)
+        return jnp.concatenate(logits_all, axis=1), jnp.concatenate(deltas_all, axis=1)
+
+    def roi_head(self, pooled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.det_head(pooled)
+
+    def __call__(self, images):  # used for parameter init only
+        feats = self.features(images)
+        logits, deltas = self.rpn(feats)
+        any_feat = next(iter(feats.values()))
+        s = self.cfg.roi.output_size
+        dummy = jnp.zeros((1, s, s, any_feat.shape[-1]), any_feat.dtype)
+        return self.roi_head(dummy)
+
+
+class FasterRCNN:
+    """Pipeline orchestrator: pure functions over (variables, batch)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.core = DetectorCore(cfg)
+        self._anchors_cache: np.ndarray | None = None
+
+    # ------------------------------------------------------------- anchors
+    @property
+    def feature_strides(self) -> Tuple[int, ...]:
+        if self.cfg.backbone.use_fpn:
+            return tuple(self.cfg.anchors.fpn_strides)
+        return (self.cfg.anchors.stride,)
+
+    def anchor_boxes(self) -> jnp.ndarray:
+        """[N, 4] all anchors over the static canvas.
+
+        The cache holds a host NumPy array; the jnp conversion happens per
+        call so each jit trace stages its own constant (caching a traced
+        array would leak tracers across transformations).
+        """
+        if self._anchors_cache is None:
+            a = self.cfg.anchors
+            h, w = self.cfg.data.canvas_height, self.cfg.data.canvas_width
+            if self.cfg.backbone.use_fpn:
+                shapes = [(h // s, w // s) for s in a.fpn_strides]
+                per_level = [
+                    anchor_ops.generate_anchors_np(fh, fw, s, [sc], a.aspect_ratios)
+                    for (fh, fw), s, sc in zip(shapes, a.fpn_strides, a.fpn_scales)
+                ]
+                self._anchors_cache = np.concatenate(per_level, axis=0)
+            else:
+                self._anchors_cache = anchor_ops.generate_anchors_np(
+                    h // a.stride, w // a.stride, a.stride, a.scales, a.aspect_ratios
+                )
+        return jnp.asarray(self._anchors_cache)
+
+    # ---------------------------------------------------------------- init
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        h, w = self.cfg.data.canvas_height, self.cfg.data.canvas_width
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        return self.core.init(rng, dummy)
+
+    # ------------------------------------------------------- proposal path
+    def _generate_proposals_single(
+        self,
+        anchors: jnp.ndarray,
+        logits: jnp.ndarray,
+        deltas: jnp.ndarray,
+        image_hw: jnp.ndarray,
+        training: bool,
+    ):
+        """Per-image C10: decode -> clip -> min-size -> top-k -> NMS."""
+        cfg = self.cfg.rpn
+        n = anchors.shape[0]
+        k_pre = min(n, cfg.pre_nms_topk_train if training else cfg.pre_nms_topk_test)
+        k_post = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
+
+        scores = jax.nn.sigmoid(logits)
+        top_scores, idx = jax.lax.top_k(scores, k_pre)
+        boxes = box_ops.decode_boxes(
+            deltas[idx], anchors[idx], cfg.box_reg_weights
+        )
+        boxes = box_ops.clip_boxes(boxes, image_hw)
+        wh = boxes[:, 2:] - boxes[:, :2]
+        size_ok = (wh[:, 0] > cfg.min_box_size) & (wh[:, 1] > cfg.min_box_size)
+        keep_idx, valid = nms_op(
+            boxes, top_scores, cfg.nms_thresh, k_post, valid_mask=size_ok
+        )
+        return boxes[keep_idx], top_scores[keep_idx], valid
+
+    def proposals(self, logits, deltas, image_hw, training):
+        """Batched proposal generation. Gradients are stopped — proposal
+        coordinates are treated as data by the second stage (standard)."""
+        anchors = self.anchor_boxes()
+        fn = functools.partial(
+            self._generate_proposals_single, anchors, training=training
+        )
+        boxes, scores, valid = jax.vmap(fn)(
+            jax.lax.stop_gradient(logits), jax.lax.stop_gradient(deltas), image_hw
+        )
+        return boxes, scores, valid
+
+    # ------------------------------------------------------------- pooling
+    def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
+        """Per-image C12: extract fixed-size RoI features.
+
+        Single-scale: one roi_align on c4. FPN: FPN-paper level assignment
+        k = floor(4 + log2(sqrt(area)/224)) clipped to [2,5]; every level is
+        pooled and the assigned one selected per RoI (static-shape masked sum
+        — levels p2..p5 only, p6 is proposal-only per the paper).
+        """
+        roi = self.cfg.roi
+        if not self.cfg.backbone.use_fpn:
+            stride = float(self.cfg.anchors.stride)
+            fboxes = rois / stride
+            if roi.pooler == "crop_and_resize":
+                return crop_and_resize(feats["c4"], fboxes, roi.output_size)
+            return roi_align(
+                feats["c4"], fboxes, roi.output_size, roi.sampling_ratio
+            )
+
+        areas = box_ops.area(rois)
+        k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-8))
+        k = jnp.clip(k, 2, 5).astype(jnp.int32)  # [R]
+        pooled = 0.0
+        for level, stride in zip((2, 3, 4, 5), (4.0, 8.0, 16.0, 32.0)):
+            feat = feats[f"p{level}"]
+            fboxes = rois / stride
+            if roi.pooler == "crop_and_resize":
+                p = crop_and_resize(feat, fboxes, roi.output_size)
+            else:
+                p = roi_align(feat, fboxes, roi.output_size, roi.sampling_ratio)
+            pooled = pooled + p * (k == level)[:, None, None, None]
+        return pooled
+
+    # ------------------------------------------------------------ training
+    def _rpn_targets_single(self, anchors, gt_boxes, gt_valid, image_hw, rng):
+        """Per-image C11: match, filter cross-boundary, sample 256."""
+        cfg = self.cfg.rpn
+        iou = box_ops.pairwise_iou(anchors, gt_boxes)
+        matched, labels = match_boxes(
+            iou, cfg.fg_iou_thresh, cfg.bg_iou_thresh,
+            gt_valid=gt_valid, allow_low_quality=True,
+        )
+        if cfg.ignore_cross_boundary:
+            inside = (
+                (anchors[:, 0] >= 0)
+                & (anchors[:, 1] >= 0)
+                & (anchors[:, 2] <= image_hw[1])
+                & (anchors[:, 3] <= image_hw[0])
+            )
+            labels = jnp.where(inside, labels, -1)
+        idx, is_pos, valid = sample_balanced(
+            labels, rng, cfg.batch_size_per_image, cfg.positive_fraction
+        )
+        target_deltas = box_ops.encode_boxes(
+            gt_boxes[matched[idx]], anchors[idx], cfg.box_reg_weights
+        )
+        return idx, is_pos, valid, target_deltas
+
+    def _roi_targets_single(
+        self, proposals, prop_valid, gt_boxes, gt_classes, gt_valid, rng
+    ):
+        """Per-image C14: append GT, match at 0.5, sample 25% fg."""
+        cfg = self.cfg.roi
+        if cfg.append_gt:
+            proposals = jnp.concatenate([proposals, gt_boxes], axis=0)
+            prop_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+        iou = box_ops.pairwise_iou(proposals, gt_boxes)
+        matched, labels = match_boxes(
+            iou, cfg.fg_iou_thresh, cfg.bg_iou_thresh_hi,
+            gt_valid=gt_valid, allow_low_quality=False,
+            bg_thresh_lo=cfg.bg_iou_thresh_lo,
+        )
+        labels = jnp.where(prop_valid, labels, -1)
+        idx, is_fg, valid = sample_balanced(
+            labels, rng, cfg.batch_size_per_image, cfg.positive_fraction
+        )
+        boxes = proposals[idx]
+        mgt = matched[idx]
+        target_deltas = box_ops.encode_boxes(
+            gt_boxes[mgt], boxes, cfg.box_reg_weights
+        )
+        target_classes = jnp.where(
+            is_fg & valid, gt_classes[mgt], 0
+        ).astype(jnp.int32)
+        return boxes, target_classes, target_deltas, is_fg, valid
+
+    def loss(
+        self, variables, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Full training forward: both losses in one jittable program (3a)."""
+        cfg = self.cfg
+        images = batch["image"]
+        b = images.shape[0]
+        anchors = self.anchor_boxes()
+
+        feats = self.core.apply(variables, images, method=DetectorCore.features)
+        rpn_logits, rpn_deltas = self.core.apply(
+            variables, feats, method=DetectorCore.rpn
+        )
+
+        # --- RPN targets + losses (per image, vmapped) ---
+        rng_rpn, rng_roi = jax.random.split(rng)
+        rpn_keys = jax.random.split(rng_rpn, b)
+        idx, is_pos, valid, tgt_deltas = jax.vmap(
+            functools.partial(self._rpn_targets_single, anchors)
+        )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"], rpn_keys)
+
+        sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
+        sampled_deltas = jnp.take_along_axis(
+            rpn_deltas, idx[..., None], axis=1
+        )
+        rpn_cls, rpn_box = jax.vmap(
+            functools.partial(L.rpn_losses, box_weight=cfg.rpn.loss_weight_box)
+        )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
+        rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
+
+        # --- Proposals -> RoI targets -> head losses ---
+        prop_boxes, _, prop_valid = self.proposals(
+            rpn_logits, rpn_deltas, batch["image_hw"], training=True
+        )
+        roi_keys = jax.random.split(rng_roi, b)
+        roi_boxes, tgt_cls, tgt_box, is_fg, roi_valid = jax.vmap(
+            self._roi_targets_single
+        )(
+            prop_boxes, prop_valid, batch["gt_boxes"], batch["gt_classes"],
+            batch["gt_valid"], roi_keys,
+        )
+
+        pooled = jax.vmap(self._pool_single)(feats, roi_boxes)
+        r = roi_boxes.shape[1]
+        pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        cls_logits, det_deltas = self.core.apply(
+            variables, pooled_flat, method=DetectorCore.roi_head
+        )
+        cls_logits = cls_logits.reshape(b, r, -1)
+        det_deltas = det_deltas.reshape(b, r, -1, 4)
+
+        det_cls, det_box = jax.vmap(L.detection_losses)(
+            cls_logits, det_deltas, tgt_cls, tgt_box, is_fg, roi_valid
+        )
+        det_cls, det_box = jnp.mean(det_cls), jnp.mean(det_box)
+
+        total = rpn_cls + rpn_box + det_cls + det_box
+        metrics = {
+            "loss": total,
+            "rpn_cls_loss": rpn_cls,
+            "rpn_box_loss": rpn_box,
+            "det_cls_loss": det_cls,
+            "det_box_loss": det_box,
+            "num_pos_anchors": jnp.mean(jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)),
+            "num_fg_rois": jnp.mean(jnp.sum(is_fg & roi_valid, axis=1).astype(jnp.float32)),
+        }
+        return total, metrics
+
+    # ----------------------------------------------------------- inference
+    def _postprocess_single(
+        self, proposals, prop_valid, cls_logits, det_deltas, image_hw
+    ):
+        """Per-image C16: per-class decode -> score thresh -> per-class NMS
+        -> top max_detections. Static [D] outputs + validity mask."""
+        cfg = self.cfg.roi
+        num_classes = self.cfg.data.num_classes
+        p = proposals.shape[0]
+
+        probs = jax.nn.softmax(cls_logits, axis=-1)[:, 1:]  # [P, C]
+        if det_deltas.shape[1] == 1:
+            det_deltas = jnp.broadcast_to(det_deltas, (p, num_classes, 4))
+        boxes = box_ops.decode_boxes(
+            det_deltas,
+            jnp.broadcast_to(proposals[:, None, :], (p, num_classes, 4)),
+            cfg.box_reg_weights,
+        )  # [P, C, 4]
+        boxes = box_ops.clip_boxes(boxes, image_hw)
+
+        flat_boxes = boxes.reshape(-1, 4)
+        flat_scores = probs.reshape(-1)
+        flat_classes = jnp.tile(
+            jnp.arange(1, num_classes + 1, dtype=jnp.int32), (p,)
+        )
+        flat_valid = jnp.repeat(prop_valid, num_classes) & (
+            flat_scores > cfg.score_thresh
+        )
+
+        # Keep the NMS loop short: pre-select top candidates by score.
+        k_cand = min(flat_scores.shape[0], MAX_NMS_CANDIDATES)
+        cand_scores, cand_idx = jax.lax.top_k(
+            jnp.where(flat_valid, flat_scores, -1.0), k_cand
+        )
+        cand_boxes = flat_boxes[cand_idx]
+        cand_classes = flat_classes[cand_idx]
+        cand_valid = cand_scores > 0
+
+        keep, valid = batched_nms(
+            cand_boxes, cand_scores, cand_classes,
+            cfg.nms_thresh, cfg.max_detections, valid_mask=cand_valid,
+        )
+        return (
+            cand_boxes[keep],
+            jnp.where(valid, cand_scores[keep], 0.0),
+            jnp.where(valid, cand_classes[keep], 0),
+            valid,
+        )
+
+    def predict(self, variables, batch: Dict[str, jnp.ndarray]):
+        """Full inference forward (3b): one jittable program.
+
+        Returns dict: boxes [B, D, 4], scores [B, D], classes [B, D] (1..C),
+        valid [B, D], num_detections [B].
+        """
+        images = batch["image"]
+        feats = self.core.apply(variables, images, method=DetectorCore.features)
+        rpn_logits, rpn_deltas = self.core.apply(
+            variables, feats, method=DetectorCore.rpn
+        )
+        prop_boxes, _, prop_valid = self.proposals(
+            rpn_logits, rpn_deltas, batch["image_hw"], training=False
+        )
+        b, r = prop_boxes.shape[:2]
+        pooled = jax.vmap(self._pool_single)(feats, prop_boxes)
+        pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])
+        cls_logits, det_deltas = self.core.apply(
+            variables, pooled_flat, method=DetectorCore.roi_head
+        )
+        cls_logits = cls_logits.reshape(b, r, -1)
+        det_deltas = det_deltas.reshape(b, r, det_deltas.shape[1], 4)
+
+        boxes, scores, classes, valid = jax.vmap(self._postprocess_single)(
+            prop_boxes, prop_valid, cls_logits, det_deltas, batch["image_hw"]
+        )
+        return {
+            "boxes": boxes,
+            "scores": scores,
+            "classes": classes,
+            "valid": valid,
+            "num_detections": jnp.sum(valid, axis=1).astype(jnp.int32),
+        }

@@ -1,0 +1,131 @@
+"""ResNet backbones, NHWC (SURVEY.md C5; reference uses a Keras-applications
+ResNet-50 at stride 16 — here rebuilt as Flax linen, TPU layout-optimal).
+
+Returns a pyramid dict {"c2": s4, "c3": s8, "c4": s16, "c5": s32}; the
+single-scale Faster R-CNN consumes "c4" (stride 16, as the reference does),
+FPN consumes all levels. Convs run in ``dtype`` (bf16 option keeps the MXU at
+double rate); params stay float32 and outputs are cast back by callers as
+needed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpudet.models.layers import make_norm
+
+STAGE_BLOCKS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut on shape change."""
+
+    channels: int  # output channels (4x the bottleneck width)
+    stride: int
+    norm: str
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        norm = make_norm(self.norm, self.dtype)
+        width = self.channels // 4
+
+        shortcut = x
+        if x.shape[-1] != self.channels or self.stride != 1:
+            shortcut = nn.Conv(
+                self.channels, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="conv_proj",
+            )(x)
+            shortcut = norm()(shortcut)
+
+        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(
+            width, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = norm()(y)
+        return nn.relu(y + shortcut)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101. ``freeze_stem`` stops gradients through the stem and
+    first stage (Faster R-CNN §3.2 fine-tuning practice)."""
+
+    blocks: Sequence[int] = (3, 4, 6, 3)
+    norm: str = "frozen_bn"
+    dtype: Any = jnp.float32
+    freeze_stem: bool = True
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        norm = make_norm(self.norm, self.dtype)
+        x = x.astype(self.dtype)
+
+        # Stem: 7x7/2 + maxpool 3x3/2 -> stride 4.
+        x = nn.Conv(
+            64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=False,
+            dtype=self.dtype, name="stem_conv",
+        )(x)
+        x = nn.relu(norm()(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {}
+        channels = (256, 512, 1024, 2048)
+        for stage, (n_blocks, ch) in enumerate(zip(self.blocks, channels)):
+            for i in range(n_blocks):
+                stride = 2 if (i == 0 and stage > 0) else 1
+                x = Bottleneck(
+                    ch, stride, self.norm, self.dtype,
+                    name=f"stage{stage + 2}_block{i}",
+                )(x)
+            if stage == 0 and self.freeze_stem:
+                x = jax.lax.stop_gradient(x)
+            feats[f"c{stage + 2}"] = x
+        return feats
+
+
+class TinyBackbone(nn.Module):
+    """Small conv net to stride 32 for fast CPU tests; same pyramid contract."""
+
+    width: int = 32
+    norm: str = "gn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        norm = make_norm(self.norm, self.dtype)
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (3, 3), strides=2, dtype=self.dtype)(x)  # s2
+        x = nn.relu(norm()(x))
+        feats = {}
+        for i, name in enumerate(["c2", "c3", "c4", "c5"]):  # s4, s8, s16, s32
+            x = nn.Conv(self.width, (3, 3), strides=2, dtype=self.dtype)(x)
+            x = nn.relu(norm()(x))
+            feats[name] = x
+        return feats
+
+
+def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool) -> nn.Module:
+    if name == "tiny":
+        return TinyBackbone(norm=norm if norm != "frozen_bn" else "gn", dtype=dtype)
+    if name in STAGE_BLOCKS:
+        return ResNet(
+            blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype, freeze_stem=freeze_stem
+        )
+    raise ValueError(f"unknown backbone {name!r}")
+
+
+def backbone_channels(name: str, width: int = 32) -> Dict[str, int]:
+    if name == "tiny":
+        return {"c2": width, "c3": width, "c4": width, "c5": width}
+    return {"c2": 256, "c3": 512, "c4": 1024, "c5": 2048}
