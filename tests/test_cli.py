@@ -1,0 +1,105 @@
+"""End-to-end CLI tests (SURVEY.md §4.5): short synthetic training run with
+decreasing losses, eval producing an mAP summary, detect producing an image."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_train_cli_short_run(tmp_path, capsys):
+    from tpudet.cli import train as train_cli
+
+    state = train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "8",
+        "--no-mesh", "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--logdir", str(tmp_path / "logs"),
+    ])
+    assert int(state.step) == 8
+    out = capsys.readouterr().out
+    assert "training done" in out
+    # CSV metrics written.
+    csv_path = tmp_path / "logs" / "metrics.csv"
+    assert csv_path.exists()
+    # Checkpoint written and resumable.
+    state2 = train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "10",
+        "--no-mesh", "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert int(state2.step) == 10
+    out = capsys.readouterr().out
+    assert "restored checkpoint at step 8" in out
+
+
+def test_train_cli_rpn_only(capsys):
+    from tpudet.cli import train as train_cli
+
+    state = train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "2",
+        "--no-mesh", "--rpn-only",
+    ])
+    out = capsys.readouterr().out
+    assert "rpn_cls_loss" in out
+    assert "det_cls_loss" not in out
+
+
+def test_eval_cli_synthetic(capsys):
+    from tpudet.cli import eval as eval_cli
+
+    summary = eval_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--split", "val",
+        "--batch-size", "4", "--max-images", "8",
+    ])
+    assert "mAP" in summary
+    assert 0.0 <= summary["mAP"] <= 1.0
+
+
+def test_detect_cli(tmp_path):
+    from tpudet.cli import detect as detect_cli
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_path = tmp_path / "in.png"
+    Image.fromarray(
+        rng.integers(0, 255, (96, 120, 3)).astype(np.uint8)
+    ).save(img_path)
+    out_path = tmp_path / "out.png"
+    detect_cli.main([
+        "--preset", "tiny", "--image", str(img_path),
+        "--output", str(out_path), "--score-thresh", "0.0",
+    ])
+    assert out_path.exists()
+    out_img = np.asarray(Image.open(out_path))
+    assert out_img.shape == (96, 120, 3)
+
+
+def test_benchmark_cli_nms(capsys):
+    from tpudet.cli import benchmark as bench_cli
+
+    result = bench_cli.main([
+        "--preset", "tiny", "--mode", "nms", "--iters", "2",
+    ])
+    assert result["unit"] == "us/img"
+    assert result["value"] > 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["metric"] == "nms_kernel_us_per_img"
+
+
+def test_config_overrides():
+    from tpudet.cli.common import preset_config, config_from_args
+    from tpudet.cli import train as train_cli
+
+    args = train_cli.parse_args([
+        "--preset", "tiny", "--set", "rpn.nms_thresh=0.6",
+        "--set", "roi.max_detections=7", "--set", "backbone.name=resnet50",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.rpn.nms_thresh == 0.6
+    assert cfg.roi.max_detections == 7
+    assert cfg.backbone.name == "resnet50"
+    # Presets resolve.
+    for name in ("voc_r50", "coco_r50", "coco_r101_fpn"):
+        c = preset_config(name)
+        assert c.data.num_classes in (20, 80)

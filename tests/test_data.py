@@ -1,0 +1,104 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudet.config import tiny_test_config
+from tpudet.data import SyntheticDataset, DataLoader, build_dataset
+from tpudet.data.preprocess import prepare_example, device_preprocess, resize_scale
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticDataset(num_classes=3, num_examples=10)
+    a = ds.get_example(3)
+    b = ds.get_example(3)
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["boxes"], b["boxes"])
+    assert a["image"].dtype == np.uint8
+    assert (a["classes"] >= 1).all() and (a["classes"] <= 3).all()
+    assert (a["boxes"][:, 2:] > a["boxes"][:, :2]).all()
+
+
+def test_resize_scale():
+    assert resize_scale(600, 800, 600, 1000) == 1.0
+    # min side 300 -> x2, max side 400 -> 800 <= 1000: scale 2
+    assert resize_scale(300, 400, 600, 1000) == 2.0
+    # max-side cap: 300x2000, min-side rule would give x2 -> 4000 > 1000
+    assert resize_scale(300, 2000, 600, 1000) == 0.5
+
+
+def test_prepare_example_scales_boxes():
+    cfg = tiny_test_config().data  # canvas 128, min/max 128
+    image = np.zeros((64, 32, 3), np.uint8)
+    boxes = np.asarray([[8.0, 16.0, 24.0, 48.0]], np.float32)
+    out = prepare_example(cfg, image, boxes, np.asarray([1], np.int32))
+    assert out["image"].shape == (128, 128, 3)
+    # min side 32 -> 128: scale 4; 64 -> 256 capped at canvas/max 128 -> scale 2.
+    nh, nw = out["image_hw"]
+    assert (nh, nw) == (128, 64)
+    np.testing.assert_allclose(out["gt_boxes"][0], [16.0, 32.0, 48.0, 96.0])
+    assert out["gt_valid"][0] and not out["gt_valid"][1]
+
+
+def test_loader_batches():
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(num_classes=3, num_examples=10)
+    loader = DataLoader(cfg, ds, batch_size=4, num_workers=2, seed=0)
+    batches = list(loader.batches(epoch=0))
+    assert len(batches) == 2  # drop_last
+    b = batches[0]
+    assert b["image"].shape == (4, 128, 128, 3)
+    assert b["gt_boxes"].shape == (4, cfg.data.max_gt_boxes, 4)
+    assert b["gt_valid"].any()
+    # Different epochs shuffle differently.
+    b2 = next(iter(loader.batches(epoch=1)))
+    assert not np.array_equal(b["image"], b2["image"])
+
+
+def test_device_preprocess_normalizes():
+    cfg = tiny_test_config()
+    batch = {
+        "image": jnp.full((1, 128, 128, 3), 128, jnp.uint8),
+        "image_hw": jnp.asarray([[128.0, 128.0]]),
+    }
+    out = device_preprocess(cfg, batch)
+    img = np.asarray(out["image"])
+    want = (128.0 - np.asarray(cfg.data.pixel_mean)) / np.asarray(cfg.data.pixel_std)
+    np.testing.assert_allclose(img[0, 0, 0], want, rtol=1e-5)
+
+
+def test_device_preprocess_flip_consistency():
+    """Flipped image content must still sit under the flipped boxes."""
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 128, 128, 3)).astype(np.uint8)
+    # Mark a recognizable patch.
+    img[0, 20:40, 10:30] = 255
+    batch = {
+        "image": jnp.asarray(img),
+        "image_hw": jnp.asarray([[100.0, 80.0]]),  # valid region smaller
+        "gt_boxes": jnp.asarray([[[10.0, 20.0, 30.0, 40.0]]]),
+        "gt_classes": jnp.asarray([[1]], jnp.int32),
+        "gt_valid": jnp.asarray([[True]]),
+    }
+    # Find a key that flips (bernoulli 0.5).
+    for seed in range(20):
+        out = device_preprocess(cfg, batch, jax.random.key(seed), training=True)
+        fb = np.asarray(out["gt_boxes"][0, 0])
+        if fb[0] != 10.0:
+            break
+    else:
+        raise AssertionError("no flip in 20 keys")
+    # Box flipped around valid width 80: x1 = 80-30 = 50, x2 = 80-10 = 70.
+    np.testing.assert_allclose(fb, [50.0, 20.0, 70.0, 40.0])
+    # The bright patch moved under the flipped box.
+    mean = np.asarray(cfg.data.pixel_mean)
+    std = np.asarray(cfg.data.pixel_std)
+    raw = np.asarray(out["image"][0]) * std + mean
+    patch = raw[20:40, 50:70]
+    assert patch.mean() > 250
+
+
+def test_build_dataset_synthetic():
+    cfg = tiny_test_config()
+    ds = build_dataset(cfg, split="train")
+    assert len(ds) == 512

@@ -1,0 +1,85 @@
+"""Pallas kernel tests vs jnp oracles (SURVEY.md §4.3). On CPU the kernels
+run in interpreter mode; the same code compiles on TPU (validated by the
+benchmark CLI and TPU smoke scripts)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet.kernels.nms import nms_pallas
+from tpudet.ops.nms import nms as nms_ref
+from tests.test_boxes import random_boxes
+
+
+def assert_same_selection(res_a, res_b):
+    (ia, va), (ib, vb) = res_a, res_b
+    ia, va, ib, vb = map(np.asarray, (ia, va, ib, vb))
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(ia[va], ib[vb])
+
+
+@pytest.mark.parametrize("n", [60, 128, 300, 500])
+@pytest.mark.parametrize("thresh", [0.3, 0.6])
+def test_nms_pallas_matches_reference(rng, n, thresh):
+    boxes = jnp.asarray(random_boxes(rng, n, size=80.0))
+    scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    assert_same_selection(
+        nms_pallas(boxes, scores, thresh, 50, interpret=True),
+        nms_ref(boxes, scores, thresh, 50),
+    )
+
+
+def test_nms_pallas_valid_mask_and_score_thresh(rng):
+    n = 200
+    boxes = jnp.asarray(random_boxes(rng, n, size=60.0))
+    scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, n) > 0.3)
+    assert_same_selection(
+        nms_pallas(boxes, scores, 0.5, 40, valid_mask=mask,
+                   score_threshold=0.2, interpret=True),
+        nms_ref(boxes, scores, 0.5, 40, valid_mask=mask, score_threshold=0.2),
+    )
+
+
+def test_nms_pallas_identical_boxes():
+    boxes = jnp.tile(jnp.asarray([[5.0, 5.0, 20.0, 20.0]]), (130, 1))
+    scores = jnp.linspace(0.1, 0.9, 130)
+    idx, valid = nms_pallas(boxes, scores, 0.5, 10, interpret=True)
+    assert int(np.asarray(valid).sum()) == 1
+    assert int(np.asarray(idx)[0]) == 129
+
+
+def test_nms_pallas_all_masked():
+    boxes = jnp.asarray(random_boxes(np.random.default_rng(0), 64))
+    scores = jnp.linspace(0, 1, 64)
+    idx, valid = nms_pallas(
+        boxes, scores, 0.5, 10, valid_mask=jnp.zeros(64, bool), interpret=True
+    )
+    assert not np.asarray(valid).any()
+
+
+def test_nms_pallas_vmap(rng):
+    b, n = 3, 140
+    boxes = jnp.asarray(
+        np.stack([random_boxes(rng, n, size=70.0) for _ in range(b)])
+    )
+    scores = jnp.asarray(rng.uniform(0, 1, (b, n)).astype(np.float32))
+    fp = jax.vmap(lambda bb, ss: nms_pallas(bb, ss, 0.5, 30, interpret=True))
+    fr = jax.vmap(lambda bb, ss: nms_ref(bb, ss, 0.5, 30))
+    ia, va = fp(boxes, scores)
+    ib, vb = fr(boxes, scores)
+    for i in range(b):
+        assert_same_selection((ia[i], va[i]), (ib[i], vb[i]))
+
+
+def test_nms_dispatch_fallback_on_cpu(rng):
+    """On CPU backends the dispatcher must take the jnp path (no TPU)."""
+    from tpudet.kernels import nms_dispatch
+
+    boxes = jnp.asarray(random_boxes(rng, 50))
+    scores = jnp.asarray(rng.uniform(0, 1, 50).astype(np.float32))
+    assert_same_selection(
+        nms_dispatch(boxes, scores, 0.5, 20, use_pallas=True),
+        nms_ref(boxes, scores, 0.5, 20),
+    )

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from tpudet.eval.metrics import DetectionEvaluator, average_precision
+
+
+def box(x, y, s=10.0):
+    return [x, y, x + s, y + s]
+
+
+def test_perfect_detections_map_1():
+    ev = DetectionEvaluator(num_classes=2)
+    gt = np.asarray([box(0, 0), box(50, 50)], np.float32)
+    gtc = np.asarray([1, 2])
+    ev.add_image(gt, np.asarray([0.9, 0.8]), gtc, gt, gtc)
+    s = ev.summarize()
+    assert s["mAP"] == pytest.approx(1.0)
+
+
+def test_no_detections_map_0():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.asarray([box(0, 0)], np.float32)
+    ev.add_image(
+        np.zeros((0, 4)), np.zeros(0), np.zeros(0, int), gt, np.asarray([1])
+    )
+    assert ev.summarize()["mAP"] == 0.0
+
+
+def test_false_positive_lowers_ap():
+    ev = DetectionEvaluator(num_classes=1, interpolation="all_points")
+    gt = np.asarray([box(0, 0)], np.float32)
+    # One TP at 0.9, one FP at 0.95 (higher score, elsewhere).
+    preds = np.asarray([box(0, 0), box(80, 80)], np.float32)
+    ev.add_image(preds, np.asarray([0.9, 0.95]), np.asarray([1, 1]), gt, np.asarray([1]))
+    # PR: [fp@.95 -> p=0 r=0], [tp@.9 -> p=1/2 r=1]; all-points AP = 0.5.
+    assert ev.summarize()["mAP"] == pytest.approx(0.5)
+
+
+def test_duplicate_detection_is_fp():
+    ev = DetectionEvaluator(num_classes=1, interpolation="all_points")
+    gt = np.asarray([box(0, 0)], np.float32)
+    preds = np.asarray([box(0, 0), box(1, 1)], np.float32)  # both overlap gt
+    ev.add_image(preds, np.asarray([0.9, 0.8]), np.asarray([1, 1]), gt, np.asarray([1]))
+    # First (higher score) matches; second is a duplicate FP at lower score ->
+    # precision envelope keeps AP = 1.0 at recall 1.
+    assert ev.summarize()["mAP"] == pytest.approx(1.0)
+
+
+def test_low_iou_is_fp():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.asarray([box(0, 0)], np.float32)
+    preds = np.asarray([box(7, 7)], np.float32)  # IoU ~ 9/191 << 0.5
+    ev.add_image(preds, np.asarray([0.9]), np.asarray([1]), gt, np.asarray([1]))
+    assert ev.summarize()["mAP"] == 0.0
+
+
+def test_difficult_gt_ignored():
+    ev = DetectionEvaluator(num_classes=1)
+    gt = np.asarray([box(0, 0), box(50, 50)], np.float32)
+    gtc = np.asarray([1, 1])
+    difficult = np.asarray([False, True])
+    # Detect both; the difficult match neither helps nor hurts.
+    ev.add_image(gt, np.asarray([0.9, 0.8]), gtc, gt, gtc, difficult)
+    assert ev.summarize()["mAP"] == pytest.approx(1.0)
+    # And missing the difficult one entirely is still perfect.
+    ev2 = DetectionEvaluator(num_classes=1)
+    ev2.add_image(gt[:1], np.asarray([0.9]), gtc[:1], gt, gtc, difficult)
+    assert ev2.summarize()["mAP"] == pytest.approx(1.0)
+
+
+def test_ap_interpolations_known_curve():
+    # recall [.5, 1], precision [1, .5]
+    r = np.asarray([0.5, 1.0])
+    p = np.asarray([1.0, 0.5])
+    # 11-point: recalls 0..0.5 -> max p where r >= t: 1.0 (6 pts), .5 (5 pts)
+    assert average_precision(r, p, "11_points") == pytest.approx((6 * 1.0 + 5 * 0.5) / 11)
+    assert average_precision(r, p, "all_points") == pytest.approx(0.5 * 1.0 + 0.5 * 0.5)
+
+
+def test_multi_image_accumulation():
+    ev = DetectionEvaluator(num_classes=1, interpolation="all_points")
+    g1 = np.asarray([box(0, 0)], np.float32)
+    # image 1: TP@0.9; image 2: miss (no detection) -> recall caps at 0.5.
+    ev.add_image(g1, np.asarray([0.9]), np.asarray([1]), g1, np.asarray([1]))
+    ev.add_image(np.zeros((0, 4)), np.zeros(0), np.zeros(0, int), g1, np.asarray([1]))
+    assert ev.summarize()["mAP"] == pytest.approx(0.5)
+
+
+def test_class_names_in_summary():
+    ev = DetectionEvaluator(num_classes=2, class_names=("cat", "dog"))
+    gt = np.asarray([box(0, 0)], np.float32)
+    ev.add_image(gt, np.asarray([0.9]), np.asarray([1]), gt, np.asarray([1]))
+    s = ev.summarize()
+    assert "AP/cat" in s and "AP/dog" in s
+    assert np.isnan(s["AP/dog"])  # no dog GT anywhere
+    assert s["mAP"] == pytest.approx(1.0)  # nan classes excluded

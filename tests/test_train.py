@@ -1,0 +1,119 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpudet.config import tiny_test_config, TrainConfig
+from tpudet.data import SyntheticDataset, DataLoader
+from tpudet.data.preprocess import device_preprocess
+from tpudet.models import FasterRCNN
+from tpudet.parallel import make_mesh, batch_sharding, shard_batch
+from tpudet.train.state import create_train_state, lr_schedule
+from tpudet.train.step import make_train_step, make_eval_step
+
+
+def small_cfg(**train_kw):
+    cfg = tiny_test_config()
+    return cfg.replace(train=TrainConfig(
+        batch_size=2, learning_rate=0.02, warmup_steps=0, weight_decay=1e-4,
+        checkpoint_every=10**9, **train_kw,
+    ))
+
+
+def make_train_batch(cfg, b=2):
+    ds = SyntheticDataset(num_classes=cfg.data.num_classes, num_examples=b,
+                          image_size=cfg.data.canvas_height)
+    loader = DataLoader(cfg, ds, batch_size=b, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    return {k: jnp.asarray(v) for k, v in raw.items()}
+
+
+def test_lr_schedule():
+    cfg = TrainConfig(learning_rate=1.0, warmup_steps=10, warmup_factor=0.1,
+                      lr_milestones=(100, 200), lr_gamma=0.1)
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(5)) == pytest.approx(0.55)
+    assert float(sched(50)) == pytest.approx(1.0)
+    assert float(sched(150)) == pytest.approx(0.1)
+    assert float(sched(250)) == pytest.approx(0.01)
+
+
+def test_train_step_decreases_loss():
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw, jax.random.key(42), training=False)
+
+    first = None
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+    assert int(state.step) == 25
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_train_step_data_parallel_mesh():
+    """8 fake CPU devices: sharded batch, replicated params (SURVEY.md §4.4)."""
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    mesh = make_mesh(num_data=8)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg, mesh=mesh)
+
+    raw = make_train_batch(cfg, b=8)
+    batch = device_preprocess(cfg, raw, jax.random.key(0), training=False)
+    batch = shard_batch(mesh, batch)
+    # Params replicated onto the mesh.
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+
+    state, metrics = step(state, batch)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
+    # Params stay replicated: all device shards identical.
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_eval_step_runs():
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    eval_step = make_eval_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw)
+    out = eval_step(state.variables, batch)
+    assert out["boxes"].shape[0] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tpudet.train.checkpoint import CheckpointManager
+
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    assert mgr.save(state, force=True)
+    mgr.wait()
+    assert mgr.latest_step == 1
+
+    fresh = create_train_state(model, cfg.train, jax.random.key(7))
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()

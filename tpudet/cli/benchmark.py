@@ -1,0 +1,174 @@
+"""Benchmark CLI (SURVEY.md §5 tracing/profiling; BASELINE metrics).
+
+Modes:
+  infer  — batched inference throughput (images/sec), BASELINE config 3
+  train  — training step throughput
+  nms    — NMS kernel microbenchmark (µs/img), the tracked BASELINE metric
+
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
+Timing uses block_until_ready around timed spans (compile excluded by a
+warmup run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudet.cli.common import add_common_args, config_from_args
+from tpudet.data import SyntheticDataset, DataLoader
+from tpudet.models import FasterRCNN
+from tpudet.train.state import create_train_state
+from tpudet.train.step import make_eval_step, make_train_step
+
+# BASELINE.json north_star: >=1500 images/sec on v5e-8; the tracked metric is
+# "Faster-RCNN images/sec/chip", i.e. 187.5/chip at parity.
+BASELINE_IMAGES_PER_SEC_PER_CHIP = 1500.0 / 8.0
+
+
+def _make_batch(cfg, batch_size: int):
+    ds = SyntheticDataset(
+        num_classes=cfg.data.num_classes, num_examples=batch_size,
+        image_size=min(cfg.data.canvas_height, 512),
+    )
+    loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=8)
+    raw = next(iter(loader.batches(0)))
+    return {k: jnp.asarray(v) for k, v in raw.items()}
+
+
+def _sync(out):
+    """Force completion via a tiny device->host fetch.
+
+    ``jax.block_until_ready`` returns immediately on this environment's
+    experimental 'axon' TPU tunnel (verified: it reported 160x physical peak
+    on a known matmul); fetching one leaf waits for the real computation."""
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+
+
+def _timeit(fn, iters: int, warmup: int = 2) -> float:
+    """Median wall-clock seconds per call (post-compile)."""
+    for _ in range(warmup):
+        _sync(fn())
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_infer(cfg, batch_size: int, iters: int) -> dict:
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_eval_step(model, cfg, fused_preprocess=True)
+    batch = _make_batch(cfg, batch_size)
+    variables = state.variables
+    sec = _timeit(lambda: step(variables, batch), iters)
+    ips = batch_size / sec
+    per_chip = ips / jax.device_count()
+    return {
+        "metric": "faster_rcnn_infer_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
+        "batch_size": batch_size,
+        "sec_per_batch": round(sec, 5),
+        "total_images_per_sec": round(ips, 2),
+        "backend": jax.default_backend(),
+        "num_devices": jax.device_count(),
+    }
+
+
+def bench_train(cfg, batch_size: int, iters: int) -> dict:
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step_fn = make_train_step(model, cfg, fused_preprocess=True)
+    batch = _make_batch(cfg, batch_size)
+
+    state_holder = [state]
+
+    def run():
+        new_state, metrics = step_fn(state_holder[0], batch)
+        state_holder[0] = new_state
+        return metrics["loss"]
+
+    sec = _timeit(run, iters)
+    ips = batch_size / sec
+    return {
+        "metric": "faster_rcnn_train_images_per_sec",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "batch_size": batch_size,
+        "sec_per_step": round(sec, 5),
+        "backend": jax.default_backend(),
+    }
+
+
+def bench_nms(cfg, iters: int, num_boxes: int = 6000, max_out: int = 300) -> dict:
+    """The tracked 'NMS kernel µs/img' metric on realistic proposal counts."""
+    from tpudet.kernels import nms_dispatch
+
+    rng = np.random.default_rng(0)
+    xy1 = rng.uniform(0, 900, (num_boxes, 2)).astype(np.float32)
+    wh = rng.uniform(20, 200, (num_boxes, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy1, xy1 + wh], axis=-1))
+    scores = jnp.asarray(rng.uniform(0, 1, num_boxes).astype(np.float32))
+
+    # Amortize per-dispatch RPC/launch overhead: time 1 call vs REPS fused
+    # calls in one program; the difference isolates the on-device kernel.
+    reps = 16
+
+    one = jax.jit(lambda b, s: nms_dispatch(b, s, 0.7, max_out,
+                                            use_pallas=cfg.use_pallas))
+
+    def _many(b, s):
+        acc = jnp.zeros((), jnp.int32)
+        for k in range(reps):
+            idx, v = nms_dispatch(b, s + k * 1e-6, 0.7, max_out,
+                                  use_pallas=cfg.use_pallas)
+            acc = acc + idx.sum() + v.sum()
+        return acc
+
+    many = jax.jit(_many)
+    t_one = _timeit(lambda: one(boxes, scores), iters)
+    t_many = _timeit(lambda: many(boxes, scores), iters)
+    sec = max((t_many - t_one) / (reps - 1), 1e-9)
+    return {
+        "metric": "nms_kernel_us_per_img",
+        "value": round(sec * 1e6, 2),
+        "unit": "us/img",
+        "vs_baseline": 0.0,
+        "num_boxes": num_boxes,
+        "max_out": max_out,
+        "pallas": cfg.use_pallas,
+        "backend": jax.default_backend(),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--mode", default="infer", choices=["infer", "train", "nms"])
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.mode == "infer":
+        result = bench_infer(cfg, args.batch_size, args.iters)
+    elif args.mode == "train":
+        result = bench_train(cfg, args.batch_size, args.iters)
+    else:
+        result = bench_nms(cfg, args.iters)
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

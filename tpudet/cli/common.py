@@ -1,0 +1,77 @@
+"""Shared CLI plumbing: presets for the BASELINE configs + dotted overrides
+(mirrors the reference's flag surface — SURVEY.md C23)."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+from tpudet.config import (
+    AnchorConfig,
+    BackboneConfig,
+    Config,
+    DataConfig,
+    apply_overrides,
+    tiny_test_config,
+)
+
+
+def preset_config(name: str) -> Config:
+    if name == "tiny":
+        return tiny_test_config()
+    if name == "voc_r50":
+        # BASELINE configs 1–3: ResNet-50 Faster R-CNN on VOC 2007.
+        return Config(
+            data=DataConfig(dataset="voc", num_classes=20, min_size=600,
+                            max_size=1000, canvas_height=1024, canvas_width=1024),
+            backbone=BackboneConfig(name="resnet50"),
+        )
+    if name == "coco_r50":
+        # BASELINE config 4: COCO 2017, ResNet-50, data-parallel.
+        return Config(
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344, canvas_width=1344),
+            backbone=BackboneConfig(name="resnet50"),
+        )
+    if name == "coco_r101_fpn":
+        # BASELINE config 5: ResNet-101 + FPN, bf16 mixed precision.
+        cfg = Config(
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344, canvas_width=1344),
+            backbone=BackboneConfig(name="resnet101", use_fpn=True,
+                                    dtype="bfloat16"),
+            anchors=AnchorConfig(),
+        )
+        return cfg
+    raise ValueError(f"unknown preset {name!r}")
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--preset", default="voc_r50",
+                   choices=["tiny", "voc_r50", "coco_r50", "coco_r101_fpn"])
+    p.add_argument("--data-dir", default="", help="dataset root")
+    p.add_argument("--dataset", default="",
+                   help="override dataset type (voc|coco|synthetic)")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="dotted config override, e.g. --set rpn.nms_thresh=0.6",
+    )
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = preset_config(args.preset)
+    overrides = {}
+    if args.data_dir:
+        overrides["data.data_dir"] = args.data_dir
+    if args.dataset:
+        overrides["data.dataset"] = args.dataset
+        if args.dataset == "synthetic" and args.preset != "tiny":
+            overrides.setdefault("data.num_classes", 8)
+    for item in args.set:
+        key, _, raw = item.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        overrides[key.strip()] = value
+    return apply_overrides(cfg, overrides)

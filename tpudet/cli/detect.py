@@ -1,0 +1,78 @@
+"""Single-image detection CLI (SURVEY.md C22; BASELINE config 1 — the "PR1"
+single-image inference path).
+
+Example:
+  python -m tpudet.cli.detect --preset voc_r50 --checkpoint-dir /ckpt \
+      --image dog.jpg --output out.png --score-thresh 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudet.cli.common import add_common_args, config_from_args
+from tpudet.cli.eval import rescale_to_original
+from tpudet.data.preprocess import prepare_example
+from tpudet.data.voc import VOC_CLASSES
+from tpudet.eval.visualize import draw_detections
+from tpudet.models import FasterRCNN
+from tpudet.train.checkpoint import CheckpointManager
+from tpudet.train.state import create_train_state
+from tpudet.train.step import make_eval_step
+
+
+def detect_image(cfg, model, variables, image: np.ndarray):
+    """[h, w, 3] uint8 -> detections in original-image coordinates."""
+    ex = prepare_example(
+        cfg.data, image, np.zeros((0, 4), np.float32), np.zeros(0, np.int32)
+    )
+    batch = {
+        "image": jnp.asarray(ex["image"][None]),
+        "image_hw": jnp.asarray(ex["image_hw"][None]),
+    }
+    step = make_eval_step(model, cfg, fused_preprocess=True)
+    out = jax.device_get(step(variables, batch))
+    valid = out["valid"][0]
+    boxes = rescale_to_original(
+        out["boxes"][0][valid], ex["image_scale"], ex["orig_hw"]
+    )
+    return boxes, out["scores"][0][valid], out["classes"][0][valid]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--output", default="detections.png")
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--score-thresh", type=float, default=0.5)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    from PIL import Image
+
+    image = np.asarray(Image.open(args.image).convert("RGB"))
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    if args.checkpoint_dir:
+        state = CheckpointManager(args.checkpoint_dir).restore(state)
+
+    boxes, scores, classes = detect_image(cfg, model, state.variables, image)
+    keep = scores >= args.score_thresh
+    boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
+    names = VOC_CLASSES if cfg.data.dataset == "voc" else None
+    annotated = draw_detections(image, boxes, classes, scores, names)
+
+    Image.fromarray(annotated).save(args.output)
+    print(f"{len(boxes)} detections -> {args.output}")
+    for b, s, c in zip(boxes, scores, classes):
+        label = names[c - 1] if names else str(int(c))
+        print(f"  {label:14s} {s:.3f}  [{b[0]:.1f}, {b[1]:.1f}, {b[2]:.1f}, {b[3]:.1f}]")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Evaluation CLI: mAP over a validation split (SURVEY.md C20; call stack 3c).
+
+Example:
+  python -m tpudet.cli.eval --preset voc_r50 --data-dir /data/voc \
+      --split test --checkpoint-dir /ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from tpudet.cli.common import add_common_args, config_from_args
+from tpudet.data import DataLoader, build_dataset
+from tpudet.data.voc import VOC_CLASSES
+from tpudet.eval.metrics import DetectionEvaluator
+from tpudet.models import FasterRCNN
+from tpudet.train.checkpoint import CheckpointManager
+from tpudet.train.state import create_train_state
+from tpudet.train.step import make_eval_step
+
+
+def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
+                        orig_hw: np.ndarray) -> np.ndarray:
+    """Canvas coords -> original-image coords (inverse of C2's resize)."""
+    sy, sx = image_scale[0], image_scale[1]
+    out = boxes.copy()
+    out[:, [0, 2]] /= sx
+    out[:, [1, 3]] /= sy
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_hw[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_hw[0])
+    return out
+
+
+def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
+             class_names=None, verbose=True):
+    """Run 3c: batched inference + host-side mAP accumulation."""
+    eval_step = make_eval_step(model, cfg, fused_preprocess=True)
+    evaluator = DetectionEvaluator(
+        cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
+        interpolation=cfg.eval.ap_interpolation, class_names=class_names,
+    )
+    loader = DataLoader(cfg, dataset, batch_size, shuffle=False,
+                        drop_last=False)
+    seen = 0
+    for batch in loader.batches(0):
+        batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))
+        jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        out = jax.device_get(eval_step(variables, jb))
+        for i in range(len(batch_valid)):
+            if not batch_valid[i] or (0 <= max_images <= seen):
+                continue
+            seen += 1
+            valid = out["valid"][i]
+            boxes = rescale_to_original(
+                out["boxes"][i][valid], batch["image_scale"][i],
+                batch["orig_hw"][i],
+            )
+            gt_valid = batch["gt_valid"][i]
+            gt_boxes = rescale_to_original(
+                batch["gt_boxes"][i][gt_valid], batch["image_scale"][i],
+                batch["orig_hw"][i],
+            )
+            evaluator.add_image(
+                boxes, out["scores"][i][valid], out["classes"][i][valid],
+                gt_boxes, batch["gt_classes"][i][gt_valid],
+            )
+        if 0 <= max_images <= seen:
+            break
+    summary = evaluator.summarize()
+    if verbose:
+        for k, v in sorted(summary.items()):
+            print(f"{k}: {v:.4f}")
+    return summary
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--split", default="val")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--max-images", type=int, default=-1)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    if args.checkpoint_dir:
+        mgr = CheckpointManager(args.checkpoint_dir)
+        state = mgr.restore(state)
+        print(f"restored step {mgr.latest_step}")
+
+    dataset = build_dataset(cfg, split=args.split)
+    names = VOC_CLASSES if cfg.data.dataset == "voc" else getattr(
+        dataset, "class_names", None
+    )
+    summary = evaluate(
+        cfg, model, state.variables, dataset, batch_size=args.batch_size,
+        max_images=args.max_images, class_names=names,
+    )
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Training CLI (SURVEY.md C18/C19; reference ``train.py``, call stack 3a).
+
+Example:
+  python -m tpudet.cli.train --preset tiny --dataset synthetic --steps 200
+  python -m tpudet.cli.train --preset voc_r50 --data-dir /data/voc \
+      --steps 80000 --batch-size 16 --checkpoint-dir /ckpt
+Supports RPN-only training (3e) via --rpn-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+from tpudet.cli.common import add_common_args, config_from_args
+from tpudet.data import DataLoader, build_dataset
+from tpudet.models import FasterRCNN
+from tpudet.parallel import batch_sharding, make_mesh
+from tpudet.train.checkpoint import CheckpointManager
+from tpudet.train.state import create_train_state
+from tpudet.train.step import make_train_step
+from tpudet.utils.logging import MetricsLogger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--steps", type=int, default=0, help="override total_steps")
+    p.add_argument("--batch-size", type=int, default=0, help="override global batch")
+    p.add_argument("--lr", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--logdir", default="")
+    p.add_argument("--rpn-only", action="store_true",
+                   help="train only the RPN branch (reference 3e mode)")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device step (no mesh sharding)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = config_from_args(args)
+    overrides = {}
+    if args.steps:
+        overrides["total_steps"] = args.steps
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.lr:
+        overrides["learning_rate"] = args.lr
+    if args.seed >= 0:
+        overrides["seed"] = args.seed
+    if args.checkpoint_dir:
+        overrides["checkpoint_dir"] = args.checkpoint_dir
+    if overrides:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
+    if args.rpn_only:
+        cfg = cfg.replace(rpn_only=True)
+
+    devices = jax.devices()
+    mesh = None
+    if not args.no_mesh and len(devices) > 1:
+        mesh = make_mesh(cfg.train.num_data_shards, cfg.train.num_model_shards)
+        print(f"mesh: {mesh.shape}")
+    print(f"devices: {devices}")
+
+    model = FasterRCNN(cfg)
+    rng = jax.random.key(cfg.train.seed)
+    state = create_train_state(model, cfg.train, rng)
+    if mesh is not None:
+        state = jax.device_put(
+            state,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+
+    ckpt = None
+    if cfg.train.checkpoint_dir:
+        ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.keep_checkpoints)
+        state = ckpt.restore(state)
+        if ckpt.latest_step is not None:
+            print(f"restored checkpoint at step {ckpt.latest_step}")
+
+    dataset = build_dataset(cfg, split="train")
+    print(f"dataset: {cfg.data.dataset}, {len(dataset)} examples")
+    loader = DataLoader(
+        cfg, dataset, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
+        sharding=batch_sharding(mesh) if mesh is not None else None,
+    )
+    step_fn = make_train_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    logger = MetricsLogger(args.logdir or None)
+
+    start = int(jax.device_get(state.step))
+    stream = iter(loader)
+    for step in range(start, cfg.train.total_steps):
+        batch = next(stream)
+        state, metrics = step_fn(state, batch)
+        if (step + 1) % cfg.train.log_every == 0 or step == start:
+            logger.log(step + 1, jax.device_get(metrics))
+        if ckpt and (step + 1) % cfg.train.checkpoint_every == 0:
+            ckpt.save(state)
+    if ckpt:
+        ckpt.save(state, force=True)
+        ckpt.wait()
+        ckpt.close()
+    logger.close()
+    print("training done.")
+    return state
+
+
+if __name__ == "__main__":
+    main()

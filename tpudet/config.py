@@ -128,6 +128,11 @@ class ROIConfig:
     pooler: str = "roi_align"
     output_size: int = 7
     sampling_ratio: int = 2  # samples per bin side for roi_align
+    # Pool RoIs in sequential chunks of this size (lax.map) to bound the
+    # gather workspace: peak memory ~ B * chunk * (S*ratio)^2 * C instead of
+    # B * R * (...). 0 disables chunking. The Pallas RoI-Align kernel makes
+    # this moot on TPU by streaming through VMEM.
+    pooler_chunk: int = 64
     # Fast R-CNN head (Fast R-CNN §2.1): two hidden FCs.
     fc_dim: int = 1024
     # Detection target assignment (Fast R-CNN §2.3).
@@ -200,6 +205,9 @@ class Config:
     # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
     # False falls back to the pure-jnp XLA reference path.
     use_pallas: bool = True
+    # Train/evaluate only the RPN branch (the reference's standalone RPN mode,
+    # SURVEY.md 3e — the RPN as a class-agnostic detector).
+    rpn_only: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

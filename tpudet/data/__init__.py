@@ -1,0 +1,34 @@
+"""Input pipeline (reference layer L1 — SURVEY.md C1–C4).
+
+Host side: annotation parsing (VOC XML / COCO JSON / synthetic), JPEG decode,
+aspect-preserving resize, static-canvas padding — producing uint8 canvases +
+metadata. Device side (fused into the jitted step): uint8→float normalize and
+random horizontal flip, so the augment/normalize math runs on-chip next to the
+model (``north_star``: "fused device-side preprocessing stage feeding HBM").
+A background thread double-buffers host→device transfers."""
+
+from tpudet.data.preprocess import (  # noqa: F401
+    device_preprocess,
+    prepare_example,
+)
+from tpudet.data.loader import DataLoader, Dataset  # noqa: F401
+from tpudet.data.synthetic import SyntheticDataset  # noqa: F401
+from tpudet.data.voc import VOC_CLASSES, VOCDataset  # noqa: F401
+from tpudet.data.coco import CocoDataset  # noqa: F401
+
+
+def build_dataset(cfg, split: str | None = None):
+    """Dataset factory (reference call stack 3d)."""
+    d = cfg.data
+    split = split or d.split
+    if d.dataset == "synthetic":
+        return SyntheticDataset(
+            num_classes=d.num_classes,
+            num_examples=512 if split == "train" else 64,
+            seed=0 if split == "train" else 1,
+        )
+    if d.dataset == "voc":
+        return VOCDataset(d.data_dir, split=split)
+    if d.dataset == "coco":
+        return CocoDataset(d.data_dir, split=split)
+    raise ValueError(f"unknown dataset {d.dataset!r}")

@@ -1,0 +1,70 @@
+"""COCO 2017 ingestion (SURVEY.md C1; BASELINE configs 4–5).
+
+Reads ``annotations/instances_{split}2017.json`` + ``{split}2017/`` images.
+Category ids are remapped to contiguous 1..C (COCO's 80 categories have
+non-contiguous ids); boxes convert from [x, y, w, h] to [x1, y1, x2, y2].
+Pure-Python JSON parsing — no pycocotools dependency."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+
+class CocoDataset:
+    def __init__(self, root: str, split: str = "train", min_box_size: float = 1.0):
+        name = {"train": "train2017", "val": "val2017",
+                "train2017": "train2017", "val2017": "val2017"}[split]
+        ann_path = os.path.join(root, "annotations", f"instances_{name}.json")
+        with open(ann_path) as f:
+            blob = json.load(f)
+
+        cats = sorted(blob["categories"], key=lambda c: c["id"])
+        self.cat_id_to_class = {c["id"]: i + 1 for i, c in enumerate(cats)}
+        self.class_names = tuple(c["name"] for c in cats)
+        self.num_classes = len(cats)
+
+        self.image_dir = os.path.join(root, name)
+        images = {im["id"]: im for im in blob["images"]}
+        anns_by_image: Dict[int, List[dict]] = {}
+        for ann in blob["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            w, h = ann["bbox"][2], ann["bbox"][3]
+            if w < min_box_size or h < min_box_size:
+                continue
+            anns_by_image.setdefault(ann["image_id"], []).append(ann)
+
+        # Keep only images that exist with at least one usable annotation
+        # for training; keep all images for val.
+        self.examples = []
+        for img_id, im in sorted(images.items()):
+            anns = anns_by_image.get(img_id, [])
+            if name.startswith("train") and not anns:
+                continue
+            self.examples.append((im, anns))
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def get_example(self, index: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        im, anns = self.examples[index]
+        img = Image.open(
+            os.path.join(self.image_dir, im["file_name"])
+        ).convert("RGB")
+        boxes, classes = [], []
+        for ann in anns:
+            x, y, w, h = ann["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_id_to_class[ann["category_id"]])
+        return {
+            "image": np.asarray(img, np.uint8),
+            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
+            "classes": np.asarray(classes, np.int32),
+            "id": im["id"],
+        }

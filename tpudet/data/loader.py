@@ -1,0 +1,126 @@
+"""Dataset protocol + batching loader with background prefetch (SURVEY.md C1,
+C4; call stack 3d).
+
+``Dataset``: len + ``get_example(i)`` returning raw
+``{"image": uint8 [h,w,3], "boxes": [n,4], "classes": [n]}``.
+
+``DataLoader``: shuffles per epoch, runs host-side ``prepare_example`` in a
+thread pool, stacks fixed-shape batches, and double-buffers them onto the
+device (``jax.device_put`` against the mesh sharding when given) so the TPU
+never waits on the host — the loader is the host half of the "preprocessing
+stage feeding HBM"."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional, Protocol
+
+import jax
+import numpy as np
+
+from tpudet.config import Config
+from tpudet.data.preprocess import prepare_example
+
+
+class Dataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def get_example(self, index: int) -> Dict[str, np.ndarray]: ...
+
+
+class DataLoader:
+    def __init__(
+        self,
+        cfg: Config,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        sharding=None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.sharding = sharding
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        return order
+
+    def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
+        def one(i):
+            ex = self.dataset.get_example(int(i))
+            return prepare_example(
+                self.cfg.data, ex["image"], ex["boxes"], ex["classes"]
+            )
+        examples = list(pool.map(one, indices))
+        batch = {
+            k: np.stack([ex[k] for ex in examples]) for k in examples[0]
+        }
+        return batch
+
+    def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Host batches for one epoch (no device transfer)."""
+        order = self._epoch_order(epoch)
+        bs = self.batch_size
+        n_full = len(order) // bs
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(n_full):
+                yield self._make_batch(pool, order[b * bs : (b + 1) * bs])
+            rem = len(order) - n_full * bs
+            if rem and not self.drop_last:
+                # Pad the tail batch by repeating the last example; callers
+                # can mask via the returned "batch_valid".
+                idx = np.concatenate([order[n_full * bs :],
+                                      np.full(bs - rem, order[-1])])
+                batch = self._make_batch(pool, idx)
+                batch["batch_valid"] = np.arange(bs) < rem
+                yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless device-prefetched stream over epochs 0, 1, 2, ..."""
+        return self.device_stream()
+
+    def device_stream(self, start_epoch: int = 0):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = start_epoch
+            while not stop.is_set():
+                for batch in self.batches(epoch):
+                    dev = jax.device_put(batch, self.sharding)
+                    q.put(dev)
+                    if stop.is_set():
+                        return
+                epoch += 1
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+            # Drain so the producer can observe the stop flag.
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

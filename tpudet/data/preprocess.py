@@ -1,0 +1,123 @@
+"""Image preprocessing (SURVEY.md C2–C4).
+
+Host half (NumPy/PIL, runs in loader threads): decode → aspect-preserving
+resize so min side = ``min_size`` without the max side exceeding ``max_size``
+(Fast R-CNN §2.2 canonical 600/1000) → pad onto the static canvas (top-left) →
+scale boxes by the same factor. Output stays uint8 to keep the host→device
+transfer 4x smaller than float32.
+
+Device half (jnp, fused into the jitted train/eval step): uint8→float32,
+per-channel mean/std normalize (C3), and — training only — per-image random
+horizontal flip of the *valid region* with matching box flip (the only
+augmentation in Faster R-CNN, §3.1.3)."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpudet.config import Config, DataConfig
+from tpudet.ops.boxes import flip_boxes_horizontal
+
+
+def resize_scale(h: int, w: int, min_size: int, max_size: int) -> float:
+    """Aspect-preserving scale: min side -> min_size, capped by max_size."""
+    scale = min_size / min(h, w)
+    if scale * max(h, w) > max_size:
+        scale = max_size / max(h, w)
+    return scale
+
+
+def prepare_example(
+    cfg: DataConfig,
+    image: np.ndarray,
+    boxes: np.ndarray,
+    classes: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Host-side C2+C4 for one example -> fixed-shape arrays.
+
+    image: [h, w, 3] uint8; boxes [n, 4] float (x1,y1,x2,y2); classes [n] 1..C.
+    """
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    ch, cw = cfg.canvas_height, cfg.canvas_width
+    scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
+    nh, nw = min(ch, round(h * scale)), min(cw, round(w * scale))
+    if (nh, nw) != (h, w):
+        image = np.asarray(
+            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
+        )
+    canvas = np.zeros((ch, cw, 3), np.uint8)
+    canvas[:nh, :nw] = image
+
+    g = cfg.max_gt_boxes
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_classes = np.zeros((g,), np.int32)
+    gt_valid = np.zeros((g,), bool)
+    n = min(len(boxes), g)
+    if n:
+        # Exact per-axis scales (nh/h, nw/w) — rounding can differ per axis.
+        scaled = np.stack(
+            [
+                boxes[:n, 0] * (nw / w),
+                boxes[:n, 1] * (nh / h),
+                boxes[:n, 2] * (nw / w),
+                boxes[:n, 3] * (nh / h),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        gt_boxes[:n] = scaled
+        gt_classes[:n] = classes[:n]
+        gt_valid[:n] = True
+
+    return {
+        "image": canvas,
+        "image_hw": np.asarray([nh, nw], np.float32),
+        "image_scale": np.asarray([nh / h, nw / w], np.float32),
+        "orig_hw": np.asarray([h, w], np.float32),
+        "gt_boxes": gt_boxes,
+        "gt_classes": gt_classes,
+        "gt_valid": gt_valid,
+    }
+
+
+def _flip_single(image, boxes, image_hw):
+    """Horizontally mirror the valid region [0:h, 0:w] of a padded canvas."""
+    w_img = image_hw[1]
+    cols = jnp.arange(image.shape[1])
+    src = jnp.where(cols < w_img, w_img - 1 - cols, cols).astype(jnp.int32)
+    flipped = image[:, src, :]
+    return flipped, flip_boxes_horizontal(boxes, w_img)
+
+
+def device_preprocess(
+    cfg: Config,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array | None = None,
+    training: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Device-side C3: normalize (+ random flip in training). jit-safe."""
+    d = cfg.data
+    image = batch["image"].astype(jnp.float32)
+    mean = jnp.asarray(d.pixel_mean, jnp.float32)
+    std = jnp.asarray(d.pixel_std, jnp.float32)
+
+    gt_boxes = batch.get("gt_boxes")
+    if training and d.random_flip and rng is not None and gt_boxes is not None:
+        b = image.shape[0]
+        do_flip = jax.random.bernoulli(rng, 0.5, (b,))
+        f_img, f_boxes = jax.vmap(_flip_single)(
+            image, gt_boxes, batch["image_hw"]
+        )
+        image = jnp.where(do_flip[:, None, None, None], f_img, image)
+        gt_boxes = jnp.where(do_flip[:, None, None], f_boxes, gt_boxes)
+
+    out = dict(batch)
+    out["image"] = (image - mean) / std
+    if gt_boxes is not None:
+        out["gt_boxes"] = gt_boxes
+    return out

@@ -1,0 +1,72 @@
+"""Synthetic detection dataset (no datasets ship in this environment —
+SURVEY.md §7 environment facts): colored rectangles on textured noise, class
+= color bin. Deterministic per (seed, index) so train/eval are reproducible
+and a model can genuinely learn the mapping (used by e2e tests and the
+loss-decreases benchmark config)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+# Distinct base colors; class c uses _COLORS[(c - 1) % len].
+_COLORS = np.asarray(
+    [
+        [220, 40, 40],
+        [40, 200, 60],
+        [50, 80, 230],
+        [230, 210, 50],
+        [200, 60, 200],
+        [60, 210, 210],
+        [240, 140, 40],
+        [140, 90, 50],
+    ],
+    np.uint8,
+)
+
+
+class SyntheticDataset:
+    def __init__(
+        self,
+        num_classes: int = 3,
+        num_examples: int = 512,
+        image_size: int = 256,
+        max_objects: int = 4,
+        seed: int = 0,
+    ):
+        self.num_classes = num_classes
+        self.num_examples = num_examples
+        self.image_size = image_size
+        self.max_objects = max_objects
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_examples
+
+    def get_example(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed << 20) + index)
+        s = self.image_size
+        image = rng.integers(90, 130, (s, s, 3)).astype(np.uint8)
+
+        n = int(rng.integers(1, self.max_objects + 1))
+        boxes, classes = [], []
+        for _ in range(n):
+            w = int(rng.integers(s // 8, s // 2))
+            h = int(rng.integers(s // 8, s // 2))
+            x1 = int(rng.integers(0, s - w))
+            y1 = int(rng.integers(0, s - h))
+            c = int(rng.integers(1, self.num_classes + 1))
+            color = _COLORS[(c - 1) % len(_COLORS)]
+            jitter = rng.integers(-15, 16, 3)
+            image[y1 : y1 + h, x1 : x1 + w] = np.clip(
+                color.astype(int) + jitter, 0, 255
+            ).astype(np.uint8)
+            boxes.append([x1, y1, x1 + w, y1 + h])
+            classes.append(c)
+
+        return {
+            "image": image,
+            "boxes": np.asarray(boxes, np.float32),
+            "classes": np.asarray(classes, np.int32),
+        }

@@ -1,0 +1,48 @@
+"""Pallas TPU kernels for the proposal/RoI hot path (SURVEY.md C10/C12/C16:
+"anchor generation, box decoding, top-k proposal selection, NMS, and RoI Align
+become hand-written Pallas kernels").
+
+Each kernel has a pure-jnp XLA fallback in ``tpudet.ops`` (its correctness
+oracle); dispatchers pick the Pallas path on TPU backends when
+``use_pallas`` is set and fall back otherwise (CPU tests, interpret mode)."""
+
+from __future__ import annotations
+
+import jax
+
+from tpudet.ops.nms import nms as _nms_jnp
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def nms_dispatch(boxes, scores, iou_threshold, max_outputs, valid_mask=None,
+                 score_threshold=None, use_pallas=True):
+    """NMS: Pallas kernel on TPU, jnp reference elsewhere."""
+    if use_pallas and _on_tpu():
+        try:
+            from tpudet.kernels.nms import nms_pallas
+
+            return nms_pallas(
+                boxes, scores, iou_threshold, max_outputs,
+                valid_mask=valid_mask, score_threshold=score_threshold,
+            )
+        except ImportError:
+            pass
+    return _nms_jnp(
+        boxes, scores, iou_threshold, max_outputs,
+        valid_mask=valid_mask, score_threshold=score_threshold,
+    )
+
+
+def batched_nms_dispatch(boxes, scores, class_ids, iou_threshold, max_outputs,
+                         valid_mask=None, score_threshold=None,
+                         use_pallas=True, coordinate_offset=1e5):
+    """Per-class NMS via the class-offset trick, on the dispatched kernel."""
+    offsets = class_ids.astype(boxes.dtype)[:, None] * coordinate_offset
+    return nms_dispatch(
+        boxes + offsets, scores, iou_threshold, max_outputs,
+        valid_mask=valid_mask, score_threshold=score_threshold,
+        use_pallas=use_pallas,
+    )

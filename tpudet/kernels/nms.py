@@ -1,0 +1,185 @@
+"""Pallas TPU NMS kernel (SURVEY.md C10/C16; the tracked BASELINE metric
+"NMS kernel µs/img").
+
+Exact greedy NMS has a sequential dependency (a box is kept iff no *kept*
+higher-scored box overlaps it), which fights the TPU's wide-vector model. The
+kernel resolves it with the block formulation sketched in SURVEY.md §7:
+
+  * Boxes are score-sorted (host-side ``lax.top_k``) and processed in tiles
+    of 128 (the VPU lane width).
+  * For tile i, suppression by all earlier tiles j<i is a fully vectorized
+    [128, 128] IoU-block reduction against the finalized keep masks —
+    this is the O(N²) part and it runs at VPU width.
+  * Within-tile resolution is a 128-step scan over [1, 128] lane vectors —
+    the only intrinsically sequential part, now O(128) per tile instead of
+    O(N) total.
+
+Layout trick: boxes are passed in BOTH [N, 4] and [4, N] layouts so IoU
+blocks broadcast as sublane-vector × lane-vector without any in-kernel
+transposes; the keep mask is likewise kept in both orientations ([tiles, 128]
+output + [128, tiles] scratch, one tiny relayout per tile).
+
+Selection semantics match ``tpudet.ops.nms.nms`` exactly (ties → lower index;
+NaN scores dropped); tests assert bit-equality against that oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+NEG_INF = -1e10
+
+
+def _tile_coords_rows(boxes_nx4_ref, t0):
+    """Coords of one tile as [128, 1] sublane vectors (row side)."""
+    b = boxes_nx4_ref[pl.ds(t0, TILE), :]  # [128, 4]
+    return b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4]
+
+
+def _tile_coords_cols(boxes_4xn_ref, t0):
+    """Coords of one tile as [1, 128] lane vectors (column side)."""
+    x1 = boxes_4xn_ref[0:1, pl.ds(t0, TILE)]
+    y1 = boxes_4xn_ref[1:2, pl.ds(t0, TILE)]
+    x2 = boxes_4xn_ref[2:3, pl.ds(t0, TILE)]
+    y2 = boxes_4xn_ref[3:4, pl.ds(t0, TILE)]
+    return x1, y1, x2, y2
+
+
+def _iou_block(rows, cols):
+    """[128, 128] IoU block from row-side and col-side coord vectors."""
+    rx1, ry1, rx2, ry2 = rows
+    cx1, cy1, cx2, cy2 = cols
+    iw = jnp.maximum(jnp.minimum(rx2, cx2) - jnp.maximum(rx1, cx1), 0.0)
+    ih = jnp.maximum(jnp.minimum(ry2, cy2) - jnp.maximum(ry1, cy1), 0.0)
+    inter = iw * ih
+    ra = jnp.maximum(rx2 - rx1, 0.0) * jnp.maximum(ry2 - ry1, 0.0)
+    ca = jnp.maximum(cx2 - cx1, 0.0) * jnp.maximum(cy2 - cy1, 0.0)
+    union = ra + ca - inter
+    return jnp.where(union > 0.0, inter / union, 0.0)
+
+
+def _nms_kernel(iou_threshold, boxes_nx4_ref, boxes_4xn_ref, cand_ref, keep_ref, keep_t_ref, hit_ref):
+    n_tiles = cand_ref.shape[0]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+
+    def tile_body(i, _):
+        i0 = pl.multiple_of(i * TILE, TILE)
+        cols_i = _tile_coords_cols(boxes_4xn_ref, i0)
+
+        # --- cross-tile suppression: earlier tiles j < i (vectorized) ---
+        def cross_body(j, supp):
+            j0 = pl.multiple_of(j * TILE, TILE)
+            rows_j = _tile_coords_rows(boxes_nx4_ref, j0)
+            blk = _iou_block(rows_j, cols_i) > iou_threshold
+            keep_j = keep_t_ref[pl.ds(j0, TILE), 0:1]  # [128, 1]
+            hit = jnp.where(blk, keep_j, 0.0)  # [128,128]
+            return jnp.maximum(supp, jnp.max(hit, axis=0, keepdims=True))
+
+        supp = jax.lax.fori_loop(
+            0, i, cross_body, jnp.zeros((1, TILE), jnp.float32)
+        )
+        alive0 = cand_ref[pl.ds(i, 1), :] * (1.0 - supp)  # [1, 128]
+
+        # --- within-tile sequential resolution (the only serial part) ---
+        rows_i = _tile_coords_rows(boxes_nx4_ref, i0)
+        # hitT[c, j] = (IoU(box c, box j) > thr) for j < c within the tile.
+        # Staged through VMEM scratch so the scan can dynamic-slice rows
+        # (Mosaic only supports dynamic slicing on refs, not values).
+        hit_ref[:, :] = jnp.where(
+            (_iou_block(rows_i, cols_i) > iou_threshold) & (col_iota < sub_iota),
+            1.0,
+            0.0,
+        )
+
+        def scan_body(c, keep_row):  # keep_row [1, 128]
+            # [1, 128] row c of hitT: earlier in-tile boxes that overlap c.
+            row_c = hit_ref[pl.ds(c, 1), :]
+            suppressed_c = jnp.max(keep_row * row_c)  # scalar
+            return jnp.where(
+                lane_iota == c, alive0 * (1.0 - suppressed_c), keep_row
+            )
+
+        keep_row = jax.lax.fori_loop(
+            0, TILE, scan_body, jnp.zeros((1, TILE), jnp.float32)
+        )
+
+        keep_ref[pl.ds(i, 1), :] = keep_row
+        keep_t_ref[pl.ds(i0, TILE), 0:1] = keep_row.reshape(TILE, 1)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+def _nms_keep_mask(boxes_sorted, cand, iou_threshold: float, interpret: bool = False) -> jnp.ndarray:
+    """Sorted [P, 4] boxes + [P] candidate mask -> [P] keep mask (P % 128 == 0)."""
+    p = boxes_sorted.shape[0]
+    n_tiles = p // TILE
+    kernel = functools.partial(_nms_kernel, iou_threshold)
+
+    keep = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes [P, 4]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # boxes [4, P]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cand [tiles, 128]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((p, 1), jnp.float32),       # keep, sublane-major
+            pltpu.VMEM((TILE, TILE), jnp.float32),  # in-tile hitT
+        ],
+        interpret=interpret,
+    )(
+        boxes_sorted,
+        boxes_sorted.T,
+        cand.astype(jnp.float32).reshape(n_tiles, TILE),
+    )
+    return keep.reshape(p) > 0.5
+
+
+def nms_pallas(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    valid_mask: Optional[jnp.ndarray] = None,
+    score_threshold: Optional[float] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for ``tpudet.ops.nms.nms`` (same contract)."""
+    n = boxes.shape[0]
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    if score_threshold is not None:
+        scores = jnp.where(scores > score_threshold, scores, NEG_INF)
+
+    sorted_scores, order = jax.lax.top_k(scores, n)
+    candidate = sorted_scores > NEG_INF / 2
+
+    pad = (-n) % TILE
+    boxes_sorted = boxes[order]
+    if pad:
+        boxes_sorted = jnp.concatenate(
+            [boxes_sorted, jnp.zeros((pad, 4), boxes.dtype)], axis=0
+        )
+        candidate = jnp.concatenate(
+            [candidate, jnp.zeros((pad,), bool)], axis=0
+        )
+
+    keep = _nms_keep_mask(boxes_sorted, candidate, iou_threshold, interpret)[:n]
+
+    priority = jnp.where(keep, (n - jnp.arange(n)).astype(jnp.int32), 0)
+    top_priority, positions = jax.lax.top_k(priority, max_outputs)
+    valid = top_priority > 0
+    indices = jnp.where(valid, order[positions], 0)
+    return indices.astype(jnp.int32), valid

@@ -37,8 +37,7 @@ from tpudet.models.rpn_head import RPNHead
 from tpudet.models.det_head import FastRCNNHead
 from tpudet.ops import boxes as box_ops
 from tpudet.ops import anchors as anchor_ops
-from tpudet.ops.nms import nms as nms_op
-from tpudet.ops.nms import batched_nms
+from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
 from tpudet.ops.roi_align import roi_align, crop_and_resize
@@ -170,8 +169,9 @@ class FasterRCNN:
         boxes = box_ops.clip_boxes(boxes, image_hw)
         wh = boxes[:, 2:] - boxes[:, :2]
         size_ok = (wh[:, 0] > cfg.min_box_size) & (wh[:, 1] > cfg.min_box_size)
-        keep_idx, valid = nms_op(
-            boxes, top_scores, cfg.nms_thresh, k_post, valid_mask=size_ok
+        keep_idx, valid = nms_dispatch(
+            boxes, top_scores, cfg.nms_thresh, k_post, valid_mask=size_ok,
+            use_pallas=self.cfg.use_pallas,
         )
         return boxes[keep_idx], top_scores[keep_idx], valid
 
@@ -189,6 +189,22 @@ class FasterRCNN:
 
     # ------------------------------------------------------------- pooling
     def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
+        """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
+        bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
+        materialize [R, S*r, S*r, C] corner tensors for all R at once)."""
+        chunk = self.cfg.roi.pooler_chunk
+        r = rois.shape[0]
+        if chunk <= 0 or r <= chunk:
+            return self._pool_single_impl(feats, rois)
+        pad = (-r) % chunk
+        padded = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)], 0)
+        out = jax.lax.map(
+            lambda rc: self._pool_single_impl(feats, rc),
+            padded.reshape(-1, chunk, 4),
+        )
+        return out.reshape((-1,) + out.shape[2:])[:r]
+
+    def _pool_single_impl(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
         """Per-image C12: extract fixed-size RoI features.
 
         Single-scale: one roi_align on c4. FPN: FPN-paper level assignment
@@ -303,6 +319,18 @@ class FasterRCNN:
         )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
         rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
 
+        if cfg.rpn_only:
+            # Standalone RPN training (reference 3e): detection branch off.
+            total = rpn_cls + rpn_box
+            return total, {
+                "loss": total,
+                "rpn_cls_loss": rpn_cls,
+                "rpn_box_loss": rpn_box,
+                "num_pos_anchors": jnp.mean(
+                    jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)
+                ),
+            }
+
         # --- Proposals -> RoI targets -> head losses ---
         prop_boxes, _, prop_valid = self.proposals(
             rpn_logits, rpn_deltas, batch["image_hw"], training=True
@@ -379,9 +407,10 @@ class FasterRCNN:
         cand_classes = flat_classes[cand_idx]
         cand_valid = cand_scores > 0
 
-        keep, valid = batched_nms(
+        keep, valid = batched_nms_dispatch(
             cand_boxes, cand_scores, cand_classes,
             cfg.nms_thresh, cfg.max_detections, valid_mask=cand_valid,
+            use_pallas=self.cfg.use_pallas,
         )
         return (
             cand_boxes[keep],
@@ -401,9 +430,19 @@ class FasterRCNN:
         rpn_logits, rpn_deltas = self.core.apply(
             variables, feats, method=DetectorCore.rpn
         )
-        prop_boxes, _, prop_valid = self.proposals(
+        prop_boxes, prop_scores, prop_valid = self.proposals(
             rpn_logits, rpn_deltas, batch["image_hw"], training=False
         )
+        if self.cfg.rpn_only:
+            # RPN as a class-agnostic detector (reference 3e).
+            d = min(self.cfg.roi.max_detections, prop_boxes.shape[1])
+            return {
+                "boxes": prop_boxes[:, :d],
+                "scores": jnp.where(prop_valid[:, :d], prop_scores[:, :d], 0.0),
+                "classes": jnp.where(prop_valid[:, :d], 1, 0),
+                "valid": prop_valid[:, :d],
+                "num_detections": jnp.sum(prop_valid[:, :d], axis=1).astype(jnp.int32),
+            }
         b, r = prop_boxes.shape[:2]
         pooled = jax.vmap(self._pool_single)(feats, prop_boxes)
         pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])

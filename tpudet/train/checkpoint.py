@@ -1,0 +1,47 @@
+"""Checkpointing via orbax (SURVEY.md C19 — the reference's
+``tf.train.CheckpointManager`` semantics: save every N steps, keep last k,
+restore-on-start; async so the save overlaps the next steps)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from tpudet.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, state: TrainState, force: bool = False) -> bool:
+        step = int(jax.device_get(state.step))
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``state`` (shapes/shardings)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return state
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(state))
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
