@@ -61,6 +61,10 @@ class BackboneConfig:
     # per-device batch stats diverge across a data-parallel mesh without
     # cross-replica sync; GN is the TPU-native answer.
     norm: str = "frozen_bn"
+    # 1x1 conv reducing the single-scale c4 feature (1024ch) before the RoI
+    # path. Cuts RoI-align gather traffic and the first head FC by 4x on TPU
+    # (the RoI path is HBM-bound); 0 disables. FPN necks to 256 already.
+    neck_channels: int = 256
     # Compute dtype for conv/matmul tiers. bf16 keeps the MXU fed at double
     # rate on TPU; params stay f32.
     dtype: str = "float32"  # "float32" | "bfloat16"

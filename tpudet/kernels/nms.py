@@ -65,13 +65,21 @@ def _iou_block(rows, cols):
     return jnp.where(union > 0.0, inter / union, 0.0)
 
 
-def _nms_kernel(iou_threshold, boxes_nx4_ref, boxes_4xn_ref, cand_ref, keep_ref, keep_t_ref, hit_ref):
+def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
+                cand_ref, keep_ref, keep_t_ref, hit_ref):
     n_tiles = cand_ref.shape[0]
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
-    def tile_body(i, _):
+    # Zero-init outputs: tiles after the early exit stay empty.
+    def zero_body(i, _):
+        keep_ref[pl.ds(i, 1), :] = jnp.zeros((1, TILE), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, zero_body, 0)
+
+    def tile_body(i):
         i0 = pl.multiple_of(i * TILE, TILE)
         cols_i = _tile_coords_cols(boxes_4xn_ref, i0)
 
@@ -114,16 +122,32 @@ def _nms_kernel(iou_threshold, boxes_nx4_ref, boxes_4xn_ref, cand_ref, keep_ref,
 
         keep_ref[pl.ds(i, 1), :] = keep_row
         keep_t_ref[pl.ds(i0, TILE), 0:1] = keep_row.reshape(TILE, 1)
-        return 0
+        return jnp.sum(keep_row)
 
-    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+    # Early exit (exact): callers take only the first ``max_outputs`` kept
+    # boxes, and later boxes can never un-suppress anything — once the count
+    # is reached the remaining tiles are irrelevant.
+    def cond(state):
+        i, count = state
+        return (i < n_tiles) & (count < max_outputs)
+
+    def body(state):
+        i, count = state
+        return i + 1, count + tile_body(i)
+
+    jax.lax.while_loop(cond, body, (0, jnp.float32(0.0)))
 
 
-def _nms_keep_mask(boxes_sorted, cand, iou_threshold: float, interpret: bool = False) -> jnp.ndarray:
-    """Sorted [P, 4] boxes + [P] candidate mask -> [P] keep mask (P % 128 == 0)."""
+def _nms_keep_mask(boxes_sorted, cand, iou_threshold: float,
+                   max_outputs: int, interpret: bool = False) -> jnp.ndarray:
+    """Sorted [P, 4] boxes + [P] candidate mask -> [P] keep mask (P % 128 == 0).
+
+    The mask is exact for the first ``max_outputs`` kept boxes (tiles beyond
+    the early-exit point report no keeps — by construction the caller never
+    selects from them)."""
     p = boxes_sorted.shape[0]
     n_tiles = p // TILE
-    kernel = functools.partial(_nms_kernel, iou_threshold)
+    kernel = functools.partial(_nms_kernel, iou_threshold, max_outputs)
 
     keep = pl.pallas_call(
         kernel,
@@ -176,10 +200,10 @@ def nms_pallas(
             [candidate, jnp.zeros((pad,), bool)], axis=0
         )
 
-    keep = _nms_keep_mask(boxes_sorted, candidate, iou_threshold, interpret)[:n]
+    keep = _nms_keep_mask(
+        boxes_sorted, candidate, iou_threshold, max_outputs, interpret
+    )[:n]
 
-    priority = jnp.where(keep, (n - jnp.arange(n)).astype(jnp.int32), 0)
-    top_priority, positions = jax.lax.top_k(priority, max_outputs)
-    valid = top_priority > 0
-    indices = jnp.where(valid, order[positions], 0)
-    return indices.astype(jnp.int32), valid
+    from tpudet.ops.nms import _select_kept
+
+    return _select_kept(keep, order, max_outputs)

@@ -40,7 +40,7 @@ from tpudet.ops import anchors as anchor_ops
 from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
-from tpudet.ops.roi_align import roi_align, crop_and_resize
+from tpudet.ops.roi_align import roi_align_mxu, crop_and_resize
 from tpudet.train import losses as L
 
 # Cap on flattened (box, class) candidates entering the final per-class NMS;
@@ -62,6 +62,12 @@ class DetectorCore(nn.Module):
             num_anchors = self.cfg.anchors.num_fpn_anchors_per_cell
         else:
             num_anchors = self.cfg.anchors.num_anchors_per_cell
+            if bb.neck_channels > 0:
+                self.neck = nn.Sequential([
+                    nn.Conv(bb.neck_channels, (1, 1), dtype=dtype,
+                            name="neck_conv"),
+                    nn.relu,
+                ])
         self.rpn_head = RPNHead(
             num_anchors=num_anchors,
             conv_channels=self.cfg.rpn.conv_channels,
@@ -78,7 +84,10 @@ class DetectorCore(nn.Module):
         feats = self.backbone(images)
         if self.cfg.backbone.use_fpn:
             return self.fpn(feats)
-        return {"c4": feats["c4"]}
+        c4 = feats["c4"]
+        if self.cfg.backbone.neck_channels > 0:
+            c4 = self.neck(c4)
+        return {"c4": c4}
 
     def rpn(self, feats: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Shared RPN head over levels; outputs concatenated in level order
@@ -218,7 +227,7 @@ class FasterRCNN:
             fboxes = rois / stride
             if roi.pooler == "crop_and_resize":
                 return crop_and_resize(feats["c4"], fboxes, roi.output_size)
-            return roi_align(
+            return roi_align_mxu(
                 feats["c4"], fboxes, roi.output_size, roi.sampling_ratio
             )
 
@@ -232,7 +241,7 @@ class FasterRCNN:
             if roi.pooler == "crop_and_resize":
                 p = crop_and_resize(feat, fboxes, roi.output_size)
             else:
-                p = roi_align(feat, fboxes, roi.output_size, roi.sampling_ratio)
+                p = roi_align_mxu(feat, fboxes, roi.output_size, roi.sampling_ratio)
             pooled = pooled + p * (k == level)[:, None, None, None]
         return pooled
 

@@ -1,0 +1,137 @@
+"""Pretrained-weight import: Keras-applications ResNet → tpudet backbone
+(SURVEY.md C5 "port pretrained weights"; §7 hard-parts note: no network in the
+build environment, so conversion runs wherever a Keras checkpoint exists and
+the result ships as a .npz).
+
+Keras ``ResNet50/101`` layout (what the TF2 reference uses):
+  conv1_conv / conv1_bn                          → stem_conv / norm_stem
+  conv{s}_block{b}_0_{conv,bn}  (projection)     → stage{s}_block{b-1}/conv_proj, norm_proj
+  conv{s}_block{b}_{1,2,3}_{conv,bn}             → .../conv{1,2,3}, norm{1,2,3}
+
+Semantics notes:
+  * Keras ResNet convs carry biases; tpudet convs don't. The bias folds
+    exactly into the frozen-BN statistics: (x + bias - μ) ≡ (x - (μ - bias)).
+  * Keras puts the downsampling stride on the first 1x1 conv — matches
+    tpudet's default ``stride_in_1x1=True`` (Bottleneck docstring).
+  * BN weights order in Keras: [gamma, beta, moving_mean, moving_variance].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+STAGE_BLOCKS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
+
+def convert_keras_resnet(
+    keras_model: Any, name: str = "resnet50"
+) -> Tuple[Dict, Dict]:
+    """Keras model -> (backbone params, backbone 'constants') numpy trees."""
+    layers = {layer.name: layer for layer in keras_model.layers}
+
+    def conv_w(lname):
+        w = layers[lname].get_weights()
+        kernel = np.asarray(w[0], np.float32)
+        bias = np.asarray(w[1], np.float32) if len(w) > 1 else None
+        return kernel, bias
+
+    def bn_w(lname, conv_bias):
+        gamma, beta, mean, var = [np.asarray(a, np.float32)
+                                  for a in layers[lname].get_weights()]
+        if conv_bias is not None:
+            mean = mean - conv_bias  # fold the conv bias into the stats
+        return {"scale": gamma, "bias": beta, "mean": mean, "var": var}
+
+    params: Dict = {}
+    constants: Dict = {}
+
+    k, b = conv_w("conv1_conv")
+    params["stem_conv"] = {"kernel": k}
+    constants["norm_stem"] = bn_w("conv1_bn", b)
+
+    blocks = STAGE_BLOCKS[name]
+    for stage, n_blocks in enumerate(blocks):
+        ks = stage + 2  # keras conv2..conv5
+        for blk in range(n_blocks):
+            kb = blk + 1  # keras blocks are 1-based
+            our = f"stage{ks}_block{blk}"
+            p: Dict = {}
+            c: Dict = {}
+            if blk == 0:  # projection block
+                k, b = conv_w(f"conv{ks}_block{kb}_0_conv")
+                p["conv_proj"] = {"kernel": k}
+                c["norm_proj"] = bn_w(f"conv{ks}_block{kb}_0_bn", b)
+            for j in (1, 2, 3):
+                k, b = conv_w(f"conv{ks}_block{kb}_{j}_conv")
+                p[f"conv{j}"] = {"kernel": k}
+                c[f"norm{j}"] = bn_w(f"conv{ks}_block{kb}_{j}_bn", b)
+            params[our] = p
+            constants[our] = c
+    return params, constants
+
+
+def save_backbone_npz(path: str, params: Dict, constants: Dict) -> None:
+    flat = {}
+
+    def put(prefix, tree):
+        for key, value in tree.items():
+            if isinstance(value, dict):
+                put(f"{prefix}{key}/", value)
+            else:
+                flat[f"{prefix}{key}"] = value
+
+    put("params/", params)
+    put("constants/", constants)
+    np.savez(path, **flat)
+
+
+def load_backbone_npz(path: str) -> Tuple[Dict, Dict]:
+    blob = np.load(path)
+    params: Dict = {}
+    constants: Dict = {}
+    for key in blob.files:
+        parts = key.split("/")
+        root = params if parts[0] == "params" else constants
+        node = root
+        for part in parts[1:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = blob[key]
+    return params, constants
+
+
+def apply_backbone_weights(variables: Dict, params: Dict, constants: Dict) -> Dict:
+    """Merge converted backbone weights into a FasterRCNN variables tree,
+    validating shapes. Returns a new variables dict."""
+    import jax
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for key, value in src.items():
+            if key not in dst:
+                raise KeyError(f"no parameter {path + key!r} in model")
+            if isinstance(value, dict):
+                out[key] = merge(dst[key], value, path + key + "/")
+            else:
+                have = np.shape(dst[key])
+                want = np.shape(value)
+                if tuple(have) != tuple(want):
+                    raise ValueError(
+                        f"shape mismatch at {path + key}: model {have}, import {want}"
+                    )
+                out[key] = np.asarray(value, np.float32)
+        return out
+
+    new_vars = {k: dict(v) for k, v in variables.items()}
+    new_vars["params"] = dict(new_vars["params"])
+    new_vars["params"]["backbone"] = merge(
+        variables["params"]["backbone"], params, "params/backbone/"
+    )
+    if constants:
+        new_vars.setdefault("constants", {})
+        new_vars["constants"] = dict(new_vars.get("constants", {}))
+        new_vars["constants"]["backbone"] = merge(
+            variables["constants"]["backbone"], constants, "constants/backbone/"
+        )
+    return jax.tree_util.tree_map(lambda x: x, new_vars)

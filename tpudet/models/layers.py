@@ -51,11 +51,12 @@ class AdaptiveGroupNorm(nn.Module):
         return nn.GroupNorm(num_groups=groups, dtype=self.dtype)(x)
 
 
-def make_norm(kind: str, dtype: Any) -> Callable[[], nn.Module]:
+def make_norm(kind: str, dtype: Any) -> Callable[..., nn.Module]:
+    """Returns a factory ``f(name=None) -> norm module``."""
     if kind == "frozen_bn":
-        return lambda: FrozenBatchNorm(dtype=dtype)
+        return lambda name=None: FrozenBatchNorm(dtype=dtype, name=name)
     if kind == "gn":
-        return lambda: AdaptiveGroupNorm(dtype=dtype)
+        return lambda name=None: AdaptiveGroupNorm(dtype=dtype, name=name)
     if kind == "none":
-        return lambda: (lambda x: x)
+        return lambda name=None: (lambda x: x)
     raise ValueError(f"unknown norm: {kind!r} (use 'frozen_bn', 'gn', 'none')")

@@ -25,17 +25,25 @@ STAGE_BLOCKS = {
 
 
 class Bottleneck(nn.Module):
-    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut on shape change."""
+    """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut on shape change.
+
+    ``stride_in_1x1=True`` puts the downsampling stride on the first 1x1 conv
+    (the original/Keras/caffe ResNet-50 — what the TF2 reference uses via
+    ``keras.applications``; required for pretrained-weight import parity);
+    False puts it on the 3x3 ("v1.5"/torchvision convention).
+    """
 
     channels: int  # output channels (4x the bottleneck width)
     stride: int
     norm: str
     dtype: Any
+    stride_in_1x1: bool = True
 
     @nn.compact
     def __call__(self, x):
         norm = make_norm(self.norm, self.dtype)
         width = self.channels // 4
+        s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
 
         shortcut = x
         if x.shape[-1] != self.channels or self.stride != 1:
@@ -43,17 +51,18 @@ class Bottleneck(nn.Module):
                 self.channels, (1, 1), strides=self.stride, use_bias=False,
                 dtype=self.dtype, name="conv_proj",
             )(x)
-            shortcut = norm()(shortcut)
+            shortcut = norm(name="norm_proj")(shortcut)
 
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.relu(norm()(y))
+        y = nn.Conv(width, (1, 1), strides=s1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(norm(name="norm1")(y))
         y = nn.Conv(
-            width, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
+            width, (3, 3), strides=s3, padding=[(1, 1), (1, 1)],
             use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
-        y = nn.relu(norm()(y))
+        y = nn.relu(norm(name="norm2")(y))
         y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = norm()(y)
+        y = norm(name="norm3")(y)
         return nn.relu(y + shortcut)
 
 
@@ -76,7 +85,7 @@ class ResNet(nn.Module):
             64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=False,
             dtype=self.dtype, name="stem_conv",
         )(x)
-        x = nn.relu(norm()(x))
+        x = nn.relu(norm(name="norm_stem")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = {}

@@ -74,11 +74,25 @@ def nms(
 
     # First ``max_outputs`` kept boxes, in score order: give each kept sorted
     # position a strictly decreasing priority and top_k them.
+    return _select_kept(keep, order, max_outputs)
+
+
+def _select_kept(keep: jnp.ndarray, order: jnp.ndarray, max_outputs: int):
+    """Sorted keep mask + sort order -> (indices [max_outputs], valid).
+
+    Handles max_outputs > N by padding with invalid slots (the output shape
+    contract is always [max_outputs])."""
+    n = keep.shape[0]
+    k = min(max_outputs, n)
     priority = jnp.where(keep, (n - jnp.arange(n)).astype(jnp.int32), 0)
-    top_priority, positions = jax.lax.top_k(priority, max_outputs)
+    top_priority, positions = jax.lax.top_k(priority, k)
     valid = top_priority > 0
-    indices = jnp.where(valid, order[positions], 0)
-    return indices.astype(jnp.int32), valid
+    indices = jnp.where(valid, order[positions], 0).astype(jnp.int32)
+    if k < max_outputs:
+        pad = max_outputs - k
+        indices = jnp.concatenate([indices, jnp.zeros(pad, jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros(pad, bool)])
+    return indices, valid
 
 
 def batched_nms(
