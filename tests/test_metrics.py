@@ -94,3 +94,17 @@ def test_class_names_in_summary():
     assert "AP/cat" in s and "AP/dog" in s
     assert np.isnan(s["AP/dog"])  # no dog GT anywhere
     assert s["mAP"] == pytest.approx(1.0)  # nan classes excluded
+
+
+def test_coco_style_evaluator():
+    from tpudet.eval.metrics import CocoStyleEvaluator
+
+    ev = CocoStyleEvaluator(num_classes=1)
+    gt = np.asarray([box(0, 0, 20.0)], np.float32)
+    # IoU = (17*20)/(20*20) = 0.85: TP at thresholds 0.50..0.85 (8 of 10).
+    pred = np.asarray([[0.0, 0.0, 17.0, 20.0]], np.float32)
+    ev.add_image(pred, np.asarray([0.9]), np.asarray([1]), gt, np.asarray([1]))
+    s = ev.summarize()
+    assert s["mAP@0.5"] == pytest.approx(1.0)
+    assert s["mAP@0.75"] == pytest.approx(1.0)
+    assert s["mAP"] == pytest.approx(0.8)

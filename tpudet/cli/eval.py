@@ -15,7 +15,7 @@ import numpy as np
 from tpudet.cli.common import add_common_args, config_from_args
 from tpudet.data import DataLoader, build_dataset
 from tpudet.data.voc import VOC_CLASSES
-from tpudet.eval.metrics import DetectionEvaluator
+from tpudet.eval.metrics import CocoStyleEvaluator, DetectionEvaluator
 from tpudet.models import FasterRCNN
 from tpudet.train.checkpoint import CheckpointManager
 from tpudet.train.state import create_train_state
@@ -35,13 +35,17 @@ def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
 
 
 def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
-             class_names=None, verbose=True):
+             class_names=None, verbose=True, metric_style="voc"):
     """Run 3c: batched inference + host-side mAP accumulation."""
     eval_step = make_eval_step(model, cfg, fused_preprocess=True)
-    evaluator = DetectionEvaluator(
-        cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
-        interpolation=cfg.eval.ap_interpolation, class_names=class_names,
-    )
+    if metric_style == "coco":
+        evaluator = CocoStyleEvaluator(cfg.data.num_classes,
+                                       class_names=class_names)
+    else:
+        evaluator = DetectionEvaluator(
+            cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
+            interpolation=cfg.eval.ap_interpolation, class_names=class_names,
+        )
     loader = DataLoader(cfg, dataset, batch_size, shuffle=False,
                         drop_last=False)
     seen = 0
@@ -83,6 +87,8 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--max-images", type=int, default=-1)
+    p.add_argument("--metric", default="", choices=["", "voc", "coco"],
+                   help="default: coco for COCO datasets, voc otherwise")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -97,9 +103,10 @@ def main(argv=None):
     names = VOC_CLASSES if cfg.data.dataset == "voc" else getattr(
         dataset, "class_names", None
     )
+    metric = args.metric or ("coco" if cfg.data.dataset == "coco" else "voc")
     summary = evaluate(
         cfg, model, state.variables, dataset, batch_size=args.batch_size,
-        max_images=args.max_images, class_names=names,
+        max_images=args.max_images, class_names=names, metric_style=metric,
     )
     return summary
 

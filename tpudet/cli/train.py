@@ -13,6 +13,7 @@ import argparse
 import dataclasses
 
 import jax
+import numpy as np
 
 from tpudet.cli.common import add_common_args, config_from_args
 from tpudet.data import DataLoader, build_dataset
@@ -37,6 +38,9 @@ def parse_args(argv=None):
                    help="train only the RPN branch (reference 3e mode)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device step (no mesh sharding)")
+    p.add_argument("--log-images-every", type=int, default=0,
+                   help="log a GT-annotated training image to TensorBoard "
+                        "every N steps (0 = off)")
     return p.parse_args(argv)
 
 
@@ -98,6 +102,15 @@ def main(argv=None):
         state, metrics = step_fn(state, batch)
         if (step + 1) % cfg.train.log_every == 0 or step == start:
             logger.log(step + 1, jax.device_get(metrics))
+        if args.log_images_every and (step + 1) % args.log_images_every == 0:
+            from tpudet.eval.visualize import draw_detections
+
+            img = np.asarray(jax.device_get(batch["image"][0]))
+            gtb = np.asarray(jax.device_get(batch["gt_boxes"][0]))
+            gtv = np.asarray(jax.device_get(batch["gt_valid"][0]))
+            gtc = np.asarray(jax.device_get(batch["gt_classes"][0]))
+            drawn = draw_detections(img, gtb[gtv], gtc[gtv])
+            logger.log_image(step + 1, "train/ground_truth", drawn)
         if ckpt and (step + 1) % cfg.train.checkpoint_every == 0:
             ckpt.save(state)
     if ckpt:

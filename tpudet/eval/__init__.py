@@ -1,4 +1,8 @@
 """Evaluation + visualization (SURVEY.md C20, C22)."""
 
-from tpudet.eval.metrics import DetectionEvaluator, average_precision  # noqa: F401
+from tpudet.eval.metrics import (  # noqa: F401
+    CocoStyleEvaluator,
+    DetectionEvaluator,
+    average_precision,
+)
 from tpudet.eval.visualize import draw_detections  # noqa: F401

@@ -127,3 +127,40 @@ class DetectionEvaluator:
         result = {f"AP/{k}": v for k, v in aps.items()}
         result["mAP"] = float(np.mean(valid)) if valid else 0.0
         return result
+
+
+class CocoStyleEvaluator:
+    """COCO-style mAP@[.5:.95] (BASELINE configs 4–5 are COCO): averages
+    all-point AP over IoU thresholds 0.50:0.05:0.95. Implemented as a bank of
+    per-threshold VOC-protocol evaluators (host-side, exactness over speed —
+    same philosophy as the parity referee)."""
+
+    THRESHOLDS = [0.5 + 0.05 * i for i in range(10)]
+
+    def __init__(self, num_classes: int, class_names=None):
+        self._banks = [
+            DetectionEvaluator(
+                num_classes, iou_thresh=t, interpolation="all_points",
+                class_names=class_names,
+            )
+            for t in self.THRESHOLDS
+        ]
+
+    def add_image(self, *args, **kwargs):
+        for bank in self._banks:
+            bank.add_image(*args, **kwargs)
+
+    def summarize(self) -> Dict[str, float]:
+        maps = {}
+        for t, bank in zip(self.THRESHOLDS, self._banks):
+            maps[t] = bank.summarize()["mAP"]
+        out = {
+            "mAP": float(np.mean(list(maps.values()))),  # the COCO headline
+            "mAP@0.5": maps[0.5],
+            "mAP@0.75": maps[0.75],
+        }
+        # Per-class APs at 0.5 for debugging parity.
+        out.update(
+            {k: v for k, v in self._banks[0].summarize().items() if k != "mAP"}
+        )
+        return out
