@@ -158,3 +158,26 @@ def test_loss_no_gt_is_finite():
     loss, metrics = jax.jit(model.loss)(variables, batch, jax.random.key(1))
     assert np.isfinite(float(loss))
     assert float(metrics["num_fg_rois"]) == 0
+
+
+@pytest.mark.parametrize("pooler", ["roi_align_gather", "roi_align_pallas",
+                                    "crop_and_resize"])
+def test_pooler_backends_run(pooler):
+    """Every pooler backend produces valid predictions; roi_align* backends
+    agree with the MXU default."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    batch = make_batch(cfg, b=1)
+    base = FasterRCNN(cfg)
+    variables = base.init(jax.random.key(0))
+    ref = jax.jit(base.predict)(variables, batch)
+
+    cfg2 = cfg.replace(roi=dataclasses.replace(cfg.roi, pooler=pooler))
+    out = jax.jit(FasterRCNN(cfg2).predict)(variables, batch)
+    assert np.isfinite(np.asarray(out["boxes"])).all()
+    if pooler.startswith("roi_align"):
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"]), np.asarray(ref["boxes"]),
+            rtol=1e-3, atol=1e-2,
+        )

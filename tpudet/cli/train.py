@@ -74,10 +74,9 @@ def main(argv=None):
     rng = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg.train, rng)
     if mesh is not None:
-        state = jax.device_put(
-            state,
-            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
-        )
+        from tpudet.parallel.sharding_rules import shard_train_state
+
+        state = shard_train_state(mesh, state)
 
     ckpt = None
     if cfg.train.checkpoint_dir:
@@ -92,7 +91,8 @@ def main(argv=None):
         cfg, dataset, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
         sharding=batch_sharding(mesh) if mesh is not None else None,
     )
-    step_fn = make_train_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    step_fn = make_train_step(model, cfg, mesh=mesh, fused_preprocess=True,
+                              state_example=state if mesh is not None else None)
     logger = MetricsLogger(args.logdir or None)
 
     start = int(jax.device_get(state.step))

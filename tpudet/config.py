@@ -127,8 +127,13 @@ class ROIConfig:
     """RoI feature extraction + Fast R-CNN head + detection targets +
     inference post-processing (SURVEY.md C12–C14, C16)."""
 
-    # RoI feature extractor: "roi_align" (2x2-sample averaged bilinear) or
-    # "crop_and_resize" (TF convention — the float-tolerance parity oracle).
+    # RoI feature extractor backend:
+    #   "roi_align"         — MXU formulation (separable-weight einsums;
+    #                         fastest measured on v5e, the default)
+    #   "roi_align_pallas"  — Pallas gather kernel (VMEM-resident features)
+    #   "roi_align_gather"  — pure-jnp 4-corner gathers (oracle)
+    #   "crop_and_resize"   — TF convention (the float-tolerance parity oracle)
+    # All "roi_align*" backends compute identical values (tested).
     pooler: str = "roi_align"
     output_size: int = 7
     sampling_ratio: int = 2  # samples per bin side for roi_align

@@ -40,7 +40,7 @@ from tpudet.ops import anchors as anchor_ops
 from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
-from tpudet.ops.roi_align import roi_align_mxu, crop_and_resize
+from tpudet.ops.roi_align import crop_and_resize, roi_align, roi_align_mxu
 from tpudet.train import losses as L
 
 # Cap on flattened (box, class) candidates entering the final per-class NMS;
@@ -197,6 +197,25 @@ class FasterRCNN:
         return boxes, scores, valid
 
     # ------------------------------------------------------------- pooling
+    def _pool_one_level(self, feat, fboxes):
+        """One level's RoI features via the configured backend (C12)."""
+        roi = self.cfg.roi
+        if roi.pooler == "crop_and_resize":
+            return crop_and_resize(feat, fboxes, roi.output_size)
+        if roi.pooler == "roi_align_gather":
+            return roi_align(feat, fboxes, roi.output_size, roi.sampling_ratio)
+        if roi.pooler == "roi_align_pallas":
+            from tpudet.kernels.roi_align import roi_align_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            return roi_align_pallas(
+                feat, fboxes, roi.output_size, roi.sampling_ratio,
+                interpret=interpret,
+            )
+        return roi_align_mxu(
+            feat, fboxes, roi.output_size, roi.sampling_ratio
+        )
+
     def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
         """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
         bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
@@ -225,11 +244,7 @@ class FasterRCNN:
         if not self.cfg.backbone.use_fpn:
             stride = float(self.cfg.anchors.stride)
             fboxes = rois / stride
-            if roi.pooler == "crop_and_resize":
-                return crop_and_resize(feats["c4"], fboxes, roi.output_size)
-            return roi_align_mxu(
-                feats["c4"], fboxes, roi.output_size, roi.sampling_ratio
-            )
+            return self._pool_one_level(feats["c4"], fboxes)
 
         areas = box_ops.area(rois)
         k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-8))
@@ -238,10 +253,7 @@ class FasterRCNN:
         for level, stride in zip((2, 3, 4, 5), (4.0, 8.0, 16.0, 32.0)):
             feat = feats[f"p{level}"]
             fboxes = rois / stride
-            if roi.pooler == "crop_and_resize":
-                p = crop_and_resize(feat, fboxes, roi.output_size)
-            else:
-                p = roi_align_mxu(feat, fboxes, roi.output_size, roi.sampling_ratio)
+            p = self._pool_one_level(feat, fboxes)
             pooled = pooled + p * (k == level)[:, None, None, None]
         return pooled
 

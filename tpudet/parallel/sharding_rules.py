@@ -1,0 +1,67 @@
+"""Parameter sharding rules over the ('data', 'model') mesh.
+
+Data parallelism replicates all parameters. With a nontrivial 'model' axis
+the detection head's MLP — the only layer tier wide enough to matter in this
+workload — is sharded Megatron-style:
+
+    fc1 kernel [in, fc]   -> P(None, 'model')   (column-parallel)
+    fc1 bias   [fc]       -> P('model')
+    fc2 kernel [fc, fc]   -> P('model', None)   (row-parallel)
+
+XLA's SPMD partitioner then inserts the reduce-scatter/all-reduce on the fc2
+output; everything else stays replicated. Rules are name-based on the
+parameter path, so they apply identically to the optimizer state (whose trees
+embed the same path segments) — a true TP layout, not just an input sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for_path(path: str, leaf) -> P:
+    if "det_head" in path:
+        if path.endswith("fc1/kernel") and leaf.ndim == 2:
+            return P(None, "model")
+        if path.endswith("fc1/bias") and leaf.ndim == 1:
+            return P("model")
+        if path.endswith("fc2/kernel") and leaf.ndim == 2:
+            return P("model", None)
+    return P()
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def train_state_shardings(mesh: Mesh, state):
+    """Pytree of NamedShardings for a TrainState under the TP rules.
+
+    With mesh['model'] == 1 every spec degenerates to fully replicated.
+    """
+    if mesh.shape.get("model", 1) == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), state
+        )
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for_path(_path_str(path), leaf)
+        ),
+        state,
+    )
+
+
+def shard_train_state(mesh: Mesh, state):
+    """Place a TrainState on the mesh under the TP/DP layout."""
+    return jax.device_put(state, train_state_shardings(mesh, state))

@@ -20,7 +20,8 @@ from tpudet.train.state import TrainState, make_optimizer
 
 
 def make_train_step(
-    model, cfg: Config, mesh: Optional[Mesh] = None, fused_preprocess: bool = False
+    model, cfg: Config, mesh: Optional[Mesh] = None,
+    fused_preprocess: bool = False, state_example: Optional[TrainState] = None,
 ) -> Callable[[TrainState, dict], Tuple[TrainState, dict]]:
     """Returns jitted ``(state, batch) -> (state, metrics)``.
 
@@ -57,12 +58,18 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=0)
 
+    from tpudet.parallel.sharding_rules import train_state_shardings
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    if state_example is not None:
+        state_sharding = train_state_shardings(mesh, state_example)
+    else:
+        state_sharding = repl
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sharding, data),
+        out_shardings=(state_sharding, repl),
         donate_argnums=0,
     )
 
