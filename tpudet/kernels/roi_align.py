@@ -42,6 +42,19 @@ def _roi_align_kernel(
     c = feat_ref.shape[-1]
     i = pl.program_id(0)
 
+    # Mosaic only allows dynamic sublane offsets at 8/16-row alignment; fetch
+    # an aligned block and mask-select the target row (VMEM reads are cheap).
+    ALIGN = 16
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (ALIGN, 1), 0)
+
+    def fetch_row(idx):
+        base = pl.multiple_of((idx // ALIGN) * ALIGN, ALIGN)
+        block = feat_ref[pl.ds(base, ALIGN), :]  # [ALIGN, C]
+        sel = sel_iota == (idx - base)
+        return jnp.sum(
+            jnp.where(sel, block, 0).astype(jnp.float32), axis=0, keepdims=True
+        )
+
     x1 = rois_ref[i, 0] - 0.5
     y1 = rois_ref[i, 1] - 0.5
     bw = jnp.maximum(rois_ref[i, 2] - rois_ref[i, 0], 1e-6)
@@ -70,15 +83,13 @@ def _roi_align_kernel(
                     lx = xc - x0.astype(jnp.float32)
                     w_val = jnp.where(valid, inv, 0.0)
 
-                    f00 = feat_ref[pl.ds(y0 * width + x0, 1), :]
-                    f01 = feat_ref[pl.ds(y0 * width + x1i, 1), :]
-                    f10 = feat_ref[pl.ds(y1i * width + x0, 1), :]
-                    f11 = feat_ref[pl.ds(y1i * width + x1i, 1), :]
+                    f00 = fetch_row(y0 * width + x0)
+                    f01 = fetch_row(y0 * width + x1i)
+                    f10 = fetch_row(y1i * width + x0)
+                    f11 = fetch_row(y1i * width + x1i)
                     top = f00 * (1.0 - lx) + f01 * lx
                     bot = f10 * (1.0 - lx) + f11 * lx
-                    acc = acc + w_val * (top * (1.0 - ly) + bot * ly).astype(
-                        jnp.float32
-                    )
+                    acc = acc + w_val * (top * (1.0 - ly) + bot * ly)
             out_ref[0, bi * s + bj, :] = acc.astype(out_ref.dtype)[0]
 
 
@@ -108,10 +119,16 @@ def roi_align_pallas(
             memory_space=pltpu.VMEM,
         ),
     )
+    feat2d = features.reshape(h * w, c)
+    pad = (-feat2d.shape[0]) % 16  # aligned-block row fetches may over-read
+    if pad:
+        feat2d = jnp.concatenate(
+            [feat2d, jnp.zeros((pad, c), feat2d.dtype)], axis=0
+        )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, s * s, c), features.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rois.astype(jnp.float32), features.reshape(h * w, c))
+    )(rois.astype(jnp.float32), feat2d)
     return out.reshape(n, s, s, c)
