@@ -103,3 +103,38 @@ def test_config_overrides():
     for name in ("voc_r50", "coco_r50", "coco_r101_fpn"):
         c = preset_config(name)
         assert c.data.num_classes in (20, 80)
+
+
+def test_train_cli_eval_during_training(capsys):
+    from tpudet.cli import train as train_cli
+
+    train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "4",
+        "--no-mesh", "--eval-every", "4", "--eval-max-images", "4",
+    ])
+    out = capsys.readouterr().out
+    assert "[eval step 4] mAP=" in out
+
+
+def test_training_deterministic_same_seed():
+    """Same seed -> bit-identical first-step loss (reproducibility)."""
+    from tpudet.config import TrainConfig
+    from tpudet.models import FasterRCNN
+    from tpudet.config import tiny_test_config
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+    from tpudet.data.preprocess import device_preprocess
+    import jax
+
+    cfg = tiny_test_config()
+    losses = []
+    from tests.test_train import make_train_batch
+
+    for _ in range(2):
+        model = FasterRCNN(cfg)
+        state = create_train_state(model, cfg.train, jax.random.key(3))
+        step = make_train_step(model, cfg, fused_preprocess=True)
+        batch = make_train_batch(cfg)
+        _, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[0] == losses[1]

@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--log-images-every", type=int, default=0,
                    help="log a GT-annotated training image to TensorBoard "
                         "every N steps (0 = off)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run mAP eval on the val split every N steps (0 = off)")
+    p.add_argument("--eval-max-images", type=int, default=64)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax debug_nans (fails fast on NaN/Inf)")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,9 @@ def main(argv=None):
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
     if args.rpn_only:
         cfg = cfg.replace(rpn_only=True)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     devices = jax.devices()
     mesh = None
@@ -96,6 +104,7 @@ def main(argv=None):
     logger = MetricsLogger(args.logdir or None)
 
     start = int(jax.device_get(state.step))
+    eval_dataset = None
     stream = iter(loader)
     for step in range(start, cfg.train.total_steps):
         batch = next(stream)
@@ -113,6 +122,17 @@ def main(argv=None):
             logger.log_image(step + 1, "train/ground_truth", drawn)
         if ckpt and (step + 1) % cfg.train.checkpoint_every == 0:
             ckpt.save(state)
+        if args.eval_every and (step + 1) % args.eval_every == 0:
+            from tpudet.cli.eval import evaluate
+
+            if eval_dataset is None:
+                eval_dataset = build_dataset(cfg, split="val")
+            summary = evaluate(
+                cfg, model, jax.device_get(state.variables), eval_dataset,
+                batch_size=min(8, cfg.train.batch_size),
+                max_images=args.eval_max_images, verbose=False,
+            )
+            logger.log(step + 1, {"mAP": summary["mAP"]}, prefix="eval")
     if ckpt:
         ckpt.save(state, force=True)
         ckpt.wait()

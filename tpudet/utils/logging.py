@@ -33,16 +33,16 @@ class MetricsLogger:
                 except Exception:
                     self._tb = None
         self._t0 = time.time()
-        self._last_step = None
-        self._last_time = self._t0
+        self._last: Dict[str, tuple] = {}  # prefix -> (step, time)
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
         metrics = {k: float(v) for k, v in metrics.items()}
         now = time.time()
-        if self._last_step is not None and step > self._last_step:
-            dt = (now - self._last_time) / (step - self._last_step)
+        last = self._last.get(prefix)
+        if last is not None and step > last[0]:
+            dt = (now - last[1]) / (step - last[0])
             metrics["steps_per_sec"] = 1.0 / dt if dt > 0 else 0.0
-        self._last_step, self._last_time = step, now
+        self._last[prefix] = (step, now)
 
         parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
         print(f"[{prefix} step {step}] {parts}", flush=True)
