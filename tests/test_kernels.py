@@ -83,3 +83,24 @@ def test_nms_dispatch_fallback_on_cpu(rng):
         nms_dispatch(boxes, scores, 0.5, 20, use_pallas=True),
         nms_ref(boxes, scores, 0.5, 20),
     )
+
+
+def test_nms_pallas_zero_grad(rng):
+    """NMS is wrapped in a zero-gradient custom_vjp: grad through a loss
+    that consumes its outputs must flow only via downstream gathers, never
+    linearize the kernel (selection is piecewise-constant)."""
+    n = 150
+    boxes = jnp.asarray(random_boxes(rng, n, size=80.0))
+    scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+
+    def loss(b, s):
+        idx, valid = nms_pallas(b, s, 0.5, 30, interpret=True)
+        kept = b[idx] * valid[:, None]  # grads flow through this gather only
+        return jnp.sum(kept) + 0.0 * jnp.sum(s)
+
+    g_boxes, g_scores = jax.grad(loss, argnums=(0, 1))(boxes, scores)
+    idx, valid = nms_pallas(boxes, scores, 0.5, 30, interpret=True)
+    expected = np.zeros((n, 4), np.float32)
+    expected[np.asarray(idx)[np.asarray(valid)]] = 1.0
+    np.testing.assert_allclose(np.asarray(g_boxes), expected)
+    np.testing.assert_array_equal(np.asarray(g_scores), np.zeros(n))

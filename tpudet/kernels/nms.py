@@ -180,7 +180,19 @@ def nms_pallas(
     score_threshold: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ``tpudet.ops.nms.nms`` (same contract)."""
+    """Drop-in replacement for ``tpudet.ops.nms.nms`` (same contract).
+
+    Wrapped in a zero-gradient ``custom_vjp``: NMS selection is
+    piecewise-constant in its inputs (gradients are zero a.e.), and without
+    the wrapper JAX linearizes the kernel under ``value_and_grad``, doubling
+    its VMEM footprint with tangent buffers for nothing.
+    """
+    return _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold,
+                              max_outputs, score_threshold, interpret)
+
+
+def _nms_pallas_impl(boxes, scores, iou_threshold, max_outputs, valid_mask,
+                     score_threshold, interpret=False):
     n = boxes.shape[0]
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
@@ -207,3 +219,30 @@ def nms_pallas(
     from tpudet.ops.nms import _select_kept
 
     return _select_kept(keep, order, max_outputs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold, max_outputs,
+                       score_threshold, interpret):
+    return _nms_pallas_impl(boxes, scores, iou_threshold, max_outputs,
+                            valid_mask, score_threshold, interpret)
+
+
+def _nms_pallas_fwd(boxes, scores, valid_mask, iou_threshold, max_outputs,
+                    score_threshold, interpret):
+    out = _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold,
+                             max_outputs, score_threshold, interpret)
+    return out, (boxes, scores, valid_mask)
+
+
+def _nms_pallas_bwd(iou_threshold, max_outputs, score_threshold, interpret,
+                    res, _ct):
+    boxes, scores, valid_mask = res
+    return (
+        jnp.zeros_like(boxes),
+        jnp.zeros_like(scores),
+        None if valid_mask is None else jnp.zeros_like(valid_mask),
+    )
+
+
+_nms_pallas_nograd.defvjp(_nms_pallas_fwd, _nms_pallas_bwd)
