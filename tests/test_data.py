@@ -102,3 +102,80 @@ def test_build_dataset_synthetic():
     cfg = tiny_test_config()
     ds = build_dataset(cfg, split="train")
     assert len(ds) == 512
+
+
+class _MixedOrientationDataset:
+    """Tiny dataset with both orientations for bucketing tests."""
+
+    def __init__(self, n=10):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def example_hw(self, i):
+        return (40, 60) if i % 3 else (60, 40)  # landscape unless i % 3 == 0
+
+    def get_example(self, i):
+        h, w = self.example_hw(i)
+        return {
+            "image": np.full((h, w, 3), i, np.uint8),
+            "boxes": np.asarray([[2.0, 2.0, 10.0, 10.0]], np.float32),
+            "classes": np.asarray([1], np.int32),
+        }
+
+
+def test_canvas_for_hw_orientation_buckets():
+    from dataclasses import replace
+    from tpudet.data.preprocess import canvas_for_hw
+
+    d = tiny_test_config().data
+    assert canvas_for_hw(d, 375, 500) == (d.canvas_height, d.canvas_width)
+    d = replace(d, orientation_buckets=True, canvas_short=48,
+                canvas_height=64, canvas_width=64)
+    assert canvas_for_hw(d, 375, 500) == (48, 64)   # landscape
+    assert canvas_for_hw(d, 500, 375) == (64, 48)   # portrait
+    assert canvas_for_hw(d, 500, 500) == (48, 64)   # square -> landscape
+
+
+def test_loader_orientation_buckets():
+    from dataclasses import replace
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(data=replace(
+        cfg.data, orientation_buckets=True, canvas_short=48,
+        canvas_height=64, canvas_width=64, min_size=32, max_size=48,
+    ))
+    ds = _MixedOrientationDataset(10)  # 7 landscape (i%3!=0), 3 portrait
+    loader = DataLoader(cfg, ds, batch_size=2, shuffle=True, num_workers=2,
+                        drop_last=False)
+    seen = 0
+    shapes = set()
+    for batch in loader.batches(0):
+        img = batch["image"]
+        shapes.add(img.shape[1:3])
+        # homogeneous orientation within every batch
+        assert img.shape[1:3] in {(48, 64), (64, 48)}
+        seen += int(batch.get("batch_valid", np.ones(2, bool)).sum())
+    assert seen == 10
+    assert shapes == {(48, 64), (64, 48)}
+    assert len(loader) == sum(1 for _ in loader.batches(0))
+
+
+def test_loader_orientation_buckets_requires_hw():
+    from dataclasses import replace
+    import pytest as _pytest
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(data=replace(cfg.data, orientation_buckets=True))
+
+    class NoHW:
+        def __len__(self):
+            return 4
+
+        def get_example(self, i):
+            raise AssertionError("unused")
+
+    loader = DataLoader(cfg, NoHW(), batch_size=2)
+    with _pytest.raises(ValueError, match="example_hw"):
+        list(loader.batches(0))

@@ -181,3 +181,58 @@ def test_pooler_backends_run(pooler):
             np.asarray(out["boxes"]), np.asarray(ref["boxes"]),
             rtol=1e-3, atol=1e-2,
         )
+
+
+def test_s2d_stem_equivalent_to_standard_stem():
+    """The space-to-depth stem with transformed weights must reproduce the
+    standard 7x7/s2 stem exactly (models/resnet.py::stem_kernel_to_s2d)."""
+    from tpudet.models.resnet import convert_params_to_s2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    blocks = (1, 1, 1, 1)  # depth is irrelevant; the stem is what differs
+    std = ResNet(blocks=blocks, norm="gn", freeze_stem=False)
+    s2d = ResNet(blocks=blocks, norm="gn", freeze_stem=False, s2d_stem=True)
+    params = std.init(jax.random.PRNGKey(0), x)["params"]
+    out_std = std.apply({"params": params}, x)
+    out_s2d = s2d.apply({"params": convert_params_to_s2d(params)}, x)
+    for k in out_std:
+        np.testing.assert_allclose(
+            np.asarray(out_std[k]), np.asarray(out_s2d[k]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_orientation_bucketed_canvases_end_to_end():
+    """With orientation buckets the same params must run loss + predict on
+    both (short, long) and (long, short) canvases — anchors re-derive per
+    static shape (two traces, one param tree)."""
+    import dataclasses
+
+    cfg = tiny_test_config(canvas=128)
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, orientation_buckets=True, canvas_short=96,
+    ))
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    for ch, cw in [(96, 128), (128, 96)]:
+        batch = {
+            "image": jnp.asarray(
+                rng.integers(0, 255, (2, ch, cw, 3)).astype(np.float32)
+            ),
+            "image_hw": jnp.asarray([[ch, cw], [ch - 20, cw - 10]], jnp.float32),
+            "gt_boxes": jnp.tile(
+                jnp.asarray([[4.0, 4.0, 40.0, 40.0]]), (2, 10, 1)
+            ),
+            "gt_classes": jnp.ones((2, 10), jnp.int32),
+            "gt_valid": jnp.ones((2, 10), bool).at[:, 5:].set(False),
+        }
+        loss, metrics = model.loss(variables, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        out = model.predict(variables, batch)
+        assert out["boxes"].shape[0] == 2
+        b = np.asarray(out["boxes"])[np.asarray(out["valid"])]
+        if len(b):
+            assert b[:, 2].max() <= cw + 1e-3 and b[:, 3].max() <= ch + 1e-3

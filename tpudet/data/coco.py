@@ -50,6 +50,11 @@ class CocoDataset:
     def __len__(self) -> int:
         return len(self.examples)
 
+    def example_hw(self, index: int) -> tuple:
+        """Original (h, w) from the annotation index — no image decode."""
+        im, _ = self.examples[index]
+        return im["height"], im["width"]
+
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 

@@ -54,6 +54,8 @@ class DataLoader:
         self.prefetch = prefetch
 
     def __len__(self) -> int:
+        if getattr(self.cfg.data, "orientation_buckets", False):
+            return len(self._epoch_batch_indices(0))
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -62,6 +64,40 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         return order
+
+    def _epoch_batch_indices(self, epoch: int):
+        """Per-epoch list of (index_array [bs], num_real) batch plans.
+
+        With ``orientation_buckets`` every batch is orientation-homogeneous
+        (landscape xor portrait), so the whole batch pads onto one of the two
+        static canvases; tail remainders of each bucket pad by repeating the
+        bucket's last example (masked via "batch_valid")."""
+        bs = self.batch_size
+        order = self._epoch_order(epoch)
+        if not getattr(self.cfg.data, "orientation_buckets", False):
+            groups = [order]
+        else:
+            if not hasattr(self.dataset, "example_hw"):
+                raise ValueError(
+                    "orientation_buckets=True needs dataset.example_hw(i)"
+                )
+            hw = np.asarray([self.dataset.example_hw(int(i)) for i in order])
+            landscape = hw[:, 1] >= hw[:, 0]
+            groups = [order[landscape], order[~landscape]]
+
+        plans = []
+        for g in groups:
+            n_full = len(g) // bs
+            for b in range(n_full):
+                plans.append((g[b * bs : (b + 1) * bs], bs))
+            rem = len(g) - n_full * bs
+            if rem and not self.drop_last:
+                idx = np.concatenate([g[n_full * bs:],
+                                      np.full(bs - rem, g[-1])])
+                plans.append((idx, rem))
+        if self.shuffle and len(groups) > 1:
+            np.random.default_rng((self.seed + epoch) ^ 0x5EED).shuffle(plans)
+        return plans
 
     def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
         def one(i):
@@ -77,20 +113,14 @@ class DataLoader:
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Host batches for one epoch (no device transfer)."""
-        order = self._epoch_order(epoch)
         bs = self.batch_size
-        n_full = len(order) // bs
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for b in range(n_full):
-                yield self._make_batch(pool, order[b * bs : (b + 1) * bs])
-            rem = len(order) - n_full * bs
-            if rem and not self.drop_last:
-                # Pad the tail batch by repeating the last example; callers
-                # can mask via the returned "batch_valid".
-                idx = np.concatenate([order[n_full * bs :],
-                                      np.full(bs - rem, order[-1])])
+            for idx, num_real in self._epoch_batch_indices(epoch):
                 batch = self._make_batch(pool, idx)
-                batch["batch_valid"] = np.arange(bs) < rem
+                if num_real < bs:
+                    # Tail batch padded by repeating an example; callers
+                    # mask via "batch_valid".
+                    batch["batch_valid"] = np.arange(bs) < num_real
                 yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

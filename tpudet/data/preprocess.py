@@ -31,6 +31,19 @@ def resize_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     return scale
 
 
+def canvas_for_hw(cfg: DataConfig, h: int, w: int) -> Tuple[int, int]:
+    """Static canvas (ch, cw) for an image of original size (h, w).
+
+    With ``orientation_buckets`` landscape images get the wide canvas and
+    portrait ones the tall canvas (batches are grouped by the loader);
+    otherwise everything shares the one (canvas_height, canvas_width)."""
+    if not cfg.orientation_buckets:
+        return cfg.canvas_height, cfg.canvas_width
+    if w >= h:
+        return cfg.canvas_short, cfg.canvas_width
+    return cfg.canvas_height, cfg.canvas_short
+
+
 def prepare_example(
     cfg: DataConfig,
     image: np.ndarray,
@@ -44,7 +57,7 @@ def prepare_example(
     from PIL import Image
 
     h, w = image.shape[:2]
-    ch, cw = cfg.canvas_height, cfg.canvas_width
+    ch, cw = canvas_for_hw(cfg, h, w)
     scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
     nh, nw = min(ch, round(h * scale)), min(cw, round(w * scale))
     if (nh, nw) != (h, w):
@@ -117,7 +130,14 @@ def device_preprocess(
         gt_boxes = jnp.where(do_flip[:, None, None], f_boxes, gt_boxes)
 
     out = dict(batch)
-    out["image"] = (image - mean) / std
+    normalized = (image - mean) / std
+    # Emit the image directly in the backbone's compute dtype: the backbone
+    # casts on entry anyway, and writing/re-reading the [B, H, W, 3] canvas
+    # in f32 doubles the HBM traffic of the normalize for no precision gain
+    # (the normalize itself still runs in f32).
+    if cfg.backbone.dtype == "bfloat16":
+        normalized = normalized.astype(jnp.bfloat16)
+    out["image"] = normalized
     if gt_boxes is not None:
         out["gt_boxes"] = gt_boxes
     return out

@@ -44,6 +44,10 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.num_examples
 
+    def example_hw(self, index: int) -> tuple:
+        """Original (h, w) without materializing the image (loader bucketing)."""
+        return self.image_size, self.image_size
+
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed << 20) + index)
         s = self.image_size

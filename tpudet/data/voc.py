@@ -84,6 +84,14 @@ class VOCDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def example_hw(self, index: int) -> tuple:
+        """Original (h, w) from the XML <size> tag — no JPEG decode."""
+        tree = ET.parse(
+            os.path.join(self.root, "Annotations", f"{self.ids[index]}.xml")
+        )
+        size = tree.find("size")
+        return int(size.findtext("height")), int(size.findtext("width"))
+
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 

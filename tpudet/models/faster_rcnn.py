@@ -56,7 +56,9 @@ class DetectorCore(nn.Module):
     def setup(self):
         bb = self.cfg.backbone
         dtype = jnp.bfloat16 if bb.dtype == "bfloat16" else jnp.float32
-        self.backbone = build_backbone(bb.name, bb.norm, dtype, bb.freeze_stem)
+        self.backbone = build_backbone(
+            bb.name, bb.norm, dtype, bb.freeze_stem, s2d_stem=bb.s2d_stem
+        )
         if bb.use_fpn:
             self.fpn = FPN(dtype=dtype)
             num_anchors = self.cfg.anchors.num_fpn_anchors_per_cell
@@ -117,7 +119,7 @@ class FasterRCNN:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.core = DetectorCore(cfg)
-        self._anchors_cache: np.ndarray | None = None
+        self._anchors_cache: Dict[Tuple[int, int], np.ndarray] = {}
 
     # ------------------------------------------------------------- anchors
     @property
@@ -126,28 +128,32 @@ class FasterRCNN:
             return tuple(self.cfg.anchors.fpn_strides)
         return (self.cfg.anchors.stride,)
 
-    def anchor_boxes(self) -> jnp.ndarray:
-        """[N, 4] all anchors over the static canvas.
+    def anchor_boxes(self, canvas_hw: Tuple[int, int] | None = None) -> jnp.ndarray:
+        """[N, 4] all anchors over the (static) canvas ``canvas_hw``.
 
-        The cache holds a host NumPy array; the jnp conversion happens per
-        call so each jit trace stages its own constant (caching a traced
-        array would leak tracers across transformations).
+        Keyed per canvas shape: with orientation-bucketed canvases the model
+        traces once per (landscape, portrait) shape and each trace folds its
+        own anchor constant. The cache holds host NumPy arrays; the jnp
+        conversion happens per call so each jit trace stages its own constant
+        (caching a traced array would leak tracers across transformations).
         """
-        if self._anchors_cache is None:
+        if canvas_hw is None:
+            canvas_hw = (self.cfg.data.canvas_height, self.cfg.data.canvas_width)
+        h, w = int(canvas_hw[0]), int(canvas_hw[1])
+        if (h, w) not in self._anchors_cache:
             a = self.cfg.anchors
-            h, w = self.cfg.data.canvas_height, self.cfg.data.canvas_width
             if self.cfg.backbone.use_fpn:
                 shapes = [(h // s, w // s) for s in a.fpn_strides]
                 per_level = [
                     anchor_ops.generate_anchors_np(fh, fw, s, [sc], a.aspect_ratios)
                     for (fh, fw), s, sc in zip(shapes, a.fpn_strides, a.fpn_scales)
                 ]
-                self._anchors_cache = np.concatenate(per_level, axis=0)
+                self._anchors_cache[(h, w)] = np.concatenate(per_level, axis=0)
             else:
-                self._anchors_cache = anchor_ops.generate_anchors_np(
+                self._anchors_cache[(h, w)] = anchor_ops.generate_anchors_np(
                     h // a.stride, w // a.stride, a.stride, a.scales, a.aspect_ratios
                 )
-        return jnp.asarray(self._anchors_cache)
+        return jnp.asarray(self._anchors_cache[(h, w)])
 
     # ---------------------------------------------------------------- init
     def init(self, rng: jax.Array) -> Dict[str, Any]:
@@ -184,10 +190,10 @@ class FasterRCNN:
         )
         return boxes[keep_idx], top_scores[keep_idx], valid
 
-    def proposals(self, logits, deltas, image_hw, training):
+    def proposals(self, logits, deltas, image_hw, training, canvas_hw=None):
         """Batched proposal generation. Gradients are stopped — proposal
         coordinates are treated as data by the second stage (standard)."""
-        anchors = self.anchor_boxes()
+        anchors = self.anchor_boxes(canvas_hw)
         fn = functools.partial(
             self._generate_proposals_single, anchors, training=training
         )
@@ -219,10 +225,17 @@ class FasterRCNN:
     def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
         """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
         bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
-        materialize [R, S*r, S*r, C] corner tensors for all R at once)."""
+        materialize [R, S*r, S*r, C] corner tensors for all R at once).
+
+        Only the gather backend needs this: its per-RoI corner tensors are
+        4x the pooled output. The MXU-einsum / crop_and_resize / Pallas
+        backends keep modest intermediates, and the ``lax.map`` chunk loop
+        serializes them (measured 27 ms/batch at b=32x300 RoIs on v5e — 25%
+        of inference device time), so they pool all RoIs in one shot."""
         chunk = self.cfg.roi.pooler_chunk
         r = rois.shape[0]
-        if chunk <= 0 or r <= chunk:
+        needs_bounding = self.cfg.roi.pooler == "roi_align_gather"
+        if not needs_bounding or chunk <= 0 or r <= chunk:
             return self._pool_single_impl(feats, rois)
         pad = (-r) % chunk
         padded = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)], 0)
@@ -317,7 +330,7 @@ class FasterRCNN:
         cfg = self.cfg
         images = batch["image"]
         b = images.shape[0]
-        anchors = self.anchor_boxes()
+        anchors = self.anchor_boxes(images.shape[1:3])
 
         feats = self.core.apply(variables, images, method=DetectorCore.features)
         rpn_logits, rpn_deltas = self.core.apply(
@@ -354,7 +367,8 @@ class FasterRCNN:
 
         # --- Proposals -> RoI targets -> head losses ---
         prop_boxes, _, prop_valid = self.proposals(
-            rpn_logits, rpn_deltas, batch["image_hw"], training=True
+            rpn_logits, rpn_deltas, batch["image_hw"], training=True,
+            canvas_hw=images.shape[1:3],
         )
         roi_keys = jax.random.split(rng_roi, b)
         roi_boxes, tgt_cls, tgt_box, is_fg, roi_valid = jax.vmap(
@@ -452,7 +466,8 @@ class FasterRCNN:
             variables, feats, method=DetectorCore.rpn
         )
         prop_boxes, prop_scores, prop_valid = self.proposals(
-            rpn_logits, rpn_deltas, batch["image_hw"], training=False
+            rpn_logits, rpn_deltas, batch["image_hw"], training=False,
+            canvas_hw=images.shape[1:3],
         )
         if self.cfg.rpn_only:
             # RPN as a class-agnostic detector (reference 3e).

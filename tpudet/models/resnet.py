@@ -24,6 +24,43 @@ STAGE_BLOCKS = {
 }
 
 
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H/b, W/b, b*b*C] (NHWC, row-major block order)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, block * block * c
+    )
+
+
+def stem_kernel_to_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Transform the standard [7, 7, C, 64] stride-2 stem-conv kernel into the
+    exactly equivalent [4, 4, 4*C, 64] stride-1 kernel applied to the
+    block-2 space-to-depth input.
+
+    Derivation: pad the 7x7 taps to 8x8 on the top/left (one zero row/col) so
+    every tap index u in [-4, 3] splits as u = 2k + a - 4 with k in [0, 4),
+    a in {0, 1}; taps then regroup over the s2d channel axis (a, b, c)."""
+    kh, kw, c, o = kernel.shape
+    assert (kh, kw) == (7, 7), kernel.shape
+    pad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8, 8, C, O]
+    # [8=2k+a, 8=2l+b, C, O] -> [k, a, l, b, C, O] -> [k, l, (a, b, C), O]
+    k4 = pad.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    return k4.reshape(4, 4, 4 * c, o)
+
+
+def convert_params_to_s2d(params):
+    """Rewrite a standard-stem ResNet param tree for ``s2d_stem=True``."""
+    import flax
+
+    params = flax.core.unfreeze(params)
+    params["stem_conv"] = dict(
+        params["stem_conv"],
+        kernel=stem_kernel_to_s2d(params["stem_conv"]["kernel"]),
+    )
+    return params
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck with projection shortcut on shape change.
 
@@ -74,6 +111,13 @@ class ResNet(nn.Module):
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
     freeze_stem: bool = True
+    # Replace the 7x7/s2 stem conv with an exactly equivalent 4x4/s1 conv on
+    # a block-2 space-to-depth input. The standard stem has 3 input channels,
+    # which starves the MXU (128-wide contraction) and forces a strided conv;
+    # the s2d form is a dense 12-channel stride-1 conv at quarter resolution.
+    # Weights interconvert via ``stem_kernel_to_s2d`` (same math, bit-level
+    # tolerance); KERNELS.md has the measurement.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -81,10 +125,17 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
 
         # Stem: 7x7/2 + maxpool 3x3/2 -> stride 4.
-        x = nn.Conv(
-            64, (7, 7), strides=2, padding=[(3, 3), (3, 3)], use_bias=False,
-            dtype=self.dtype, name="stem_conv",
-        )(x)
+        if self.s2d_stem:
+            x = space_to_depth(x, 2)
+            x = nn.Conv(
+                64, (4, 4), strides=1, padding=[(2, 1), (2, 1)],
+                use_bias=False, dtype=self.dtype, name="stem_conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=2, padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="stem_conv",
+            )(x)
         x = nn.relu(norm(name="norm_stem")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -124,12 +175,14 @@ class TinyBackbone(nn.Module):
         return feats
 
 
-def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool) -> nn.Module:
+def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
+                   s2d_stem: bool = False) -> nn.Module:
     if name == "tiny":
         return TinyBackbone(norm=norm if norm != "frozen_bn" else "gn", dtype=dtype)
     if name in STAGE_BLOCKS:
         return ResNet(
-            blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype, freeze_stem=freeze_stem
+            blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype,
+            freeze_stem=freeze_stem, s2d_stem=s2d_stem,
         )
     raise ValueError(f"unknown backbone {name!r}")
 
