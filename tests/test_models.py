@@ -236,3 +236,27 @@ def test_orientation_bucketed_canvases_end_to_end():
         b = np.asarray(out["boxes"])[np.asarray(out["valid"])]
         if len(b):
             assert b[:, 2].max() <= cw + 1e-3 and b[:, 3].max() <= ch + 1e-3
+
+
+def test_resnet_remat_same_values_and_grads():
+    """remat=True must not change forward values or gradients — it only
+    changes what the backward pass stores vs recomputes."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    blocks = (1, 1, 1, 1)
+    plain = ResNet(blocks=blocks, norm="gn", freeze_stem=False)
+    remat = ResNet(blocks=blocks, norm="gn", freeze_stem=False, remat=True)
+    params = plain.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(model, p):
+        return jnp.sum(model.apply({"params": p}, x)["c5"] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        g0, g1,
+    )

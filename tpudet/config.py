@@ -80,6 +80,10 @@ class BackboneConfig:
     # space-to-depth image instead of the MXU-starved 7x7/s2 3-channel conv
     # (see models/resnet.py::stem_kernel_to_s2d). Weight layouts interconvert.
     s2d_stem: bool = False
+    # Rematerialize backbone blocks on the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for backbone-activation HBM so larger per-chip
+    # training batches fit. Values are unchanged; inference is unaffected.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,9 +10,12 @@ kernel resolves it with the block formulation sketched in SURVEY.md §7:
   * For tile i, suppression by all earlier tiles j<i is a fully vectorized
     [128, 128] IoU-block reduction against the finalized keep masks —
     this is the O(N²) part and it runs at VPU width.
-  * Within-tile resolution is a 128-step scan over [1, 128] lane vectors —
-    the only intrinsically sequential part, now O(128) per tile instead of
-    O(N) total.
+  * Within-tile resolution iterates the suppression map
+    K[c] = alive[c] & !any_{j<c}(hit[c,j] & K[j]) to its (unique) fixed
+    point — each sweep a vectorized [128, 128] masked reduction, converging
+    in ~chain-depth (typically 2–4) sweeps. This replaced a 128-step
+    sequential scan that dominated batched NMS (vmapped grid instances run
+    serially on the TensorCore).
 
 Layout trick: boxes are passed in BOTH [N, 4] and [4, N] layouts so IoU
 blocks broadcast as sublane-vector × lane-vector without any in-kernel
@@ -66,9 +69,8 @@ def _iou_block(rows, cols):
 
 
 def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
-                cand_ref, keep_ref, keep_t_ref, hit_ref):
+                cand_ref, keep_ref, keep_t_ref):
     n_tiles = cand_ref.shape[0]
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
@@ -96,28 +98,40 @@ def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
             0, i, cross_body, jnp.zeros((1, TILE), jnp.float32)
         )
         alive0 = cand_ref[pl.ds(i, 1), :] * (1.0 - supp)  # [1, 128]
-
-        # --- within-tile sequential resolution (the only serial part) ---
         rows_i = _tile_coords_rows(boxes_nx4_ref, i0)
-        # hitT[c, j] = (IoU(box c, box j) > thr) for j < c within the tile.
-        # Staged through VMEM scratch so the scan can dynamic-slice rows
-        # (Mosaic only supports dynamic slicing on refs, not values).
-        hit_ref[:, :] = jnp.where(
-            (_iou_block(rows_i, cols_i) > iou_threshold) & (col_iota < sub_iota),
-            1.0,
-            0.0,
-        )
 
-        def scan_body(c, keep_row):  # keep_row [1, 128]
-            # [1, 128] row c of hitT: earlier in-tile boxes that overlap c.
-            row_c = hit_ref[pl.ds(c, 1), :]
-            suppressed_c = jnp.max(keep_row * row_c)  # scalar
-            return jnp.where(
-                lane_iota == c, alive0 * (1.0 - suppressed_c), keep_row
-            )
+        # --- within-tile resolution: vectorized fixed-point iteration ---
+        # Greedy NMS inside the tile is the unique fixed point of
+        #   K[c] = alive[c] AND not any_{j<c}(hit[c, j] AND K[j])
+        # (unique by induction over c: entry c depends only on entries < c).
+        # Iterating K <- f(K) from K = alive converges in at most the
+        # longest suppression-chain depth (<= 128, typically ~3) and every
+        # sweep is a fully vectorized [128, 128] masked reduction — vs the
+        # previous 128-step sequential scan of dynamic [1, 128] slices,
+        # which dominated batched NMS time (grid instances run serially on
+        # a TensorCore, so per-image kernel time is what matters).
+        # The loop applies f twice per round, once in each layout, so no
+        # in-loop transposes are needed; the exit check K == f(f(K)) is
+        # sound because antitone-f 2-cycles collapse by the same induction.
+        blk = _iou_block(rows_i, cols_i) > iou_threshold
+        hit_cj = jnp.where(blk & (col_iota < sub_iota), 1.0, 0.0)  # [c, j]
+        hit_jc = jnp.where(blk & (sub_iota < col_iota), 1.0, 0.0)  # [j, c]
+        alive_col = alive0.reshape(TILE, 1)
 
-        keep_row = jax.lax.fori_loop(
-            0, TILE, scan_body, jnp.zeros((1, TILE), jnp.float32)
+        def fp_cond(state):
+            _, changed = state
+            return changed
+
+        def fp_body(state):
+            krow, _ = state
+            sup_col = jnp.max(hit_cj * krow, axis=1, keepdims=True)
+            kcol = alive_col * (1.0 - sup_col)          # f(K), column layout
+            sup_row = jnp.max(hit_jc * kcol, axis=0, keepdims=True)
+            krow_new = alive0 * (1.0 - sup_row)         # f(f(K)), row layout
+            return krow_new, jnp.max(jnp.abs(krow_new - krow)) > 0.5
+
+        keep_row, _ = jax.lax.while_loop(
+            fp_cond, fp_body, (alive0, jnp.bool_(True))
         )
 
         keep_ref[pl.ds(i, 1), :] = keep_row
@@ -160,7 +174,6 @@ def _nms_keep_mask(boxes_sorted, cand, iou_threshold: float,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((p, 1), jnp.float32),       # keep, sublane-major
-            pltpu.VMEM((TILE, TILE), jnp.float32),  # in-tile hitT
         ],
         interpret=interpret,
     )(

@@ -57,7 +57,8 @@ class DetectorCore(nn.Module):
         bb = self.cfg.backbone
         dtype = jnp.bfloat16 if bb.dtype == "bfloat16" else jnp.float32
         self.backbone = build_backbone(
-            bb.name, bb.norm, dtype, bb.freeze_stem, s2d_stem=bb.s2d_stem
+            bb.name, bb.norm, dtype, bb.freeze_stem, s2d_stem=bb.s2d_stem,
+            remat=bb.remat,
         )
         if bb.use_fpn:
             self.fpn = FPN(dtype=dtype)

@@ -118,6 +118,12 @@ class ResNet(nn.Module):
     # Weights interconvert via ``stem_kernel_to_s2d`` (same math, bit-level
     # tolerance); KERNELS.md has the measurement.
     s2d_stem: bool = False
+    # Rematerialize each bottleneck block on the backward pass
+    # (jax.checkpoint): activations are recomputed instead of stored, cutting
+    # peak training HBM roughly by the backbone-activation term — the
+    # standard TPU trade of MXU FLOPs for HBM capacity to fit bigger
+    # per-chip batches. No effect on values (tested) or on inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -141,10 +147,11 @@ class ResNet(nn.Module):
 
         feats = {}
         channels = (256, 512, 1024, 2048)
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         for stage, (n_blocks, ch) in enumerate(zip(self.blocks, channels)):
             for i in range(n_blocks):
                 stride = 2 if (i == 0 and stage > 0) else 1
-                x = Bottleneck(
+                x = block_cls(
                     ch, stride, self.norm, self.dtype,
                     name=f"stage{stage + 2}_block{i}",
                 )(x)
@@ -176,13 +183,13 @@ class TinyBackbone(nn.Module):
 
 
 def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
-                   s2d_stem: bool = False) -> nn.Module:
+                   s2d_stem: bool = False, remat: bool = False) -> nn.Module:
     if name == "tiny":
         return TinyBackbone(norm=norm if norm != "frozen_bn" else "gn", dtype=dtype)
     if name in STAGE_BLOCKS:
         return ResNet(
             blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype,
-            freeze_stem=freeze_stem, s2d_stem=s2d_stem,
+            freeze_stem=freeze_stem, s2d_stem=s2d_stem, remat=remat,
         )
     raise ValueError(f"unknown backbone {name!r}")
 
