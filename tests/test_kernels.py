@@ -104,3 +104,20 @@ def test_nms_pallas_zero_grad(rng):
     expected[np.asarray(idx)[np.asarray(valid)]] = 1.0
     np.testing.assert_allclose(np.asarray(g_boxes), expected)
     np.testing.assert_array_equal(np.asarray(g_scores), np.zeros(n))
+
+
+def test_nms_pallas_presorted_matches_unsorted(rng):
+    """presorted=True on descending scores must select identically to the
+    default path (and to the oracle), including with a validity mask."""
+    n = 300
+    boxes = jnp.asarray(random_boxes(rng, n, size=80.0))
+    scores = jnp.sort(
+        jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    )[::-1]
+    mask = jnp.asarray(rng.uniform(0, 1, n) > 0.2)
+    a = nms_pallas(boxes, scores, 0.5, 40, valid_mask=mask,
+                   interpret=True, presorted=True)
+    b = nms_pallas(boxes, scores, 0.5, 40, valid_mask=mask, interpret=True)
+    c = nms_ref(boxes, scores, 0.5, 40, valid_mask=mask)
+    assert_same_selection(a, b)
+    assert_same_selection(a, c)

@@ -18,8 +18,13 @@ def _on_tpu() -> bool:
 
 
 def nms_dispatch(boxes, scores, iou_threshold, max_outputs, valid_mask=None,
-                 score_threshold=None, use_pallas=True):
-    """NMS: Pallas kernel on TPU, jnp reference elsewhere."""
+                 score_threshold=None, use_pallas=True, presorted=False):
+    """NMS: Pallas kernel on TPU, jnp reference elsewhere.
+
+    ``presorted`` promises descending scores; the kernel then skips its
+    internal re-sort + box gather. A pure optimization hint — the jnp
+    reference ignores it (its own sort is a no-op reorder in that case and
+    selection is identical)."""
     if use_pallas and _on_tpu():
         try:
             from tpudet.kernels.nms import nms_pallas
@@ -27,6 +32,7 @@ def nms_dispatch(boxes, scores, iou_threshold, max_outputs, valid_mask=None,
             return nms_pallas(
                 boxes, scores, iou_threshold, max_outputs,
                 valid_mask=valid_mask, score_threshold=score_threshold,
+                presorted=presorted,
             )
         except ImportError:
             pass

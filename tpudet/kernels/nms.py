@@ -192,8 +192,15 @@ def nms_pallas(
     valid_mask: Optional[jnp.ndarray] = None,
     score_threshold: Optional[float] = None,
     interpret: bool = False,
+    presorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for ``tpudet.ops.nms.nms`` (same contract).
+
+    ``presorted=True`` promises ``scores`` are already descending (e.g. they
+    came out of the proposal top-k), skipping the in-function re-sort and
+    box re-gather; masked/thresholded entries then simply become
+    non-candidates in place instead of being pushed to the end — the
+    selection is identical either way.
 
     Wrapped in a zero-gradient ``custom_vjp``: NMS selection is
     piecewise-constant in its inputs (gradients are zero a.e.), and without
@@ -201,22 +208,28 @@ def nms_pallas(
     its VMEM footprint with tangent buffers for nothing.
     """
     return _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold,
-                              max_outputs, score_threshold, interpret)
+                              max_outputs, score_threshold, interpret,
+                              presorted)
 
 
 def _nms_pallas_impl(boxes, scores, iou_threshold, max_outputs, valid_mask,
-                     score_threshold, interpret=False):
+                     score_threshold, interpret=False, presorted=False):
     n = boxes.shape[0]
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
     if score_threshold is not None:
         scores = jnp.where(scores > score_threshold, scores, NEG_INF)
 
-    sorted_scores, order = jax.lax.top_k(scores, n)
-    candidate = sorted_scores > NEG_INF / 2
+    if presorted:
+        order = jnp.arange(n, dtype=jnp.int32)
+        candidate = scores > NEG_INF / 2
+        boxes_sorted = boxes
+    else:
+        sorted_scores, order = jax.lax.top_k(scores, n)
+        candidate = sorted_scores > NEG_INF / 2
+        boxes_sorted = boxes[order]
 
     pad = (-n) % TILE
-    boxes_sorted = boxes[order]
     if pad:
         boxes_sorted = jnp.concatenate(
             [boxes_sorted, jnp.zeros((pad, 4), boxes.dtype)], axis=0
@@ -234,22 +247,23 @@ def _nms_pallas_impl(boxes, scores, iou_threshold, max_outputs, valid_mask,
     return _select_kept(keep, order, max_outputs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold, max_outputs,
-                       score_threshold, interpret):
+                       score_threshold, interpret, presorted):
     return _nms_pallas_impl(boxes, scores, iou_threshold, max_outputs,
-                            valid_mask, score_threshold, interpret)
+                            valid_mask, score_threshold, interpret, presorted)
 
 
 def _nms_pallas_fwd(boxes, scores, valid_mask, iou_threshold, max_outputs,
-                    score_threshold, interpret):
+                    score_threshold, interpret, presorted):
     out = _nms_pallas_nograd(boxes, scores, valid_mask, iou_threshold,
-                             max_outputs, score_threshold, interpret)
+                             max_outputs, score_threshold, interpret,
+                             presorted)
     return out, (boxes, scores, valid_mask)
 
 
 def _nms_pallas_bwd(iou_threshold, max_outputs, score_threshold, interpret,
-                    res, _ct):
+                    presorted, res, _ct):
     boxes, scores, valid_mask = res
     return (
         jnp.zeros_like(boxes),

@@ -188,6 +188,7 @@ class FasterRCNN:
         keep_idx, valid = nms_dispatch(
             boxes, top_scores, cfg.nms_thresh, k_post, valid_mask=size_ok,
             use_pallas=self.cfg.use_pallas,
+            presorted=True,  # top_k output above is descending
         )
         return boxes[keep_idx], top_scores[keep_idx], valid
 

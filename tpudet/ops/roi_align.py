@@ -19,6 +19,7 @@ The Pallas fast path lives in ``tpudet.kernels.roi_align``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -168,11 +169,19 @@ def roi_align_mxu(
     """RoI Align as two MXU contractions (TPU-native formulation).
 
     Bilinear sampling is separable: pooled[n,i,j,c] = Σ_y Σ_x Wy[n,i,y] ·
-    Wx[n,j,x] · F[y,x,c], where Wy/Wx are the (two-nonzero) per-axis
-    interpolation weight rows. Instead of 4-corner gathers (scatter/gather is
-    the TPU's weakest memory op) this runs as two dense einsums that XLA maps
-    straight onto the systolic array. Numerically identical to
-    :func:`roi_align` up to float summation order.
+    Wx[n,j,x] · F[y,x,c], where Wy/Wx are per-axis interpolation weight
+    rows. Instead of 4-corner gathers (scatter/gather is the TPU's weakest
+    memory op) this runs as two dense einsums that XLA maps straight onto
+    the systolic array. Numerically identical to :func:`roi_align` up to
+    float summation order.
+
+    The r×r in-bin sample average is FOLDED into the weight rows (average
+    of bilinear weights = weights of the averaged samples — both linear):
+    the contractions then produce [N, s, W, C] / [N, s, s, C] directly
+    instead of [N, s·r, ...] sampled tensors plus a reduce. At b=32×300
+    RoIs this removed ~21 ms/batch of HBM traffic (a 1.9 GB f32
+    intermediate, its relayout copy, and the reduction) — the sampled
+    formulation was 37% of inference device time.
     """
     h, w = features.shape[0], features.shape[1]
     n = boxes.shape[0]
@@ -181,14 +190,19 @@ def roi_align_mxu(
 
     ys, vy = _sample_grid(boxes[:, (1, 3)], h, s, r, offset)
     xs, vx = _sample_grid(boxes[:, (0, 2)], w, s, r, offset)
-    wy = _interp_weights(ys, vy, h)  # [N, S, H]
-    wx = _interp_weights(xs, vx, w)  # [N, S, W]
+    # [N, s*r, size] sample weights -> [N, s, size] bin weights (f32 math,
+    # cast to the feature dtype only after the average).
+    wy = _interp_weights(ys, vy, h).reshape(n, s, r, h).mean(axis=2)
+    wx = _interp_weights(xs, vx, w).reshape(n, s, r, w).mean(axis=2)
 
     dtype = features.dtype
     wy = wy.astype(dtype)
     wx = wx.astype(dtype)
-    t1 = jnp.einsum("nsh,hwc->nswc", wy, features)  # rows resampled
-    sampled = jnp.einsum("ntw,nswc->nstc", wx, t1)  # cols resampled
-    c = features.shape[-1]
-    sampled = sampled.reshape(n, s, r, s, r, c)
-    return jnp.mean(sampled, axis=(2, 4))
+    # f32 inputs get exact (HIGHEST) contractions: TPU's default matmul
+    # precision truncates f32 operands to bf16 passes, which breaks the
+    # float-tolerance parity this backend is used for in f32 eval mode
+    # (measured 1.8e-2 max error vs 5e-7 at HIGHEST). bf16 inputs are the
+    # MXU's native format, so the flag changes nothing on the fast path.
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    t1 = jnp.einsum("nsh,hwc->nswc", wy, features, precision=prec)
+    return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
