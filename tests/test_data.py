@@ -179,3 +179,20 @@ def test_loader_orientation_buckets_requires_hw():
     loader = DataLoader(cfg, NoHW(), batch_size=2)
     with _pytest.raises(ValueError, match="example_hw"):
         list(loader.batches(0))
+
+
+def test_prepare_example_carries_difficult_flags():
+    """Eval-mode datasets pass per-GT 'difficult' flags through the host
+    pipeline so the VOC-protocol evaluator can ignore those GT (SURVEY C20)."""
+    cfg = tiny_test_config().data
+    img = np.zeros((60, 80, 3), np.uint8)
+    boxes = np.asarray([[2, 2, 20, 20], [30, 30, 50, 50]], np.float32)
+    classes = np.asarray([1, 2], np.int32)
+    out = prepare_example(cfg, img, boxes, classes,
+                          difficult=np.asarray([False, True]))
+    assert out["gt_difficult"].shape == (cfg.max_gt_boxes,)
+    assert out["gt_difficult"][:2].tolist() == [False, True]
+    assert not out["gt_difficult"][2:].any()
+    # Absent flags -> all False (synthetic/COCO path).
+    out2 = prepare_example(cfg, img, boxes, classes)
+    assert not out2["gt_difficult"].any()

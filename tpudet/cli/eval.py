@@ -67,9 +67,12 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 batch["gt_boxes"][i][gt_valid], batch["image_scale"][i],
                 batch["orig_hw"][i],
             )
+            gt_difficult = batch.get("gt_difficult")
             evaluator.add_image(
                 boxes, out["scores"][i][valid], out["classes"][i][valid],
                 gt_boxes, batch["gt_classes"][i][gt_valid],
+                gt_difficult=None if gt_difficult is None
+                else gt_difficult[i][gt_valid],
             )
         if 0 <= max_images <= seen:
             break

@@ -28,7 +28,12 @@ def build_dataset(cfg, split: str | None = None):
             seed=0 if split == "train" else 1,
         )
     if d.dataset == "voc":
-        return VOCDataset(d.data_dir, split=split)
+        # Eval splits keep difficult objects WITH their flags (the VOC
+        # protocol ignores them at matching time rather than dropping them);
+        # training drops them, as the reference does.
+        keep_difficult = split in ("test", "val")
+        return VOCDataset(d.data_dir, split=split,
+                          keep_difficult=keep_difficult)
     if d.dataset == "coco":
         return CocoDataset(d.data_dir, split=split)
     raise ValueError(f"unknown dataset {d.dataset!r}")

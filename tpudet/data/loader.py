@@ -103,7 +103,8 @@ class DataLoader:
         def one(i):
             ex = self.dataset.get_example(int(i))
             return prepare_example(
-                self.cfg.data, ex["image"], ex["boxes"], ex["classes"]
+                self.cfg.data, ex["image"], ex["boxes"], ex["classes"],
+                difficult=ex.get("difficult"),
             )
         examples = list(pool.map(one, indices))
         batch = {

@@ -49,6 +49,7 @@ def prepare_example(
     image: np.ndarray,
     boxes: np.ndarray,
     classes: np.ndarray,
+    difficult: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
 
@@ -71,7 +72,10 @@ def prepare_example(
     gt_boxes = np.zeros((g, 4), np.float32)
     gt_classes = np.zeros((g,), np.int32)
     gt_valid = np.zeros((g,), bool)
+    gt_difficult = np.zeros((g,), bool)
     n = min(len(boxes), g)
+    if difficult is not None and n:
+        gt_difficult[:n] = difficult[:n]
     if n:
         # Exact per-axis scales (nh/h, nw/w) — rounding can differ per axis.
         scaled = np.stack(
@@ -95,6 +99,7 @@ def prepare_example(
         "gt_boxes": gt_boxes,
         "gt_classes": gt_classes,
         "gt_valid": gt_valid,
+        "gt_difficult": gt_difficult,
     }
 
 

@@ -99,7 +99,7 @@ class VOCDataset:
         img = Image.open(
             os.path.join(self.root, "JPEGImages", f"{image_id}.jpg")
         ).convert("RGB")
-        boxes, classes, _ = parse_voc_xml(
+        boxes, classes, difficult = parse_voc_xml(
             os.path.join(self.root, "Annotations", f"{image_id}.xml"),
             self.keep_difficult,
         )
@@ -107,5 +107,9 @@ class VOCDataset:
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
             "classes": classes,
+            # VOC eval protocol: difficult GT count neither as npos nor as
+            # FPs when matched — the evaluator needs the flags, so eval-mode
+            # datasets (keep_difficult=True) carry them through the pipeline.
+            "difficult": difficult,
             "id": image_id,
         }
