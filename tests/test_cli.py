@@ -87,6 +87,19 @@ def test_benchmark_cli_nms(capsys):
     assert parsed["metric"] == "nms_kernel_us_per_img"
 
 
+def test_benchmark_cli_infer_stream(capsys):
+    from tpudet.cli import benchmark as bench_cli
+
+    result = bench_cli.main([
+        "--preset", "tiny", "--mode", "infer_stream", "--batch-size", "2",
+    ])
+    assert result["unit"] == "images/sec/chip"
+    assert result["value"] > 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["metric"] == "faster_rcnn_infer_stream_images_per_sec_per_chip"
+
+
 def test_config_overrides():
     from tpudet.cli.common import preset_config, config_from_args
     from tpudet.cli import train as train_cli

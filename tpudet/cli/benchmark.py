@@ -104,6 +104,55 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
     }
 
 
+def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
+    """Sustained end-to-end inference: host loader (decode/resize/pad in a
+    thread pool) -> device_put -> jitted step, overlapped. Unlike
+    ``bench_infer`` (device-resident batch), this includes the host half of
+    the pipeline — the number a serving deployment sustains.
+
+    Caveat for THIS environment (measured 2026-08-16): the dev VM has one
+    vCPU and the axon tunnel moves ~68 MB/s, so the stream measures the
+    environment (~31 img/s), not the framework: host prep is ~11 ms/img
+    serial (PIL resize dominated) and needs ~6 of a real TPU host's ~180
+    vCPUs to saturate the 548 img/s device rate."""
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_eval_step(model, cfg, fused_preprocess=True)
+    variables = state.variables
+
+    ds = SyntheticDataset(
+        num_classes=cfg.data.num_classes,
+        num_examples=batch_size * (num_batches + 2),
+        image_size=min(cfg.data.canvas_height, 512),
+    )
+    loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=8)
+    stream = loader.device_stream()
+    _sync(step(variables, next(stream)))  # compile + warm the pipeline
+
+    in_flight = []
+    t0 = time.perf_counter()
+    for _ in range(num_batches):
+        in_flight.append(step(variables, next(stream)))
+        if len(in_flight) > 4:  # bound the device queue
+            _sync(in_flight.pop(0))
+    for out in in_flight:
+        _sync(out)
+    sec = (time.perf_counter() - t0) / num_batches
+    ips = batch_size / sec
+    per_chip = ips / jax.device_count()
+    return {
+        "metric": "faster_rcnn_infer_stream_images_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
+        "batch_size": batch_size,
+        "num_batches": num_batches,
+        "sec_per_batch": round(sec, 5),
+        "backend": jax.default_backend(),
+        "num_devices": jax.device_count(),
+    }
+
+
 def bench_train(cfg, batch_size: int, iters: int) -> dict:
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
@@ -174,7 +223,8 @@ def bench_nms(cfg, iters: int, num_boxes: int = 6000, max_out: int = 300) -> dic
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
-    p.add_argument("--mode", default="infer", choices=["infer", "train", "nms"])
+    p.add_argument("--mode", default="infer",
+                   choices=["infer", "infer_stream", "train", "nms"])
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
@@ -182,6 +232,8 @@ def main(argv=None):
 
     if args.mode == "infer":
         result = bench_infer(cfg, args.batch_size, args.iters)
+    elif args.mode == "infer_stream":
+        result = bench_infer_stream(cfg, args.batch_size)
     elif args.mode == "train":
         result = bench_train(cfg, args.batch_size, args.iters)
     else:

@@ -115,7 +115,8 @@ class DataLoader:
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Host batches for one epoch (no device transfer)."""
         bs = self.batch_size
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        pool = ThreadPoolExecutor(self.num_workers)
+        try:
             for idx, num_real in self._epoch_batch_indices(epoch):
                 batch = self._make_batch(pool, idx)
                 if num_real < bs:
@@ -123,6 +124,10 @@ class DataLoader:
                     # mask via "batch_valid".
                     batch["batch_valid"] = np.arange(bs) < num_real
                 yield batch
+        finally:
+            # Non-blocking shutdown: abandoned generators (early break,
+            # interpreter exit) must not join worker threads.
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Endless device-prefetched stream over epochs 0, 1, 2, ..."""
