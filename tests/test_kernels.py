@@ -121,3 +121,36 @@ def test_nms_pallas_presorted_matches_unsorted(rng):
     c = nms_ref(boxes, scores, 0.5, 40, valid_mask=mask)
     assert_same_selection(a, b)
     assert_same_selection(a, c)
+
+
+def test_batched_nms_matches_per_class_reference(rng):
+    """Class-offset batched NMS must select exactly what independent
+    per-class NMS selects, including at high class ids where a too-large
+    offset would destroy f32 sub-pixel resolution."""
+    from tpudet.kernels import batched_nms_dispatch
+
+    n, num_classes = 400, 80
+    boxes = jnp.asarray(random_boxes(rng, n, size=90.0)) + 900.0  # coords ~1k
+    scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    classes = jnp.asarray(rng.integers(1, num_classes + 1, n))
+
+    idx, valid = batched_nms_dispatch(
+        boxes, scores, classes, 0.5, 100, use_pallas=False
+    )
+    got = set(np.asarray(idx)[np.asarray(valid)].tolist())
+
+    expected = set()
+    for c in range(1, num_classes + 1):
+        mask = np.asarray(classes) == c
+        if not mask.any():
+            continue
+        ic, vc = nms_ref(boxes, scores, 0.5, 100,
+                         valid_mask=jnp.asarray(mask))
+        expected |= set(np.asarray(ic)[np.asarray(vc)].tolist())
+    # batched keeps the top-100 overall; per-class union may exceed that —
+    # every batched selection must appear in the per-class union.
+    assert got <= expected
+    # and the batched result must be the highest-scored 100 of the union.
+    sc = np.asarray(scores)
+    top = sorted(expected, key=lambda i: -sc[i])[:100]
+    assert got == set(top)

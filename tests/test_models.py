@@ -203,21 +203,24 @@ def test_s2d_stem_equivalent_to_standard_stem():
         )
 
 
-def test_orientation_bucketed_canvases_end_to_end():
+@pytest.mark.parametrize("use_fpn", [False, True])
+def test_orientation_bucketed_canvases_end_to_end(use_fpn):
     """With orientation buckets the same params must run loss + predict on
     both (short, long) and (long, short) canvases — anchors re-derive per
-    static shape (two traces, one param tree)."""
+    static shape (two traces, one param tree). FPN covers the per-level
+    anchor grids on non-square canvases (canvas_short must divide the
+    deepest stride, 64)."""
     import dataclasses
 
-    cfg = tiny_test_config(canvas=128)
+    cfg = tiny_test_config(canvas=128, use_fpn=use_fpn)
     cfg = cfg.replace(data=dataclasses.replace(
-        cfg.data, orientation_buckets=True, canvas_short=96,
+        cfg.data, orientation_buckets=True, canvas_short=64,
     ))
     model = FasterRCNN(cfg)
     variables = model.init(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
 
-    for ch, cw in [(96, 128), (128, 96)]:
+    for ch, cw in [(64, 128), (128, 64)]:
         batch = {
             "image": jnp.asarray(
                 rng.integers(0, 255, (2, ch, cw, 3)).astype(np.float32)

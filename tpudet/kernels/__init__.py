@@ -44,8 +44,15 @@ def nms_dispatch(boxes, scores, iou_threshold, max_outputs, valid_mask=None,
 
 def batched_nms_dispatch(boxes, scores, class_ids, iou_threshold, max_outputs,
                          valid_mask=None, score_threshold=None,
-                         use_pallas=True, coordinate_offset=1e5):
-    """Per-class NMS via the class-offset trick, on the dispatched kernel."""
+                         use_pallas=True, coordinate_offset=4096.0):
+    """Per-class NMS via the class-offset trick, on the dispatched kernel.
+
+    ``coordinate_offset`` must exceed the max box coordinate (boxes are
+    clipped to the canvas, <= 1344 in the presets) but stay small enough
+    that f32 keeps sub-pixel resolution after the shift: at 80 classes x
+    4096 the largest coordinate is ~3.3e5, where f32 spacing is 0.03 px.
+    (The previous 1e5 pushed coords to ~8e6, where spacing is 0.5 px —
+    visibly perturbing IoU against an exact per-class NMS.)"""
     offsets = class_ids.astype(boxes.dtype)[:, None] * coordinate_offset
     return nms_dispatch(
         boxes + offsets, scores, iou_threshold, max_outputs,
