@@ -1,0 +1,99 @@
+"""AOT export / serving artifact tests (tpudet/serving/export.py).
+
+The exported StableHLO program must produce the same detections as the live
+jitted model, survive a serialize→zip→load round trip, and the ServingModel
+host wrapper must return original-coordinate boxes for raw images.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tpudet.config import tiny_test_config
+from tpudet.data import DataLoader, SyntheticDataset
+from tpudet.data.preprocess import device_preprocess
+from tpudet.models import FasterRCNN
+from tpudet.serving import ServingModel, export_model, save_artifact
+from tpudet.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config(canvas=128, num_classes=3)
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    ds = SyntheticDataset(num_classes=3, num_examples=2, image_size=128)
+    loader = DataLoader(cfg, ds, batch_size=2, shuffle=False, num_workers=2)
+    batch = next(iter(loader.batches(0)))
+    return cfg, model, state, batch
+
+
+def test_export_matches_live_model(setup, tmp_path):
+    cfg, model, state, batch = setup
+    image = batch["image"]
+    hw = batch["image_hw"].astype(np.float32)
+
+    def live(image, image_hw):
+        b = device_preprocess(
+            cfg, {"image": image, "image_hw": image_hw}, training=False
+        )
+        return model.predict(state.variables, b)
+
+    want = jax.device_get(jax.jit(live)(image, hw))
+
+    path = tmp_path / "model.tpudet"
+    meta = save_artifact(str(path), cfg, state.variables, batch_size=2)
+    assert meta["batch_size"] == 2
+    assert meta["canvas_height"] == 128
+
+    serving = ServingModel.load(str(path))
+    got = jax.device_get(serving(image, hw))
+    assert set(got) == set(want)
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    np.testing.assert_array_equal(got["classes"], want["classes"])
+    np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
+    np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-6)
+
+
+def test_exported_platforms_recorded(setup):
+    cfg, model, state, batch = setup
+    exported = export_model(cfg, state.variables, batch_size=2)
+    assert "cpu" in exported.platforms  # tests run on CPU
+
+
+def test_serving_detect_original_coords(setup, tmp_path):
+    cfg, model, state, batch = setup
+    path = tmp_path / "model.tpudet"
+    save_artifact(str(path), cfg, state.variables, batch_size=2)
+    serving = ServingModel.load(str(path))
+
+    rng = np.random.default_rng(0)
+    # Three images (one short final batch) at non-canvas sizes, mixed aspect.
+    images = [
+        rng.integers(0, 255, (100, 160, 3), np.uint8),
+        rng.integers(0, 255, (160, 90, 3), np.uint8),
+        rng.integers(0, 255, (128, 128, 3), np.uint8),
+    ]
+    results = serving.detect(images, score_thresh=0.0)
+    assert len(results) == 3
+    for img, det in zip(images, results):
+        h, w = img.shape[:2]
+        boxes = det["boxes"]
+        assert boxes.shape[1:] == (4,)
+        assert det["scores"].shape == det["classes"].shape == boxes.shape[:1]
+        if len(boxes):
+            assert boxes[:, 0].min() >= 0 and boxes[:, 1].min() >= 0
+            assert boxes[:, 2].max() <= w + 1e-3
+            assert boxes[:, 3].max() <= h + 1e-3
+
+
+def test_export_cli(setup, tmp_path):
+    from tpudet.cli.export import main
+
+    path = tmp_path / "cli_model.tpudet"
+    main([
+        "--preset", "tiny", "--output", str(path),
+        "--batch-size", "1", "--verify",
+    ])
+    serving = ServingModel.load(str(path))
+    assert serving.batch_size == 1

@@ -1,0 +1,216 @@
+"""AOT export + serving artifact (production deployment path).
+
+The TF2 reference "deploys" by re-running its Python graph from a checkpoint
+(SURVEY.md C19/3b — there is no export path to re-verify since the reference
+mount is empty; this subsystem is the TPU-native deployment story the build
+adds on top of parity). Here deployment is ahead-of-time export: ``jax.export``
+serializes the fully-traced, shape-static inference program (StableHLO) with
+the trained weights baked in as constants. The artifact:
+
+- is one self-contained zip (``module.bin`` StableHLO + ``metadata.json``);
+- loads and runs in a process that never imports model code — only this
+  module's ~100-line loader and jax itself;
+- pins static shapes at export time (batch size, canvas), which is exactly
+  the contract a TPU serving fleet wants: one compiled program per shape,
+  no retracing, no Python model graph in the serving binary;
+- can be lowered for multiple platforms at once (``platforms=("tpu","cpu")``)
+  when the config avoids platform-specific custom calls (``use_pallas=False``
+  exports a pure-XLA program that runs anywhere).
+
+``ServingModel`` adds the host half around the compiled program: JPEG/array
+in → aspect-preserving resize onto the exported canvas → run → rescale the
+detections back to original-image coordinates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import zipfile
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+ARTIFACT_VERSION = 1
+
+
+def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
+    d = cfg.data
+    return {
+        "artifact_version": ARTIFACT_VERSION,
+        "batch_size": int(batch_size),
+        "canvas_height": int(d.canvas_height),
+        "canvas_width": int(d.canvas_width),
+        "min_size": int(d.min_size),
+        "max_size": int(d.max_size),
+        "num_classes": int(d.num_classes),
+        "max_detections": int(cfg.roi.max_detections),
+        "score_thresh": float(cfg.roi.score_thresh),
+        "platforms": list(platforms) if platforms else None,
+        "backbone": cfg.backbone.name,
+        "use_fpn": bool(cfg.backbone.use_fpn),
+    }
+
+
+def export_model(
+    cfg,
+    variables,
+    batch_size: int,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Trace + lower the full inference step to a serializable Exported.
+
+    The exported program takes ``(image uint8 [B,H,W,3], image_hw f32 [B,2])``
+    — the raw loader output — and returns the model's detection dict
+    (boxes/scores/classes/valid/num_detections, canvas coordinates). The
+    device half of preprocessing (normalize, dtype cast) is fused inside, and
+    ``variables`` are baked in as program constants.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    from tpudet.data.preprocess import device_preprocess
+    from tpudet.models import FasterRCNN
+
+    model = FasterRCNN(cfg)
+
+    def serve(image, image_hw):
+        batch = device_preprocess(
+            cfg, {"image": image, "image_hw": image_hw}, training=False
+        )
+        return model.predict(variables, batch)
+
+    ch, cw = cfg.data.canvas_height, cfg.data.canvas_width
+    specs = (
+        jax.ShapeDtypeStruct((batch_size, ch, cw, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch_size, 2), jnp.float32),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(jax.jit(serve), **kwargs)(*specs)
+
+
+def save_artifact(
+    path: str, cfg, variables, batch_size: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export and write the serving artifact zip. Returns the metadata."""
+    exported = export_model(cfg, variables, batch_size, platforms)
+    meta = _serving_metadata(cfg, batch_size, platforms or exported.platforms)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("module.bin", bytes(exported.serialize()))
+        zf.writestr("metadata.json", json.dumps(meta, indent=2))
+    return meta
+
+
+def load_artifact(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Read an artifact zip -> (jax.export.Exported, metadata dict)."""
+    from jax import export as jax_export
+
+    with zipfile.ZipFile(path) as zf:
+        module = zf.read("module.bin")
+        meta = json.loads(zf.read("metadata.json"))
+    if meta.get("artifact_version") != ARTIFACT_VERSION:
+        raise ValueError(
+            f"artifact version {meta.get('artifact_version')} != "
+            f"{ARTIFACT_VERSION}"
+        )
+    return jax_export.deserialize(bytearray(module)), meta
+
+
+class ServingModel:
+    """Host-side wrapper around a (loaded or fresh) exported program.
+
+    ``detect(images)`` is the full 3b call stack for deployment: resize/pad
+    each raw image onto the exported canvas, batch (padding short batches to
+    the exported batch size), run the compiled program, rescale surviving
+    boxes to original-image coordinates.
+    """
+
+    def __init__(self, exported, meta: Dict[str, Any]):
+        import jax
+
+        self.meta = meta
+        self._call = jax.jit(exported.call)
+        # Minimal DataConfig mirroring the exported preprocessing contract.
+        from tpudet.config import DataConfig
+
+        self._data_cfg = DataConfig(
+            min_size=meta["min_size"],
+            max_size=meta["max_size"],
+            canvas_height=meta["canvas_height"],
+            canvas_width=meta["canvas_width"],
+            max_gt_boxes=1,
+            num_classes=meta["num_classes"],
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ServingModel":
+        exported, meta = load_artifact(path)
+        return cls(exported, meta)
+
+    @property
+    def batch_size(self) -> int:
+        return self.meta["batch_size"]
+
+    def __call__(self, image: np.ndarray, image_hw: np.ndarray):
+        """Run the compiled program on an already-prepared canvas batch."""
+        return self._call(image, image_hw)
+
+    def detect(
+        self, images: List[np.ndarray], score_thresh: Optional[float] = None
+    ) -> List[Dict[str, np.ndarray]]:
+        """Raw uint8 [h,w,3] images -> per-image detections in original
+        coordinates: {"boxes" [n,4], "scores" [n], "classes" [n]}."""
+        import jax
+
+        from tpudet.data.preprocess import prepare_example
+
+        if score_thresh is None:
+            score_thresh = self.meta["score_thresh"]
+        bs = self.batch_size
+        results: List[Dict[str, np.ndarray]] = []
+        for start in range(0, len(images), bs):
+            chunk = images[start : start + bs]
+            prepared = [
+                prepare_example(
+                    self._data_cfg, img,
+                    np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+                )
+                for img in chunk
+            ]
+            pad = bs - len(prepared)
+            canvases = np.stack(
+                [p["image"] for p in prepared]
+                + [np.zeros_like(prepared[0]["image"])] * pad
+            )
+            hw = np.stack(
+                [p["image_hw"] for p in prepared]
+                + [prepared[0]["image_hw"]] * pad
+            ).astype(np.float32)
+            out = jax.device_get(self._call(canvases, hw))
+            for i, p in enumerate(prepared):
+                keep = out["valid"][i] & (out["scores"][i] >= score_thresh)
+                boxes = out["boxes"][i][keep]
+                sy, sx = p["image_scale"]
+                oh, ow = p["orig_hw"]
+                boxes = np.stack(
+                    [
+                        np.clip(boxes[:, 0] / sx, 0, ow),
+                        np.clip(boxes[:, 1] / sy, 0, oh),
+                        np.clip(boxes[:, 2] / sx, 0, ow),
+                        np.clip(boxes[:, 3] / sy, 0, oh),
+                    ],
+                    axis=-1,
+                )
+                results.append(
+                    {
+                        "boxes": boxes,
+                        "scores": out["scores"][i][keep],
+                        "classes": out["classes"][i][keep],
+                    }
+                )
+        return results
