@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -220,11 +221,81 @@ def bench_nms(cfg, iters: int, num_boxes: int = 6000, max_out: int = 300) -> dic
     }
 
 
+def bench_host(cfg, num_images: int = 64, num_threads: int = 0) -> dict:
+    """Host image front-end (C2+C4) throughput: PIL path vs the native C++
+    fused decode+resize+pad (tpudet/native), on synthesized VOC-sized JPEGs.
+    Pure host benchmark — no device involved."""
+    import io
+
+    from PIL import Image
+
+    from tpudet.data.preprocess import prepare_example, prepare_example_jpeg
+    from tpudet.native import native_available
+
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    rng = np.random.default_rng(0)
+    jpegs = []
+    for _ in range(num_images):
+        h, w = int(rng.integers(350, 500)), int(rng.integers(450, 640))
+        small = rng.integers(0, 255, (h // 8, w // 8, 3), np.uint8)
+        img = np.asarray(Image.fromarray(small).resize((w, h), Image.BILINEAR))
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+    no_boxes = (np.zeros((0, 4), np.float32), np.zeros(0, np.int32))
+    d = cfg.data
+
+    def run(fn):
+        t0 = time.perf_counter()
+        for data in jpegs:
+            fn(data)
+        return num_images / (time.perf_counter() - t0)
+
+    pil_ips = run(lambda data: prepare_example(
+        d, np.asarray(Image.open(io.BytesIO(data)).convert("RGB")), *no_boxes))
+    result = {
+        "metric": "host_front_end_images_per_sec",
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "pil_images_per_sec": round(pil_ips, 2),
+        "value": round(pil_ips, 2),
+        "canvas": [d.canvas_height, d.canvas_width],
+        "num_threads": num_threads,
+        "cpu_count": os.cpu_count(),
+    }
+    if native_available():
+        import dataclasses
+
+        from tpudet.data import native_decode as nd
+
+        d_exact = dataclasses.replace(d, fast_jpeg_scale=False)
+        result["native_exact_images_per_sec"] = round(run(
+            lambda data: prepare_example_jpeg(d_exact, data, *no_boxes)), 2)
+        native_ips = run(
+            lambda data: prepare_example_jpeg(d, data, *no_boxes))
+        result["native_images_per_sec"] = round(native_ips, 2)
+
+        def batch_all():
+            t0 = time.perf_counter()
+            nd.decode_batch(
+                jpegs, d.min_size, d.max_size, d.canvas_height,
+                d.canvas_width, fast_dct_scale=d.fast_jpeg_scale,
+                num_threads=num_threads,
+            )
+            return num_images / (time.perf_counter() - t0)
+
+        batch_all()  # warm (thread spawn, page faults)
+        result["native_batch_images_per_sec"] = round(batch_all(), 2)
+        result["value"] = result["native_batch_images_per_sec"]
+    return result
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--mode", default="infer",
-                   choices=["infer", "infer_stream", "train", "nms"])
+                   choices=["infer", "infer_stream", "train", "nms", "host"])
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args(argv)
@@ -236,6 +307,8 @@ def main(argv=None):
         result = bench_infer_stream(cfg, args.batch_size)
     elif args.mode == "train":
         result = bench_train(cfg, args.batch_size, args.iters)
+    elif args.mode == "host":
+        result = bench_host(cfg)
     else:
         result = bench_nms(cfg, args.iters)
     print(json.dumps(result))

@@ -51,6 +51,13 @@ class DataConfig:
     # reference, per Faster R-CNN §3.1.3).
     random_flip: bool = True
     shuffle_buffer: int = 1000
+    # Host JPEG front-end: "auto" uses the native C++ fused
+    # decode+resize+pad (tpudet/native) when it builds and the dataset
+    # exposes raw JPEGs, else PIL; "native" requires it; "pil" disables it.
+    decoder: str = "auto"
+    # Let libjpeg IDCT-scale to the smallest M/8 size covering the resize
+    # target before the exact resample (decode cost tracks output pixels).
+    fast_jpeg_scale: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +83,11 @@ class BackboneConfig:
     # Compute dtype for conv/matmul tiers. bf16 keeps the MXU fed at double
     # rate on TPU; params stay f32.
     dtype: str = "float32"  # "float32" | "bfloat16"
+    # Downsampling-stride placement in bottleneck blocks: True = the
+    # original/Keras/caffe convention (matches the reference's
+    # keras.applications weights); False = torchvision "v1.5" (required when
+    # importing torch weights via import_weights.convert_torch_resnet).
+    stride_in_1x1: bool = True
     # Space-to-depth stem: exactly equivalent 4x4/s1 conv on a block-2
     # space-to-depth image instead of the MXU-starved 7x7/s2 3-channel conv
     # (see models/resnet.py::stem_kernel_to_s2d). Weight layouts interconvert.

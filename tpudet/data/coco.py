@@ -55,6 +55,17 @@ class CocoDataset:
         im, _ = self.examples[index]
         return im["height"], im["width"]
 
+    def _annotations(self, anns):
+        boxes, classes = [], []
+        for ann in anns:
+            x, y, w, h = ann["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_id_to_class[ann["category_id"]])
+        return (
+            np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(classes, np.int32),
+        )
+
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
@@ -62,14 +73,20 @@ class CocoDataset:
         img = Image.open(
             os.path.join(self.image_dir, im["file_name"])
         ).convert("RGB")
-        boxes, classes = [], []
-        for ann in anns:
-            x, y, w, h = ann["bbox"]
-            boxes.append([x, y, x + w, y + h])
-            classes.append(self.cat_id_to_class[ann["category_id"]])
+        boxes, classes = self._annotations(anns)
         return {
             "image": np.asarray(img, np.uint8),
-            "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
-            "classes": np.asarray(classes, np.int32),
+            "boxes": boxes,
+            "classes": classes,
             "id": im["id"],
         }
+
+    def get_raw(self, index: int) -> Dict[str, np.ndarray]:
+        """Undecoded variant for the native C++ front-end (COCO images are
+        JPEGs); the loader fuses decode+resize+pad in C++."""
+        im, anns = self.examples[index]
+        with open(os.path.join(self.image_dir, im["file_name"]), "rb") as f:
+            jpeg = f.read()
+        boxes, classes = self._annotations(anns)
+        return {"jpeg": jpeg, "boxes": boxes, "classes": classes,
+                "id": im["id"]}

@@ -21,13 +21,39 @@ import jax
 import numpy as np
 
 from tpudet.config import Config
-from tpudet.data.preprocess import prepare_example
+from tpudet.data.preprocess import prepare_example, prepare_example_jpeg
 
 
 class Dataset(Protocol):
     def __len__(self) -> int: ...
 
     def get_example(self, index: int) -> Dict[str, np.ndarray]: ...
+
+
+def _resolve_decoder(cfg: Config, dataset) -> bool:
+    """True -> use the native C++ fused front-end via ``dataset.get_raw``."""
+    mode = getattr(cfg.data, "decoder", "auto")
+    if mode == "pil":
+        return False
+    has_raw = hasattr(dataset, "get_raw")
+    if mode == "native":
+        from tpudet.native import native_available
+
+        if not has_raw:
+            raise ValueError(
+                f"decoder='native' but {type(dataset).__name__} has no "
+                "get_raw() (no JPEG source)"
+            )
+        if not native_available():
+            raise RuntimeError(
+                "decoder='native' but the native decoder failed to build"
+            )
+        return True
+    if not has_raw:
+        return False
+    from tpudet.native import native_available
+
+    return native_available()
 
 
 class DataLoader:
@@ -52,6 +78,7 @@ class DataLoader:
         self.sharding = sharding
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.native_decode = _resolve_decoder(cfg, dataset)
 
     def __len__(self) -> int:
         if getattr(self.cfg.data, "orientation_buckets", False):
@@ -101,6 +128,12 @@ class DataLoader:
 
     def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
         def one(i):
+            if self.native_decode:
+                ex = self.dataset.get_raw(int(i))
+                return prepare_example_jpeg(
+                    self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
+                    difficult=ex.get("difficult"),
+                )
             ex = self.dataset.get_example(int(i))
             return prepare_example(
                 self.cfg.data, ex["image"], ex["boxes"], ex["classes"],

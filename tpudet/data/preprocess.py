@@ -44,30 +44,19 @@ def canvas_for_hw(cfg: DataConfig, h: int, w: int) -> Tuple[int, int]:
     return cfg.canvas_height, cfg.canvas_short
 
 
-def prepare_example(
+def _finalize_example(
     cfg: DataConfig,
-    image: np.ndarray,
+    canvas: np.ndarray,
+    nh: int,
+    nw: int,
+    h: int,
+    w: int,
     boxes: np.ndarray,
     classes: np.ndarray,
-    difficult: np.ndarray | None = None,
+    difficult: np.ndarray | None,
 ) -> Dict[str, np.ndarray]:
-    """Host-side C2+C4 for one example -> fixed-shape arrays.
-
-    image: [h, w, 3] uint8; boxes [n, 4] float (x1,y1,x2,y2); classes [n] 1..C.
-    """
-    from PIL import Image
-
-    h, w = image.shape[:2]
-    ch, cw = canvas_for_hw(cfg, h, w)
-    scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
-    nh, nw = min(ch, round(h * scale)), min(cw, round(w * scale))
-    if (nh, nw) != (h, w):
-        image = np.asarray(
-            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
-        )
-    canvas = np.zeros((ch, cw, 3), np.uint8)
-    canvas[:nh, :nw] = image
-
+    """Shared tail of the host front-end: pack GT to fixed shapes + scale
+    boxes by the exact per-axis resize factors (rounding differs per axis)."""
     g = cfg.max_gt_boxes
     gt_boxes = np.zeros((g, 4), np.float32)
     gt_classes = np.zeros((g,), np.int32)
@@ -77,7 +66,6 @@ def prepare_example(
     if difficult is not None and n:
         gt_difficult[:n] = difficult[:n]
     if n:
-        # Exact per-axis scales (nh/h, nw/w) — rounding can differ per axis.
         scaled = np.stack(
             [
                 boxes[:n, 0] * (nw / w),
@@ -101,6 +89,60 @@ def prepare_example(
         "gt_valid": gt_valid,
         "gt_difficult": gt_difficult,
     }
+
+
+def prepare_example(
+    cfg: DataConfig,
+    image: np.ndarray,
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    difficult: np.ndarray | None = None,
+) -> Dict[str, np.ndarray]:
+    """Host-side C2+C4 for one example -> fixed-shape arrays.
+
+    image: [h, w, 3] uint8; boxes [n, 4] float (x1,y1,x2,y2); classes [n] 1..C.
+    """
+    from PIL import Image
+
+    h, w = image.shape[:2]
+    ch, cw = canvas_for_hw(cfg, h, w)
+    scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
+    nh, nw = min(ch, round(h * scale)), min(cw, round(w * scale))
+    if (nh, nw) != (h, w):
+        image = np.asarray(
+            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
+        )
+    canvas = np.zeros((ch, cw, 3), np.uint8)
+    canvas[:nh, :nw] = image
+    return _finalize_example(
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult
+    )
+
+
+def prepare_example_jpeg(
+    cfg: DataConfig,
+    jpeg: bytes,
+    boxes: np.ndarray,
+    classes: np.ndarray,
+    difficult: np.ndarray | None = None,
+) -> Dict[str, np.ndarray]:
+    """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
+    JPEG decode (DCT-scaled when ``fast_jpeg_scale``), resize, and canvas pad
+    in one pass (tpudet/native/decoder.cpp). Identical output contract."""
+    from tpudet.data import native_decode
+
+    if cfg.orientation_buckets:
+        h, w = native_decode.jpeg_dims(jpeg)
+        ch, cw = canvas_for_hw(cfg, h, w)
+    else:
+        ch, cw = cfg.canvas_height, cfg.canvas_width
+    canvas, (nh, nw), (h, w) = native_decode.decode_resize_pad(
+        jpeg, cfg.min_size, cfg.max_size, ch, cw,
+        fast_dct_scale=cfg.fast_jpeg_scale,
+    )
+    return _finalize_example(
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult
+    )
 
 
 def _flip_single(image, boxes, image_hw):

@@ -92,6 +92,12 @@ class VOCDataset:
         size = tree.find("size")
         return int(size.findtext("height")), int(size.findtext("width"))
 
+    def _annotations(self, image_id: str):
+        return parse_voc_xml(
+            os.path.join(self.root, "Annotations", f"{image_id}.xml"),
+            self.keep_difficult,
+        )
+
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
         from PIL import Image
 
@@ -99,10 +105,7 @@ class VOCDataset:
         img = Image.open(
             os.path.join(self.root, "JPEGImages", f"{image_id}.jpg")
         ).convert("RGB")
-        boxes, classes, difficult = parse_voc_xml(
-            os.path.join(self.root, "Annotations", f"{image_id}.xml"),
-            self.keep_difficult,
-        )
+        boxes, classes, difficult = self._annotations(image_id)
         return {
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
@@ -110,6 +113,23 @@ class VOCDataset:
             # VOC eval protocol: difficult GT count neither as npos nor as
             # FPs when matched — the evaluator needs the flags, so eval-mode
             # datasets (keep_difficult=True) carry them through the pipeline.
+            "difficult": difficult,
+            "id": image_id,
+        }
+
+    def get_raw(self, index: int) -> Dict[str, np.ndarray]:
+        """Undecoded variant for the native C++ front-end: JPEG bytes
+        instead of a pixel array (the loader fuses decode+resize+pad)."""
+        image_id = self.ids[index]
+        with open(
+            os.path.join(self.root, "JPEGImages", f"{image_id}.jpg"), "rb"
+        ) as f:
+            jpeg = f.read()
+        boxes, classes, difficult = self._annotations(image_id)
+        return {
+            "jpeg": jpeg,
+            "boxes": boxes,
+            "classes": classes,
             "difficult": difficult,
             "id": image_id,
         }

@@ -1,0 +1,103 @@
+"""Native (C++) host-side components, bound via ctypes.
+
+The compute path of tpudet is JAX/XLA/Pallas; the host runtime around it —
+here, the image front-end (JPEG decode + resize + canvas pad, SURVEY.md
+C2/C4) — is C++ for throughput: Python/PIL costs ~11 ms/img serial, which a
+~550 img/s/chip device rate turns into a ~6-core host budget. The native
+batch decoder fuses the three stages per image (one pass, no intermediate
+PIL objects) and threads across images inside one GIL-released call.
+
+Builds lazily on first use (g++ -O3, links the system libjpeg) and caches
+the .so under ~/.cache/tpudet keyed by the source hash. Everything degrades
+gracefully: ``load_decoder()`` returns None when the toolchain or libjpeg is
+missing, and callers fall back to the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_SRC = os.path.join(os.path.dirname(__file__), "decoder.cpp")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _cache_dir() -> str:
+    root = os.environ.get("TPUDET_CACHE", "")
+    if not root:
+        root = os.path.join(
+            os.environ.get("XDG_CACHE_HOME")
+            or os.path.join(os.path.expanduser("~"), ".cache"),
+            "tpudet",
+        )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _build() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_cache_dir(), f"libtpudet_decoder_{digest}.so")
+    if os.path.exists(out):
+        return out
+    tmp = out + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-march=native", "-funroll-loops",
+        "-ffp-contract=fast", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        _SRC, "-o", tmp, "-ljpeg",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, out)  # atomic under concurrent builders
+    return out
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    szp = ctypes.POINTER(ctypes.c_size_t)
+    lib.tpudet_jpeg_dims.argtypes = [u8p, ctypes.c_size_t, i32p, i32p]
+    lib.tpudet_jpeg_dims.restype = ctypes.c_int
+    lib.tpudet_decode_jpeg.argtypes = [
+        u8p, ctypes.c_size_t, u8p, ctypes.c_size_t, i32p, i32p
+    ]
+    lib.tpudet_decode_jpeg.restype = ctypes.c_int
+    lib.tpudet_decode_resize_pad.argtypes = [
+        u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, u8p, i32p, i32p, i32p, i32p,
+    ]
+    lib.tpudet_decode_resize_pad.restype = ctypes.c_int
+    lib.tpudet_decode_batch.argtypes = [
+        u8p, szp, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p, i32p,
+    ]
+    lib.tpudet_decode_batch.restype = ctypes.c_int
+    lib.tpudet_resize.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, ctypes.c_int
+    ]
+    lib.tpudet_resize.restype = ctypes.c_int
+    return lib
+
+
+def load_decoder() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the native decoder; None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            _lib = _bind(ctypes.CDLL(_build()))
+        except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+            _load_failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return load_decoder() is not None
