@@ -1,0 +1,162 @@
+"""torchvision-layout weight import parity (import_weights.convert_torch_resnet).
+
+torchvision itself is not installed; instead the test builds a random
+state dict in the exact torchvision ResNet-50 layout and runs a minimal
+functional torch forward (conv2d/batch_norm/max_pool2d — the v1.5
+convention: downsampling stride on the 3x3 conv) as the oracle. The Flax
+backbone built with ``stride_in_1x1=False`` + converted weights must match
+every pyramid level.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from tpudet.models.import_weights import convert_torch_resnet  # noqa: E402
+from tpudet.models.resnet import ResNet  # noqa: E402
+
+BLOCKS = (3, 4, 6, 3)  # resnet50
+
+
+def _random_torch_state_dict(rng):
+    sd = {}
+
+    def conv(key, out_ch, in_ch, k):
+        sd[key + ".weight"] = torch.tensor(
+            rng.normal(0, 0.05, (out_ch, in_ch, k, k)).astype(np.float32)
+        )
+
+    def bn(key, ch):
+        sd[key + ".weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, ch).astype(np.float32))
+        sd[key + ".bias"] = torch.tensor(
+            rng.normal(0, 0.1, ch).astype(np.float32))
+        sd[key + ".running_mean"] = torch.tensor(
+            rng.normal(0, 0.1, ch).astype(np.float32))
+        sd[key + ".running_var"] = torch.tensor(
+            rng.uniform(0.5, 2.0, ch).astype(np.float32))
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    in_ch = 64
+    for s, n_blocks in enumerate(BLOCKS):
+        width, out_ch = 64 * 2 ** s, 256 * 2 ** s
+        for i in range(n_blocks):
+            t = f"layer{s + 1}.{i}"
+            if i == 0:
+                conv(f"{t}.downsample.0", out_ch, in_ch, 1)
+                bn(f"{t}.downsample.1", out_ch)
+            conv(f"{t}.conv1", width, in_ch, 1)
+            bn(f"{t}.bn1", width)
+            conv(f"{t}.conv2", width, width, 3)
+            bn(f"{t}.bn2", width)
+            conv(f"{t}.conv3", out_ch, width, 1)
+            bn(f"{t}.bn3", out_ch)
+            in_ch = out_ch
+    return sd
+
+
+def _torch_forward(sd, x):
+    """Functional torchvision-v1.5 ResNet forward -> {"c2".."c5"} NCHW."""
+
+    def bn(x, p):
+        return F.batch_norm(
+            x, sd[p + ".running_mean"], sd[p + ".running_var"],
+            sd[p + ".weight"], sd[p + ".bias"], training=False, eps=1e-5,
+        )
+
+    x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    feats = {}
+    for s, n_blocks in enumerate(BLOCKS):
+        for i in range(n_blocks):
+            t = f"layer{s + 1}.{i}"
+            stride = 2 if (i == 0 and s > 0) else 1
+            identity = x
+            if f"{t}.downsample.0.weight" in sd:
+                identity = bn(
+                    F.conv2d(x, sd[f"{t}.downsample.0.weight"], stride=stride),
+                    f"{t}.downsample.1",
+                )
+            y = F.relu(bn(F.conv2d(x, sd[f"{t}.conv1.weight"]), f"{t}.bn1"))
+            y = F.relu(bn(
+                F.conv2d(y, sd[f"{t}.conv2.weight"], stride=stride, padding=1),
+                f"{t}.bn2",
+            ))
+            y = bn(F.conv2d(y, sd[f"{t}.conv3.weight"]), f"{t}.bn3")
+            x = F.relu(y + identity)
+        feats[f"c{s + 2}"] = x
+    return feats
+
+
+def _assert_tree_shapes_match(want, got, path=""):
+    assert set(want) == set(got), f"{path}: {set(want) ^ set(got)}"
+    for k in want:
+        if isinstance(want[k], dict):
+            _assert_tree_shapes_match(want[k], got[k], f"{path}{k}/")
+        else:
+            assert np.shape(want[k]) == np.shape(got[k]), f"{path}{k}"
+
+
+def test_torch_resnet50_stage_parity(rng):
+    sd = _random_torch_state_dict(rng)
+    params, constants = convert_torch_resnet(sd, "resnet50")
+
+    model = ResNet(blocks=BLOCKS, norm="frozen_bn", dtype=jnp.float32,
+                   freeze_stem=False, stride_in_1x1=False)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    init_vars = model.init(jax.random.key(0), jnp.asarray(x))
+    _assert_tree_shapes_match(init_vars["params"], params)
+    _assert_tree_shapes_match(init_vars["constants"], constants)
+
+    feats = model.apply({"params": params, "constants": constants},
+                        jnp.asarray(x))
+    with torch.no_grad():
+        want = _torch_forward(sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    for level in ("c2", "c3", "c4", "c5"):
+        got = np.asarray(feats[level])
+        ref = np.transpose(want[level].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3,
+                                   err_msg=level)
+
+
+def test_torch_npz_roundtrip(rng, tmp_path):
+    from tpudet.models.import_weights import (
+        load_backbone_npz, save_backbone_npz,
+    )
+
+    sd = _random_torch_state_dict(rng)
+    params, constants = convert_torch_resnet(sd, "resnet50")
+    path = str(tmp_path / "torch_r50.npz")
+    save_backbone_npz(path, params, constants)
+    p2, c2 = load_backbone_npz(path)
+    np.testing.assert_array_equal(
+        p2["stage3_block0"]["conv2"]["kernel"],
+        params["stage3_block0"]["conv2"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        c2["stage5_block2"]["norm3"]["var"],
+        constants["stage5_block2"]["norm3"]["var"],
+    )
+
+
+def test_torch_import_requires_v15_stride(rng):
+    """With the default stride_in_1x1=True the same weights must NOT match —
+    guards against silently importing torch weights into the wrong block
+    convention (shapes agree either way, values don't)."""
+    sd = _random_torch_state_dict(rng)
+    params, constants = convert_torch_resnet(sd, "resnet50")
+    model = ResNet(blocks=BLOCKS, norm="frozen_bn", dtype=jnp.float32,
+                   freeze_stem=False, stride_in_1x1=True)
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    feats = model.apply({"params": params, "constants": constants},
+                        jnp.asarray(x))
+    with torch.no_grad():
+        want = _torch_forward(sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(want["c5"].numpy(), (0, 2, 3, 1))
+    assert not np.allclose(np.asarray(feats["c5"]), ref, rtol=1e-3, atol=1e-3)

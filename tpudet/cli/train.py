@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--eval-max-images", type=int, default=64)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax debug_nans (fails fast on NaN/Inf)")
+    p.add_argument("--backbone-weights", default="",
+                   help="pretrained backbone .npz (from import_weights."
+                        "convert_keras_resnet / convert_torch_resnet + "
+                        "save_backbone_npz); applied at init, before any "
+                        "checkpoint restore")
     return p.parse_args(argv)
 
 
@@ -81,6 +86,20 @@ def main(argv=None):
     model = FasterRCNN(cfg)
     rng = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg.train, rng)
+    if args.backbone_weights:
+        from tpudet.models.import_weights import (
+            apply_backbone_weights, load_backbone_npz,
+        )
+
+        bb_params, bb_constants = load_backbone_npz(args.backbone_weights)
+        new_vars = apply_backbone_weights(
+            state.variables, bb_params, bb_constants
+        )
+        state = state.replace(
+            params=new_vars["params"],
+            constants={k: v for k, v in new_vars.items() if k != "params"},
+        )
+        print(f"loaded backbone weights from {args.backbone_weights}")
     if mesh is not None:
         from tpudet.parallel.sharding_rules import shard_train_state
 

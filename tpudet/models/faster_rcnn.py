@@ -58,7 +58,7 @@ class DetectorCore(nn.Module):
         dtype = jnp.bfloat16 if bb.dtype == "bfloat16" else jnp.float32
         self.backbone = build_backbone(
             bb.name, bb.norm, dtype, bb.freeze_stem, s2d_stem=bb.s2d_stem,
-            remat=bb.remat,
+            remat=bb.remat, stride_in_1x1=bb.stride_in_1x1,
         )
         if bb.use_fpn:
             self.fpn = FPN(dtype=dtype)

@@ -72,6 +72,63 @@ def convert_keras_resnet(
     return params, constants
 
 
+def convert_torch_resnet(
+    state_dict: Dict[str, Any], name: str = "resnet50"
+) -> Tuple[Dict, Dict]:
+    """torchvision-layout ResNet state dict -> (params, constants) trees.
+
+    Layout: ``conv1.weight`` / ``bn1.*`` (stem), ``layer{1..4}.{i}.conv{1..3}.
+    weight`` + ``bn{1..3}.*`` per bottleneck, ``layer{s}.0.downsample.{0,1}``
+    projection. Accepts tensors or ndarrays (``.pth`` state dicts work without
+    torchvision installed).
+
+    Semantics notes:
+      * torch conv kernels are [O, I, kh, kw] -> transposed to NHWC's
+        [kh, kw, I, O]; torchvision ResNets have no conv biases.
+      * torchvision puts the downsampling stride on the 3x3 conv ("v1.5") —
+        the model MUST be built with ``BackboneConfig.stride_in_1x1=False``
+        for these weights.
+      * BN: weight=gamma, bias=beta, running_mean, running_var (eps 1e-5,
+        same as tpudet's FrozenBatchNorm).
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        return np.asarray(v, np.float32)
+
+    def conv_w(key):
+        return np.transpose(arr(key + ".weight"), (2, 3, 1, 0))
+
+    def bn_w(prefix):
+        return {
+            "scale": arr(prefix + ".weight"),
+            "bias": arr(prefix + ".bias"),
+            "mean": arr(prefix + ".running_mean"),
+            "var": arr(prefix + ".running_var"),
+        }
+
+    params: Dict = {"stem_conv": {"kernel": conv_w("conv1")}}
+    constants: Dict = {"norm_stem": bn_w("bn1")}
+
+    for stage, n_blocks in enumerate(STAGE_BLOCKS[name]):
+        layer = f"layer{stage + 1}"
+        for blk in range(n_blocks):
+            t = f"{layer}.{blk}"
+            our = f"stage{stage + 2}_block{blk}"
+            p: Dict = {}
+            c: Dict = {}
+            if f"{t}.downsample.0.weight" in state_dict:
+                p["conv_proj"] = {"kernel": conv_w(f"{t}.downsample.0")}
+                c["norm_proj"] = bn_w(f"{t}.downsample.1")
+            for j in (1, 2, 3):
+                p[f"conv{j}"] = {"kernel": conv_w(f"{t}.conv{j}")}
+                c[f"norm{j}"] = bn_w(f"{t}.bn{j}")
+            params[our] = p
+            constants[our] = c
+    return params, constants
+
+
 def save_backbone_npz(path: str, params: Dict, constants: Dict) -> None:
     flat = {}
 

@@ -111,6 +111,10 @@ class ResNet(nn.Module):
     norm: str = "frozen_bn"
     dtype: Any = jnp.float32
     freeze_stem: bool = True
+    # Downsampling-stride placement (see Bottleneck): True = original/Keras/
+    # caffe (the reference's keras.applications weights), False = the
+    # torchvision "v1.5" convention (required for torch-weight import).
+    stride_in_1x1: bool = True
     # Replace the 7x7/s2 stem conv with an exactly equivalent 4x4/s1 conv on
     # a block-2 space-to-depth input. The standard stem has 3 input channels,
     # which starves the MXU (128-wide contraction) and forces a strided conv;
@@ -153,6 +157,7 @@ class ResNet(nn.Module):
                 stride = 2 if (i == 0 and stage > 0) else 1
                 x = block_cls(
                     ch, stride, self.norm, self.dtype,
+                    stride_in_1x1=self.stride_in_1x1,
                     name=f"stage{stage + 2}_block{i}",
                 )(x)
             if stage == 0 and self.freeze_stem:
@@ -183,13 +188,15 @@ class TinyBackbone(nn.Module):
 
 
 def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
-                   s2d_stem: bool = False, remat: bool = False) -> nn.Module:
+                   s2d_stem: bool = False, remat: bool = False,
+                   stride_in_1x1: bool = True) -> nn.Module:
     if name == "tiny":
         return TinyBackbone(norm=norm if norm != "frozen_bn" else "gn", dtype=dtype)
     if name in STAGE_BLOCKS:
         return ResNet(
             blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype,
             freeze_stem=freeze_stem, s2d_stem=s2d_stem, remat=remat,
+            stride_in_1x1=stride_in_1x1,
         )
     raise ValueError(f"unknown backbone {name!r}")
 
