@@ -181,6 +181,52 @@ def test_loader_orientation_buckets_requires_hw():
         list(loader.batches(0))
 
 
+def test_bucket_for_hw_aspect_buckets():
+    from dataclasses import replace
+    from tpudet.data.preprocess import bucket_for_hw, canvas_for_hw
+
+    buckets = ((640, 640), (640, 832), (640, 1024), (832, 640), (1024, 640))
+    d = replace(tiny_test_config().data, min_size=600, max_size=1000,
+                aspect_buckets=buckets)
+    # 512x512 -> resized 600x600 -> square bucket.
+    assert bucket_for_hw(d, 512, 512) == 0
+    # 375x500 (VOC 4:3) -> 600x800 -> (640, 832).
+    assert bucket_for_hw(d, 375, 500) == 1
+    # 400x1000 wide -> 600x1500 capped by max_size to 400x1000 -> (640, 1024).
+    assert bucket_for_hw(d, 400, 1000) == 2
+    # portrait 4:3 mirrors.
+    assert bucket_for_hw(d, 500, 375) == 3
+    assert canvas_for_hw(d, 500, 375) == (832, 640)
+
+
+def test_loader_aspect_buckets_grouping_and_fill():
+    from dataclasses import replace
+
+    cfg = tiny_test_config()
+    buckets = ((48, 48), (48, 64), (64, 48))
+    cfg = cfg.replace(data=replace(
+        cfg.data, aspect_buckets=buckets, min_size=40, max_size=64,
+    ))
+    ds = _MixedOrientationDataset(12)
+    loader = DataLoader(cfg, ds, batch_size=2, shuffle=True, num_workers=2,
+                        drop_last=False)
+    seen = 0
+    shapes = set()
+    for batch in loader.batches(0):
+        img = batch["image"]
+        assert img.shape[1:3] in set(buckets)
+        shapes.add(img.shape[1:3])
+        # Every image in the batch resized onto this batch's canvas: the
+        # valid region must fit.
+        hw = batch["image_hw"]
+        assert (hw[:, 0] <= img.shape[1]).all()
+        assert (hw[:, 1] <= img.shape[2]).all()
+        seen += int(batch.get("batch_valid", np.ones(2, bool)).sum())
+    assert seen == 12
+    assert len(shapes) >= 2
+    assert len(loader) == sum(1 for _ in loader.batches(0))
+
+
 def test_prepare_example_carries_difficult_flags():
     """Eval-mode datasets pass per-GT 'difficult' flags through the host
     pipeline so the VOC-protocol evaluator can ignore those GT (SURVEY C20)."""

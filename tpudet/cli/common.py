@@ -19,18 +19,22 @@ from tpudet.config import (
 def preset_config(name: str) -> Config:
     if name == "tiny":
         return tiny_test_config()
-    # Orientation-bucketed canvases (see DataConfig): with aspect-preserving
-    # resize the short side never exceeds min_size, so the bucketed canvas
-    # short edge only needs min_size rounded up to the stride — 640 for VOC
-    # (600/1000), 832 for COCO (800/1333). 1.6x fewer padded pixels than the
-    # square canvas on typical landscape/portrait data.
+    # Aspect-bucketed canvases (see DataConfig): with aspect-preserving
+    # resize the short side never exceeds min_size, so canvas short edges
+    # only need min_size rounded up to the stride — 640 for VOC (600/1000),
+    # 832 for COCO (800/1333). Each image pads onto the best-fitting bucket;
+    # square + 4:3 + wide (and portrait mirrors) cover the real aspect mixes
+    # at ~85-90% canvas fill vs ~55-73% with one padded shape.
+    _VOC_BUCKETS = ((640, 640), (640, 832), (640, 1024),
+                    (832, 640), (1024, 640))
+    _COCO_BUCKETS = ((832, 832), (832, 1120), (832, 1344),
+                     (1120, 832), (1344, 832))
     if name == "voc_r50":
         # BASELINE configs 1–3: ResNet-50 Faster R-CNN on VOC 2007.
         return Config(
             data=DataConfig(dataset="voc", num_classes=20, min_size=600,
                             max_size=1000, canvas_height=1024,
-                            canvas_width=1024, orientation_buckets=True,
-                            canvas_short=640),
+                            canvas_width=1024, aspect_buckets=_VOC_BUCKETS),
             backbone=BackboneConfig(name="resnet50"),
         )
     if name == "coco_r50":
@@ -38,8 +42,7 @@ def preset_config(name: str) -> Config:
         return Config(
             data=DataConfig(dataset="coco", num_classes=80, min_size=800,
                             max_size=1333, canvas_height=1344,
-                            canvas_width=1344, orientation_buckets=True,
-                            canvas_short=832),
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS),
             backbone=BackboneConfig(name="resnet50"),
         )
     if name == "coco_r101_fpn":
@@ -47,8 +50,7 @@ def preset_config(name: str) -> Config:
         cfg = Config(
             data=DataConfig(dataset="coco", num_classes=80, min_size=800,
                             max_size=1333, canvas_height=1344,
-                            canvas_width=1344, orientation_buckets=True,
-                            canvas_short=832),
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS),
             backbone=BackboneConfig(name="resnet101", use_fpn=True,
                                     dtype="bfloat16"),
             anchors=AnchorConfig(),

@@ -42,6 +42,13 @@ class DataConfig:
     # to expose ``example_hw(i)`` (all bundled datasets do).
     orientation_buckets: bool = False
     canvas_short: int = 768
+    # Generalized aspect-ratio bucketing (supersedes orientation_buckets when
+    # non-empty): each entry is an (h, w) canvas; every image goes to the
+    # bucket that fits its resized shape with the fewest padded pixels, and
+    # the loader groups batches per bucket. N static shapes -> N XLA
+    # executables; typical VOC/COCO aspect mixes fill ~85-90% of the canvas
+    # vs ~55-73% with a single padded shape. Requires dataset.example_hw(i).
+    aspect_buckets: Tuple[Tuple[int, int], ...] = ()
     # GT boxes are padded to this many per image with a validity mask.
     max_gt_boxes: int = 100
     # Per-channel normalization (ImageNet RGB means/stds).

@@ -80,8 +80,14 @@ class DataLoader:
         self.prefetch = prefetch
         self.native_decode = _resolve_decoder(cfg, dataset)
 
+    @property
+    def _bucketed(self) -> bool:
+        d = self.cfg.data
+        return bool(getattr(d, "aspect_buckets", ())
+                    or getattr(d, "orientation_buckets", False))
+
     def __len__(self) -> int:
-        if getattr(self.cfg.data, "orientation_buckets", False):
+        if self._bucketed:
             return len(self._epoch_batch_indices(0))
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
@@ -95,22 +101,26 @@ class DataLoader:
     def _epoch_batch_indices(self, epoch: int):
         """Per-epoch list of (index_array [bs], num_real) batch plans.
 
-        With ``orientation_buckets`` every batch is orientation-homogeneous
-        (landscape xor portrait), so the whole batch pads onto one of the two
-        static canvases; tail remainders of each bucket pad by repeating the
-        bucket's last example (masked via "batch_valid")."""
+        With bucketing (aspect_buckets / orientation_buckets) every batch is
+        bucket-homogeneous, so the whole batch pads onto one static canvas;
+        tail remainders of each bucket pad by repeating the bucket's last
+        example (masked via "batch_valid")."""
+        from tpudet.data.preprocess import bucket_for_hw
+
         bs = self.batch_size
         order = self._epoch_order(epoch)
-        if not getattr(self.cfg.data, "orientation_buckets", False):
+        if not self._bucketed:
             groups = [order]
         else:
             if not hasattr(self.dataset, "example_hw"):
                 raise ValueError(
-                    "orientation_buckets=True needs dataset.example_hw(i)"
+                    "canvas bucketing needs dataset.example_hw(i)"
                 )
-            hw = np.asarray([self.dataset.example_hw(int(i)) for i in order])
-            landscape = hw[:, 1] >= hw[:, 0]
-            groups = [order[landscape], order[~landscape]]
+            buckets = np.asarray([
+                bucket_for_hw(self.cfg.data, *self.dataset.example_hw(int(i)))
+                for i in order
+            ])
+            groups = [order[buckets == b] for b in np.unique(buckets)]
 
         plans = []
         for g in groups:

@@ -31,12 +31,34 @@ def resize_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     return scale
 
 
-def canvas_for_hw(cfg: DataConfig, h: int, w: int) -> Tuple[int, int]:
-    """Static canvas (ch, cw) for an image of original size (h, w).
+def bucket_for_hw(cfg: DataConfig, h: int, w: int) -> int:
+    """Bucket id for an image of original size (h, w).
 
-    With ``orientation_buckets`` landscape images get the wide canvas and
-    portrait ones the tall canvas (batches are grouped by the loader);
-    otherwise everything shares the one (canvas_height, canvas_width)."""
+    With ``aspect_buckets`` the image goes to the canvas that fits its
+    resized shape with the fewest padded pixels (buckets too small on either
+    axis are penalized by the clipped area and only win when nothing fits);
+    with ``orientation_buckets`` landscape -> 0, portrait -> 1; otherwise
+    everything is bucket 0. The loader groups batches by this id."""
+    if cfg.aspect_buckets:
+        scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
+        th, tw = round(h * scale), round(w * scale)
+        best, best_cost = 0, None
+        for i, (ch, cw) in enumerate(cfg.aspect_buckets):
+            fit_h, fit_w = min(th, ch), min(tw, cw)
+            clipped = th * tw - fit_h * fit_w
+            cost = (ch * cw - fit_h * fit_w) + 4 * clipped
+            if best_cost is None or cost < best_cost:
+                best, best_cost = i, cost
+        return best
+    if cfg.orientation_buckets:
+        return 0 if w >= h else 1
+    return 0
+
+
+def canvas_for_hw(cfg: DataConfig, h: int, w: int) -> Tuple[int, int]:
+    """Static canvas (ch, cw) for an image of original size (h, w)."""
+    if cfg.aspect_buckets:
+        return tuple(cfg.aspect_buckets[bucket_for_hw(cfg, h, w)])
     if not cfg.orientation_buckets:
         return cfg.canvas_height, cfg.canvas_width
     if w >= h:

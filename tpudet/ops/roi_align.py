@@ -204,5 +204,12 @@ def roi_align_mxu(
     # (measured 1.8e-2 max error vs 5e-7 at HIGHEST). bf16 inputs are the
     # MXU's native format, so the flag changes nothing on the fast path.
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    # Contract the LARGER spatial dim first so the [N, s, kept_dim, C]
+    # intermediate keeps the smaller one: both orders are HBM-bound on that
+    # intermediate (e.g. 2.2 GB vs 1.4 GB per b=32 batch on the 40x64 VOC
+    # fmap — the shapes are static, so the choice costs nothing).
+    if w >= h:
+        t1 = jnp.einsum("ntw,hwc->nthc", wx, features, precision=prec)
+        return jnp.einsum("nsh,nthc->nstc", wy, t1, precision=prec)
     t1 = jnp.einsum("nsh,hwc->nswc", wy, features, precision=prec)
     return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
