@@ -87,6 +87,60 @@ def test_serving_detect_original_coords(setup, tmp_path):
             assert boxes[:, 3].max() <= h + 1e-3
 
 
+def test_bucketed_artifact_routes_by_aspect(setup, tmp_path):
+    import dataclasses
+
+    cfg, model, state, batch = setup
+    buckets = ((128, 128), (128, 192), (192, 128))
+    bcfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, aspect_buckets=buckets, min_size=120, max_size=192))
+    path = tmp_path / "bucketed.tpudet"
+    meta = save_artifact(str(path), bcfg, state.variables, batch_size=2)
+    assert [tuple(b) for b in meta["buckets"]] == list(buckets)
+
+    serving = ServingModel.load(str(path))
+    assert set(serving._calls) == set(buckets)
+
+    rng = np.random.default_rng(0)
+    # Mixed aspects -> different buckets; results must come back in order.
+    images = [
+        rng.integers(0, 255, (100, 100, 3), np.uint8),  # square
+        rng.integers(0, 255, (100, 160, 3), np.uint8),  # wide
+        rng.integers(0, 255, (160, 100, 3), np.uint8),  # tall
+        rng.integers(0, 255, (101, 101, 3), np.uint8),  # square again
+    ]
+    results = serving.detect(images, score_thresh=0.0)
+    assert len(results) == 4 and all(r is not None for r in results)
+    for img, det in zip(images, results):
+        h, w = img.shape[:2]
+        if len(det["boxes"]):
+            assert det["boxes"][:, 2].max() <= w + 1e-3
+            assert det["boxes"][:, 3].max() <= h + 1e-3
+
+    # Each bucket's module matches a live jitted model traced at that canvas.
+    import jax
+
+    from tpudet.data.preprocess import device_preprocess, prepare_example
+
+    img = images[1]
+    p = prepare_example(serving._data_cfg, img,
+                        np.zeros((0, 4), np.float32), np.zeros(0, np.int32))
+    assert p["image"].shape[:2] == (128, 192)
+    canvases = np.stack([p["image"], np.zeros_like(p["image"])])
+    hw = np.stack([p["image_hw"], p["image_hw"]]).astype(np.float32)
+
+    def live(image, image_hw):
+        b = device_preprocess(
+            bcfg, {"image": image, "image_hw": image_hw}, training=False
+        )
+        return model.predict(state.variables, b)
+
+    want = jax.device_get(jax.jit(live)(canvases, hw))
+    got = jax.device_get(serving(canvases, hw))
+    np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
+    np.testing.assert_array_equal(got["classes"], want["classes"])
+
+
 def test_export_cli(setup, tmp_path):
     from tpudet.cli.export import main
 

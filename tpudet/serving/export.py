@@ -35,13 +35,25 @@ import numpy as np
 ARTIFACT_VERSION = 1
 
 
+def _canvas_buckets(cfg) -> Tuple[Tuple[int, int], ...]:
+    """Canvases the artifact compiles for: the aspect buckets when
+    configured (one module per bucket, mirroring the training loader's
+    batching), else the single static canvas."""
+    d = cfg.data
+    if getattr(d, "aspect_buckets", ()):
+        return tuple(tuple(b) for b in d.aspect_buckets)
+    return ((int(d.canvas_height), int(d.canvas_width)),)
+
+
 def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
     d = cfg.data
+    buckets = _canvas_buckets(cfg)
     return {
         "artifact_version": ARTIFACT_VERSION,
         "batch_size": int(batch_size),
-        "canvas_height": int(d.canvas_height),
-        "canvas_width": int(d.canvas_width),
+        "canvas_height": buckets[0][0],
+        "canvas_width": buckets[0][1],
+        "buckets": [list(b) for b in buckets],
         "min_size": int(d.min_size),
         "max_size": int(d.max_size),
         "num_classes": int(d.num_classes),
@@ -58,6 +70,7 @@ def export_model(
     variables,
     batch_size: int,
     platforms: Optional[Sequence[str]] = None,
+    canvas_hw: Optional[Tuple[int, int]] = None,
 ):
     """Trace + lower the full inference step to a serializable Exported.
 
@@ -82,7 +95,7 @@ def export_model(
         )
         return model.predict(variables, batch)
 
-    ch, cw = cfg.data.canvas_height, cfg.data.canvas_width
+    ch, cw = canvas_hw or (cfg.data.canvas_height, cfg.data.canvas_width)
     specs = (
         jax.ShapeDtypeStruct((batch_size, ch, cw, 3), jnp.uint8),
         jax.ShapeDtypeStruct((batch_size, 2), jnp.float32),
@@ -93,72 +106,97 @@ def export_model(
     return jax_export.export(jax.jit(serve), **kwargs)(*specs)
 
 
+def _module_name(ch: int, cw: int) -> str:
+    return f"module_{ch}x{cw}.bin"
+
+
 def save_artifact(
     path: str, cfg, variables, batch_size: int,
     platforms: Optional[Sequence[str]] = None,
 ) -> Dict[str, Any]:
-    """Export and write the serving artifact zip. Returns the metadata."""
-    exported = export_model(cfg, variables, batch_size, platforms)
-    meta = _serving_metadata(cfg, batch_size, platforms or exported.platforms)
+    """Export and write the serving artifact zip. Returns the metadata.
+
+    With ``cfg.data.aspect_buckets`` the artifact carries one compiled
+    module per bucket canvas (the serving-side mirror of the loader's
+    bucketed batching); otherwise a single module."""
+    buckets = _canvas_buckets(cfg)
+    meta = None
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
-        zf.writestr("module.bin", bytes(exported.serialize()))
+        for ch, cw in buckets:
+            exported = export_model(cfg, variables, batch_size, platforms,
+                                    canvas_hw=(ch, cw))
+            if meta is None:
+                meta = _serving_metadata(
+                    cfg, batch_size, platforms or exported.platforms
+                )
+            zf.writestr(_module_name(ch, cw), bytes(exported.serialize()))
         zf.writestr("metadata.json", json.dumps(meta, indent=2))
     return meta
 
 
-def load_artifact(path: str) -> Tuple[Any, Dict[str, Any]]:
-    """Read an artifact zip -> (jax.export.Exported, metadata dict)."""
+def load_artifact(path: str) -> Tuple[Dict[Tuple[int, int], Any], Dict[str, Any]]:
+    """Read an artifact zip -> ({(ch, cw): Exported}, metadata dict)."""
     from jax import export as jax_export
 
     with zipfile.ZipFile(path) as zf:
-        module = zf.read("module.bin")
         meta = json.loads(zf.read("metadata.json"))
-    if meta.get("artifact_version") != ARTIFACT_VERSION:
-        raise ValueError(
-            f"artifact version {meta.get('artifact_version')} != "
-            f"{ARTIFACT_VERSION}"
-        )
-    return jax_export.deserialize(bytearray(module)), meta
+        if meta.get("artifact_version") != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {meta.get('artifact_version')} != "
+                f"{ARTIFACT_VERSION}"
+            )
+        modules = {}
+        for ch, cw in [tuple(b) for b in meta["buckets"]]:
+            modules[(ch, cw)] = jax_export.deserialize(
+                bytearray(zf.read(_module_name(ch, cw)))
+            )
+    return modules, meta
 
 
 class ServingModel:
-    """Host-side wrapper around a (loaded or fresh) exported program.
+    """Host-side wrapper around a loaded (or freshly exported) artifact.
 
-    ``detect(images)`` is the full 3b call stack for deployment: resize/pad
-    each raw image onto the exported canvas, batch (padding short batches to
-    the exported batch size), run the compiled program, rescale surviving
-    boxes to original-image coordinates.
+    ``detect(images)`` is the full 3b call stack for deployment: route each
+    raw image to the best-fitting canvas bucket (the serving mirror of the
+    training loader's aspect bucketing), resize/pad onto that canvas, batch
+    per bucket (padding short batches to the exported batch size), run the
+    bucket's compiled program, rescale surviving boxes to original-image
+    coordinates. Results come back in input order.
     """
 
-    def __init__(self, exported, meta: Dict[str, Any]):
+    def __init__(self, modules: Dict[Tuple[int, int], Any],
+                 meta: Dict[str, Any]):
         import jax
 
         self.meta = meta
-        self._call = jax.jit(exported.call)
+        self._calls = {hw: jax.jit(e.call) for hw, e in modules.items()}
         # Minimal DataConfig mirroring the exported preprocessing contract.
         from tpudet.config import DataConfig
 
+        buckets = tuple(tuple(b) for b in meta["buckets"])
         self._data_cfg = DataConfig(
             min_size=meta["min_size"],
             max_size=meta["max_size"],
             canvas_height=meta["canvas_height"],
             canvas_width=meta["canvas_width"],
+            aspect_buckets=buckets if len(buckets) > 1 else (),
             max_gt_boxes=1,
             num_classes=meta["num_classes"],
         )
 
     @classmethod
     def load(cls, path: str) -> "ServingModel":
-        exported, meta = load_artifact(path)
-        return cls(exported, meta)
+        modules, meta = load_artifact(path)
+        return cls(modules, meta)
 
     @property
     def batch_size(self) -> int:
         return self.meta["batch_size"]
 
     def __call__(self, image: np.ndarray, image_hw: np.ndarray):
-        """Run the compiled program on an already-prepared canvas batch."""
-        return self._call(image, image_hw)
+        """Run a compiled program on an already-prepared canvas batch
+        (the batch's [H, W] selects the bucket module)."""
+        return self._calls[tuple(image.shape[1:3])](image, image_hw)
 
     def detect(
         self, images: List[np.ndarray], score_thresh: Optional[float] = None
@@ -167,50 +205,55 @@ class ServingModel:
         coordinates: {"boxes" [n,4], "scores" [n], "classes" [n]}."""
         import jax
 
-        from tpudet.data.preprocess import prepare_example
+        from tpudet.data.preprocess import canvas_for_hw, prepare_example
 
         if score_thresh is None:
             score_thresh = self.meta["score_thresh"]
         bs = self.batch_size
-        results: List[Dict[str, np.ndarray]] = []
-        for start in range(0, len(images), bs):
-            chunk = images[start : start + bs]
-            prepared = [
-                prepare_example(
-                    self._data_cfg, img,
-                    np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+        by_bucket: Dict[Tuple[int, int], List[int]] = {}
+        for i, img in enumerate(images):
+            hw = canvas_for_hw(self._data_cfg, *img.shape[:2])
+            by_bucket.setdefault(tuple(hw), []).append(i)
+
+        results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+        for bucket, idxs in by_bucket.items():
+            call = self._calls[bucket]
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start : start + bs]
+                prepared = [
+                    prepare_example(
+                        self._data_cfg, images[i],
+                        np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
+                    )
+                    for i in chunk
+                ]
+                pad = bs - len(prepared)
+                canvases = np.stack(
+                    [p["image"] for p in prepared]
+                    + [np.zeros_like(prepared[0]["image"])] * pad
                 )
-                for img in chunk
-            ]
-            pad = bs - len(prepared)
-            canvases = np.stack(
-                [p["image"] for p in prepared]
-                + [np.zeros_like(prepared[0]["image"])] * pad
-            )
-            hw = np.stack(
-                [p["image_hw"] for p in prepared]
-                + [prepared[0]["image_hw"]] * pad
-            ).astype(np.float32)
-            out = jax.device_get(self._call(canvases, hw))
-            for i, p in enumerate(prepared):
-                keep = out["valid"][i] & (out["scores"][i] >= score_thresh)
-                boxes = out["boxes"][i][keep]
-                sy, sx = p["image_scale"]
-                oh, ow = p["orig_hw"]
-                boxes = np.stack(
-                    [
-                        np.clip(boxes[:, 0] / sx, 0, ow),
-                        np.clip(boxes[:, 1] / sy, 0, oh),
-                        np.clip(boxes[:, 2] / sx, 0, ow),
-                        np.clip(boxes[:, 3] / sy, 0, oh),
-                    ],
-                    axis=-1,
-                )
-                results.append(
-                    {
+                hw = np.stack(
+                    [p["image_hw"] for p in prepared]
+                    + [prepared[0]["image_hw"]] * pad
+                ).astype(np.float32)
+                out = jax.device_get(call(canvases, hw))
+                for k, (i, p) in enumerate(zip(chunk, prepared)):
+                    keep = out["valid"][k] & (out["scores"][k] >= score_thresh)
+                    boxes = out["boxes"][k][keep]
+                    sy, sx = p["image_scale"]
+                    oh, ow = p["orig_hw"]
+                    boxes = np.stack(
+                        [
+                            np.clip(boxes[:, 0] / sx, 0, ow),
+                            np.clip(boxes[:, 1] / sy, 0, oh),
+                            np.clip(boxes[:, 2] / sx, 0, ow),
+                            np.clip(boxes[:, 3] / sy, 0, oh),
+                        ],
+                        axis=-1,
+                    )
+                    results[i] = {
                         "boxes": boxes,
-                        "scores": out["scores"][i][keep],
-                        "classes": out["classes"][i][keep],
+                        "scores": out["scores"][k][keep],
+                        "classes": out["classes"][k][keep],
                     }
-                )
-        return results
+        return results  # type: ignore[return-value]
