@@ -208,6 +208,87 @@ def test_loader_native_vs_pil(tmp_path, rng):
                 np.testing.assert_array_equal(bn[k], bp[k], err_msg=k)
 
 
+def test_native_respects_aspect_buckets(rng):
+    """Regression: the native fused path must pick the same bucket canvas as
+    the PIL path (it originally only honored orientation_buckets, silently
+    padding every image onto the full square canvas)."""
+    from dataclasses import replace
+
+    from tpudet.config import DataConfig
+    from tpudet.data.preprocess import prepare_example, prepare_example_jpeg
+
+    buckets = ((96, 96), (96, 128), (128, 96))
+    cfg = DataConfig(min_size=90, max_size=128, canvas_height=160,
+                     canvas_width=160, aspect_buckets=buckets,
+                     max_gt_boxes=4, fast_jpeg_scale=False)
+    boxes = np.zeros((0, 4), np.float32)
+    classes = np.zeros(0, np.int32)
+    for h, w in [(100, 100), (90, 140), (140, 90)]:
+        img = _photo(rng, h, w)
+        data = _jpeg_bytes(img)
+        want = prepare_example(cfg, img_decoded(data), boxes, classes)
+        got = prepare_example_jpeg(cfg, data, boxes, classes)
+        assert got["image"].shape == want["image"].shape, (h, w)
+        assert got["image"].shape[:2] in set(buckets)
+        np.testing.assert_array_equal(got["image_hw"], want["image_hw"])
+
+
+def img_decoded(data):
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def test_unknown_decoder_value_raises():
+    import dataclasses
+
+    from tpudet.config import tiny_test_config
+    from tpudet.data import DataLoader, SyntheticDataset
+
+    cfg = tiny_test_config(canvas=128)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, decoder="PIL"))
+    ds = SyntheticDataset(num_classes=3, num_examples=2, image_size=128)
+    with pytest.raises(ValueError, match="unknown data.decoder"):
+        DataLoader(cfg, ds, batch_size=2)
+
+
+def test_native_falls_back_per_image_on_undecodable_jpeg(rng):
+    """A JPEG libjpeg rejects must fall back to the PIL path (via
+    get_example), not kill the batch."""
+    import dataclasses
+
+    from tpudet.config import tiny_test_config
+    from tpudet.data import DataLoader
+
+    good = _photo(rng, 80, 80)
+
+    class Mixed:
+        def __len__(self):
+            return 2
+
+        def example_hw(self, i):
+            return (80, 80)
+
+        def get_raw(self, i):
+            return {
+                "jpeg": b"\xff\xd8 broken" if i == 1 else _jpeg_bytes(good),
+                "boxes": np.zeros((0, 4), np.float32),
+                "classes": np.zeros(0, np.int32),
+            }
+
+        def get_example(self, i):
+            return {
+                "image": good,
+                "boxes": np.zeros((0, 4), np.float32),
+                "classes": np.zeros(0, np.int32),
+            }
+
+    cfg = tiny_test_config(canvas=128)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, decoder="native"))
+    loader = DataLoader(cfg, Mixed(), batch_size=2, shuffle=False,
+                        num_workers=2)
+    batch = next(iter(loader.batches(0)))
+    assert batch["image"].shape[0] == 2  # both images made it
+
+
 def test_native_mode_requires_raw_source():
     import dataclasses
 

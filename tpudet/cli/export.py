@@ -42,6 +42,10 @@ def main(argv=None):
     state = create_train_state(model, cfg.train, jax.random.key(cfg.train.seed))
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)
+    else:
+        print("WARNING: no --checkpoint-dir given — exporting RANDOMLY "
+              "INITIALIZED weights (fine for smoke tests, useless for "
+              "serving)")
     platforms = (
         [s.strip() for s in args.platforms.split(",") if s.strip()] or None
     )

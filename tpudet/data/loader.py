@@ -30,9 +30,16 @@ class Dataset(Protocol):
     def get_example(self, index: int) -> Dict[str, np.ndarray]: ...
 
 
+_announced_native = False
+
+
 def _resolve_decoder(cfg: Config, dataset) -> bool:
     """True -> use the native C++ fused front-end via ``dataset.get_raw``."""
     mode = getattr(cfg.data, "decoder", "auto")
+    if mode not in ("auto", "native", "pil"):
+        raise ValueError(
+            f"unknown data.decoder {mode!r} (use 'auto', 'native' or 'pil')"
+        )
     if mode == "pil":
         return False
     has_raw = hasattr(dataset, "get_raw")
@@ -79,6 +86,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.native_decode = _resolve_decoder(cfg, dataset)
+        global _announced_native
+        if self.native_decode and not _announced_native:
+            _announced_native = True
+            print(
+                "loader: native C++ JPEG front-end enabled "
+                f"(fast_dct_scale={getattr(cfg.data, 'fast_jpeg_scale', True)}"
+                "; --set data.decoder=pil to disable)"
+            )
 
     @property
     def _bucketed(self) -> bool:
@@ -140,10 +155,16 @@ class DataLoader:
         def one(i):
             if self.native_decode:
                 ex = self.dataset.get_raw(int(i))
-                return prepare_example_jpeg(
-                    self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
-                    difficult=ex.get("difficult"),
-                )
+                try:
+                    return prepare_example_jpeg(
+                        self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
+                        difficult=ex.get("difficult"),
+                    )
+                except ValueError:
+                    # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
+                    # color conversion) — fall back per-image rather than
+                    # killing the epoch.
+                    pass
             ex = self.dataset.get_example(int(i))
             return prepare_example(
                 self.cfg.data, ex["image"], ex["boxes"], ex["classes"],

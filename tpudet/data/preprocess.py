@@ -153,7 +153,7 @@ def prepare_example_jpeg(
     in one pass (tpudet/native/decoder.cpp). Identical output contract."""
     from tpudet.data import native_decode
 
-    if cfg.orientation_buckets:
+    if cfg.orientation_buckets or cfg.aspect_buckets:
         h, w = native_decode.jpeg_dims(jpeg)
         ch, cw = canvas_for_hw(cfg, h, w)
     else:

@@ -80,17 +80,24 @@ class VOCDataset:
         )
         with open(split_file) as f:
             self.ids: List[str] = [line.strip() for line in f if line.strip()]
+        self._hw_cache: Dict[int, tuple] = {}
 
     def __len__(self) -> int:
         return len(self.ids)
 
     def example_hw(self, index: int) -> tuple:
-        """Original (h, w) from the XML <size> tag — no JPEG decode."""
+        """Original (h, w) from the XML <size> tag — no JPEG decode.
+        Memoized: bucket planning queries every example once per epoch."""
+        cached = self._hw_cache.get(index)
+        if cached is not None:
+            return cached
         tree = ET.parse(
             os.path.join(self.root, "Annotations", f"{self.ids[index]}.xml")
         )
         size = tree.find("size")
-        return int(size.findtext("height")), int(size.findtext("width"))
+        hw = (int(size.findtext("height")), int(size.findtext("width")))
+        self._hw_cache[index] = hw
+        return hw
 
     def _annotations(self, image_id: str):
         return parse_voc_xml(

@@ -40,9 +40,27 @@ def _cache_dir() -> str:
     return root
 
 
+def _host_tag() -> str:
+    """CPU identity folded into the cache key: -march=native objects are
+    ISA-specific, and a cached .so from a wider-ISA host (shared/NFS home,
+    migrated VM image) would SIGILL here rather than fall back."""
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    cpu += line
+                    if line.startswith("flags"):
+                        break
+    except OSError:
+        pass
+    return hashlib.sha256((os.uname().machine + cpu).encode()).hexdigest()[:8]
+
+
 def _build() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    digest += "_" + _host_tag()
     out = os.path.join(_cache_dir(), f"libtpudet_decoder_{digest}.so")
     if os.path.exists(out):
         return out

@@ -245,6 +245,10 @@ int tpudet_decode_resize_pad(const uint8_t* data, size_t len, int min_size,
                              int* nw, int* oh, int* ow) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // Declared BEFORE setjmp: longjmp re-enters this frame, so the error path
+  // returns through normal function exit and the vector's destructor runs
+  // (objects constructed between setjmp and longjmp would leak).
+  std::vector<uint8_t> decoded;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_message;
@@ -275,7 +279,7 @@ int tpudet_decode_resize_pad(const uint8_t* data, size_t len, int min_size,
   }
   jpeg_start_decompress(&cinfo);
   int dh = cinfo.output_height, dw = cinfo.output_width;
-  std::vector<uint8_t> decoded(static_cast<size_t>(dh) * dw * 3);
+  decoded.resize(static_cast<size_t>(dh) * dw * 3);
   size_t stride = static_cast<size_t>(dw) * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = decoded.data() + cinfo.output_scanline * stride;

@@ -38,10 +38,16 @@ ARTIFACT_VERSION = 1
 def _canvas_buckets(cfg) -> Tuple[Tuple[int, int], ...]:
     """Canvases the artifact compiles for: the aspect buckets when
     configured (one module per bucket, mirroring the training loader's
-    batching), else the single static canvas."""
+    batching), the two orientation canvases in legacy orientation mode,
+    else the single static canvas."""
     d = cfg.data
     if getattr(d, "aspect_buckets", ()):
         return tuple(tuple(b) for b in d.aspect_buckets)
+    if getattr(d, "orientation_buckets", False):
+        return (
+            (int(d.canvas_short), int(d.canvas_width)),
+            (int(d.canvas_height), int(d.canvas_short)),
+        )
     return ((int(d.canvas_height), int(d.canvas_width)),)
 
 
