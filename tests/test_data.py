@@ -227,6 +227,22 @@ def test_loader_aspect_buckets_grouping_and_fill():
     assert len(loader) == sum(1 for _ in loader.batches(0))
 
 
+def test_loader_process_sharding_partitions_dataset():
+    """Multi-host input sharding: every process reads a disjoint slice of
+    each epoch and the union covers the dataset exactly once."""
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(num_classes=3, num_examples=12, image_size=64)
+    seen = []
+    for p in range(3):
+        loader = DataLoader(cfg, ds, batch_size=2, shuffle=True, seed=7,
+                            num_workers=1, process_index=p, process_count=3)
+        idxs = [i for idx, _ in loader._epoch_batch_indices(0) for i in idx]
+        seen.append(set(int(i) for i in idxs))
+    assert seen[0] | seen[1] | seen[2] == set(range(12))
+    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
+    assert not (seen[0] & seen[2])
+
+
 def test_prepare_example_carries_difficult_flags():
     """Eval-mode datasets pass per-GT 'difficult' flags through the host
     pipeline so the VOC-protocol evaluator can ignore those GT (SURVEY C20)."""

@@ -75,6 +75,8 @@ class DataLoader:
         sharding=None,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.cfg = cfg
         self.dataset = dataset
@@ -85,6 +87,15 @@ class DataLoader:
         self.sharding = sharding
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Multi-host input sharding: each process reads a disjoint strided
+        # slice of every epoch's order (same shuffle seed everywhere, so the
+        # global epoch is a permutation of the dataset). Defaults follow the
+        # JAX runtime; single-host runs see 0/1 and are unaffected.
+        if process_index is None or process_count is None:
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
         self.native_decode = _resolve_decoder(cfg, dataset)
         global _announced_native
         if self.native_decode and not _announced_native:
@@ -111,6 +122,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
         return order
 
     def _epoch_batch_indices(self, epoch: int):
