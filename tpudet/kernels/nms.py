@@ -83,7 +83,7 @@ def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
     # the finalized frontier (unfinalized tiles contribute keep=0, i.e.
     # nothing) instead of needing an exact j < i bound per 128-row tile.
     keep_ref[:, :] = jnp.zeros((n_tiles, TILE), jnp.float32)
-    keep_t_ref[:, :] = jnp.zeros((p, 1), jnp.float32)
+    keep_t_ref[:, :] = jnp.zeros((p, 1), jnp.bfloat16)
 
     def tile_body(i):
         i0 = pl.multiple_of(i * TILE, TILE)
@@ -100,7 +100,7 @@ def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
             b = boxes_nx4_ref[pl.ds(c0, CROSS_ROWS), :]
             rows = (b[:, 0:1], b[:, 1:2], b[:, 2:3], b[:, 3:4])
             blk = _iou_block(rows, cols_i) > iou_threshold  # [CROSS_ROWS,128]
-            keep_j = keep_t_ref[pl.ds(c0, CROSS_ROWS), 0:1]
+            keep_j = keep_t_ref[pl.ds(c0, CROSS_ROWS), 0:1].astype(jnp.float32)
             hit = jnp.where(blk, keep_j, 0.0)
             return jnp.maximum(supp, jnp.max(hit, axis=0, keepdims=True))
 
@@ -155,7 +155,9 @@ def _nms_kernel(iou_threshold, max_outputs, boxes_nx4_ref, boxes_4xn_ref,
         )
 
         keep_ref[pl.ds(i, 1), :] = keep_row
-        keep_t_ref[pl.ds(i0, TILE), 0:1] = keep_row.reshape(TILE, 1)
+        keep_t_ref[pl.ds(i0, TILE), 0:1] = keep_row.reshape(TILE, 1).astype(
+            jnp.bfloat16
+        )
         return jnp.sum(keep_row)
 
     # Early exit (exact): callers take only the first ``max_outputs`` kept
@@ -193,8 +195,16 @@ def _nms_keep_mask(boxes_sorted, cand, iou_threshold: float,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((p, 1), jnp.float32),       # keep, sublane-major
+            # Sublane-major keep copy. (p, 1) pads to 128 lanes, so dtype is
+            # the footprint lever: bf16 halves the 12k-box training size to
+            # ~3 MB (values are exact 0/1 — bf16 is lossless here).
+            pltpu.VMEM((p, 1), jnp.bfloat16),
         ],
+        # The training config (12k boxes) plus vmap batching brushes the
+        # default 16 MB scoped-VMEM budget; state the real requirement.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         boxes_sorted,
