@@ -141,6 +141,21 @@ def test_bucketed_artifact_routes_by_aspect(setup, tmp_path):
     np.testing.assert_array_equal(got["classes"], want["classes"])
 
 
+def test_orientation_buckets_export_two_canvases(setup, tmp_path):
+    """Legacy orientation mode must export both canvases, not the square."""
+    import dataclasses
+
+    cfg, model, state, batch = setup
+    ocfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, orientation_buckets=True, canvas_short=64,
+        canvas_height=128, canvas_width=128, min_size=60, max_size=128))
+    path = tmp_path / "orient.tpudet"
+    meta = save_artifact(str(path), ocfg, state.variables, batch_size=1)
+    assert [tuple(b) for b in meta["buckets"]] == [(64, 128), (128, 64)]
+    serving = ServingModel.load(str(path))
+    assert set(serving._calls) == {(64, 128), (128, 64)}
+
+
 def test_export_cli(setup, tmp_path):
     from tpudet.cli.export import main
 
