@@ -228,19 +228,52 @@ def test_loader_aspect_buckets_grouping_and_fill():
 
 
 def test_loader_process_sharding_partitions_dataset():
-    """Multi-host input sharding: every process reads a disjoint slice of
-    each epoch and the union covers the dataset exactly once."""
+    """Multi-host input sharding: batch_size is GLOBAL; every process reads
+    a disjoint equal-size slice (same number of batches everywhere) and the
+    union of the slices covers min(n - n % count, all) examples exactly
+    once."""
+    from tpudet.parallel import batch_sharding, make_mesh
+
     cfg = tiny_test_config()
-    ds = SyntheticDataset(num_classes=3, num_examples=12, image_size=64)
-    seen = []
+    ds = SyntheticDataset(num_classes=3, num_examples=13, image_size=64)
+    sharding = batch_sharding(make_mesh(num_data=2, num_model=1))
+    seen, lens = [], []
     for p in range(3):
-        loader = DataLoader(cfg, ds, batch_size=2, shuffle=True, seed=7,
-                            num_workers=1, process_index=p, process_count=3)
+        loader = DataLoader(cfg, ds, batch_size=6, shuffle=True, seed=7,
+                            num_workers=1, process_index=p, process_count=3,
+                            sharding=sharding)
+        assert loader.batch_size == 2  # per-process rows
+        assert loader.global_batch_size == 6
         idxs = [i for idx, _ in loader._epoch_batch_indices(0) for i in idx]
         seen.append(set(int(i) for i in idxs))
-    assert seen[0] | seen[1] | seen[2] == set(range(12))
+        lens.append(len(loader))
+    # Equal batch counts on every process (lockstep safety).
+    assert lens[0] == lens[1] == lens[2] == 2
+    union = seen[0] | seen[1] | seen[2]
+    assert len(union) == 12  # 13 -> common length 4 per process
     assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
     assert not (seen[0] & seen[2])
+
+
+def test_loader_process_sharding_guards():
+    import pytest as _pytest
+    from dataclasses import replace
+
+    from tpudet.parallel import batch_sharding, make_mesh
+
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(num_classes=3, num_examples=12, image_size=64)
+    sharding = batch_sharding(make_mesh(num_data=2, num_model=1))
+    with _pytest.raises(ValueError, match="divisible"):
+        DataLoader(cfg, ds, batch_size=5, process_index=0, process_count=2,
+                   sharding=sharding)
+    with _pytest.raises(ValueError, match="sharding"):
+        DataLoader(cfg, ds, batch_size=4, process_index=0, process_count=2)
+    bucketed = cfg.replace(data=replace(
+        cfg.data, aspect_buckets=((64, 64), (64, 96))))
+    with _pytest.raises(ValueError, match="bucketing"):
+        DataLoader(bucketed, ds, batch_size=4, process_index=0,
+                   process_count=2, sharding=sharding)
 
 
 def test_prepare_example_carries_difficult_flags():

@@ -46,8 +46,11 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
             cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
             interpolation=cfg.eval.ap_interpolation, class_names=class_names,
         )
+    # Explicitly unsharded: every process evaluates the FULL split (the
+    # evaluator has no cross-process aggregation; identical full-split
+    # numbers on each host beat silently-partial per-host numbers).
     loader = DataLoader(cfg, dataset, batch_size, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, process_index=0, process_count=1)
     seen = 0
     for batch in loader.batches(0):
         batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))

@@ -31,6 +31,7 @@ class Dataset(Protocol):
 
 
 _announced_native = False
+_announced_fallback = False
 
 
 def _resolve_decoder(cfg: Config, dataset) -> bool:
@@ -80,22 +81,46 @@ class DataLoader:
     ):
         self.cfg = cfg
         self.dataset = dataset
-        self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.num_workers = num_workers
         self.sharding = sharding
         self.drop_last = drop_last
         self.prefetch = prefetch
-        # Multi-host input sharding: each process reads a disjoint strided
-        # slice of every epoch's order (same shuffle seed everywhere, so the
-        # global epoch is a permutation of the dataset). Defaults follow the
-        # JAX runtime; single-host runs see 0/1 and are unaffected.
+        # Multi-host input sharding: ``batch_size`` is the GLOBAL batch.
+        # Each process reads a disjoint, equal-size strided slice of every
+        # epoch's order (same shuffle seed everywhere, so the union of the
+        # slices is exactly one permutation pass truncated to a common
+        # length) and loads only its batch_size/process_count rows;
+        # ``device_stream`` assembles the global sharded array from the
+        # per-process rows. Defaults follow the JAX runtime; single-host
+        # runs see 0/1 and are unaffected.
         if process_index is None or process_count is None:
             process_index = jax.process_index()
             process_count = jax.process_count()
         self.process_index = process_index
         self.process_count = process_count
+        self.global_batch_size = batch_size
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} not divisible by "
+                    f"process_count {process_count}"
+                )
+            if sharding is None:
+                raise ValueError(
+                    "multi-host loading (process_count > 1) needs a batch "
+                    "sharding to assemble the global array"
+                )
+        self.batch_size = batch_size // process_count
+        if process_count > 1 and self._bucketed:
+            # Bucket composition differs per process slice, so hosts would
+            # plan different batch counts/canvas sequences and desynchronize
+            # at the first collective. Multi-host runs use one static canvas.
+            raise ValueError(
+                "canvas bucketing is not supported with multi-host input "
+                "sharding — use a single static canvas"
+            )
         self.native_decode = _resolve_decoder(cfg, dataset)
         global _announced_native
         if self.native_decode and not _announced_native:
@@ -115,7 +140,7 @@ class DataLoader:
     def __len__(self) -> int:
         if self._bucketed:
             return len(self._epoch_batch_indices(0))
-        n = len(self.dataset)
+        n = len(self._epoch_order(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
@@ -123,7 +148,11 @@ class DataLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         if self.process_count > 1:
-            order = order[self.process_index :: self.process_count]
+            # Equal-length slices (drop the global remainder): every process
+            # must plan the SAME number of batches per epoch, or hosts
+            # desynchronize at the first collective.
+            per = len(order) // self.process_count
+            order = order[self.process_index :: self.process_count][:per]
         return order
 
     def _epoch_batch_indices(self, epoch: int):
@@ -167,17 +196,27 @@ class DataLoader:
     def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
         def one(i):
             if self.native_decode:
+                from tpudet.data.native_decode import NativeDecodeError
+
                 ex = self.dataset.get_raw(int(i))
                 try:
                     return prepare_example_jpeg(
                         self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
                         difficult=ex.get("difficult"),
                     )
-                except ValueError:
+                except NativeDecodeError:
                     # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
                     # color conversion) — fall back per-image rather than
-                    # killing the epoch.
-                    pass
+                    # killing the epoch. Other ValueErrors (bad config args)
+                    # propagate: mass silent fallback would mask the bug.
+                    global _announced_fallback
+                    if not _announced_fallback:
+                        _announced_fallback = True
+                        print(
+                            "loader: native decoder rejected an image "
+                            f"(id={ex.get('id', i)!r}) — falling back to PIL "
+                            "for such images"
+                        )
             ex = self.dataset.get_example(int(i))
             return prepare_example(
                 self.cfg.data, ex["image"], ex["boxes"], ex["classes"],
@@ -218,7 +257,20 @@ class DataLoader:
             epoch = start_epoch
             while not stop.is_set():
                 for batch in self.batches(epoch):
-                    dev = jax.device_put(batch, self.sharding)
+                    if self.process_count > 1:
+                        # Each process holds its batch_size/process_count
+                        # rows; assemble the global [global_batch, ...]
+                        # sharded array from the per-process local rows.
+                        dev = {
+                            k: jax.make_array_from_process_local_data(
+                                self.sharding,
+                                v,
+                                (self.global_batch_size,) + v.shape[1:],
+                            )
+                            for k, v in batch.items()
+                        }
+                    else:
+                        dev = jax.device_put(batch, self.sharding)
                     q.put(dev)
                     if stop.is_set():
                         return

@@ -19,6 +19,12 @@ from tpudet.native import load_decoder
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 
 
+class NativeDecodeError(ValueError):
+    """A JPEG the native decoder cannot handle (corrupt data, or a color
+    space libjpeg won't convert, e.g. CMYK/YCCK). Callers may fall back to
+    PIL for these; other ValueErrors indicate caller bugs and propagate."""
+
+
 def _lib():
     lib = load_decoder()
     if lib is None:
@@ -40,7 +46,7 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
         _bytes_ptr(data), len(data), ctypes.byref(h), ctypes.byref(w)
     )
     if rc != 0:
-        raise ValueError("corrupt JPEG header")
+        raise NativeDecodeError("corrupt JPEG header")
     return h.value, w.value
 
 
@@ -54,7 +60,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         ctypes.byref(oh), ctypes.byref(ow),
     )
     if rc != 0:
-        raise ValueError("corrupt JPEG")
+        raise NativeDecodeError("corrupt JPEG")
     return out
 
 
@@ -85,7 +91,7 @@ def decode_resize_pad(
         ctypes.byref(nh), ctypes.byref(nw), ctypes.byref(oh), ctypes.byref(ow),
     )
     if rc != 0:
-        raise ValueError("corrupt JPEG")
+        raise NativeDecodeError("corrupt JPEG")
     return canvas, (nh.value, nw.value), (oh.value, ow.value)
 
 

@@ -48,9 +48,12 @@ def _host_tag() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("model name", "flags")):
+                # x86: "model name"/"flags"; aarch64: "CPU implementer"/
+                # "CPU part"/"Features".
+                if line.startswith(("model name", "flags", "CPU implementer",
+                                    "CPU part", "Features")):
                     cpu += line
-                    if line.startswith("flags"):
+                    if line.startswith(("flags", "Features")):
                         break
     except OSError:
         pass

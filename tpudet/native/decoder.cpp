@@ -23,6 +23,7 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -245,15 +246,17 @@ int tpudet_decode_resize_pad(const uint8_t* data, size_t len, int min_size,
                              int* nw, int* oh, int* ow) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
-  // Declared BEFORE setjmp: longjmp re-enters this frame, so the error path
-  // returns through normal function exit and the vector's destructor runs
-  // (objects constructed between setjmp and longjmp would leak).
-  std::vector<uint8_t> decoded;
+  // The decode buffer is freed on BOTH paths via a volatile pointer: a
+  // non-volatile automatic modified between setjmp and longjmp has
+  // indeterminate value after the jump (C11 7.13.2.1), so a std::vector
+  // here would be formally UB on the error path.
+  uint8_t* volatile decoded_buf = nullptr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   jerr.pub.emit_message = emit_message;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
+    std::free(decoded_buf);
     return TPUDET_ERR_DECODE;
   }
   jpeg_create_decompress(&cinfo);
@@ -279,15 +282,20 @@ int tpudet_decode_resize_pad(const uint8_t* data, size_t len, int min_size,
   }
   jpeg_start_decompress(&cinfo);
   int dh = cinfo.output_height, dw = cinfo.output_width;
-  decoded.resize(static_cast<size_t>(dh) * dw * 3);
   size_t stride = static_cast<size_t>(dw) * 3;
+  decoded_buf = static_cast<uint8_t*>(std::malloc(stride * dh));
+  if (decoded_buf == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return TPUDET_ERR_DECODE;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
-    JSAMPROW row = decoded.data() + cinfo.output_scanline * stride;
+    JSAMPROW row = decoded_buf + cinfo.output_scanline * stride;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  resize_into(decoded.data(), dh, dw, canvas, canvas_w, *nh, *nw);
+  resize_into(decoded_buf, dh, dw, canvas, canvas_w, *nh, *nw);
+  std::free(decoded_buf);
   return TPUDET_OK;
 }
 
