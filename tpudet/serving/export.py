@@ -24,9 +24,8 @@ detections back to original-image coordinates.
 
 from __future__ import annotations
 
-import dataclasses
-import io
 import json
+import os
 import zipfile
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -213,6 +212,8 @@ class ServingModel:
 
         from tpudet.data.preprocess import canvas_for_hw, prepare_example
 
+        from concurrent.futures import ThreadPoolExecutor
+
         if score_thresh is None:
             score_thresh = self.meta["score_thresh"]
         bs = self.batch_size
@@ -221,18 +222,18 @@ class ServingModel:
             hw = canvas_for_hw(self._data_cfg, *img.shape[:2])
             by_bucket.setdefault(tuple(hw), []).append(i)
 
+        no_boxes = (np.zeros((0, 4), np.float32), np.zeros(0, np.int32))
+
+        def prep(i):
+            return prepare_example(self._data_cfg, images[i], *no_boxes)
+
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
+        pool = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
         for bucket, idxs in by_bucket.items():
             call = self._calls[bucket]
             for start in range(0, len(idxs), bs):
                 chunk = idxs[start : start + bs]
-                prepared = [
-                    prepare_example(
-                        self._data_cfg, images[i],
-                        np.zeros((0, 4), np.float32), np.zeros(0, np.int32),
-                    )
-                    for i in chunk
-                ]
+                prepared = list(pool.map(prep, chunk))
                 pad = bs - len(prepared)
                 canvases = np.stack(
                     [p["image"] for p in prepared]
@@ -262,4 +263,5 @@ class ServingModel:
                         "scores": out["scores"][k][keep],
                         "classes": out["classes"][k][keep],
                     }
+        pool.shutdown(wait=False)
         return results  # type: ignore[return-value]
