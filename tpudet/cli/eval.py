@@ -51,11 +51,30 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     # numbers on each host beat silently-partial per-host numbers).
     loader = DataLoader(cfg, dataset, batch_size, shuffle=False,
                         drop_last=False, process_index=0, process_count=1)
+
+    def submitted():
+        """Enqueue-ahead: dispatch is async, so yielding (host_batch,
+        in-flight device output) pairs overlaps the next batch's host prep
+        + dispatch with the device executing the current one (the
+        synchronous fetch per batch previously serialized the two and paid
+        the full per-step dispatch latency on top of device time)."""
+        for batch in loader.batches(0):
+            batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))
+            jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+            yield batch, batch_valid, eval_step(variables, jb)
+
     seen = 0
-    for batch in loader.batches(0):
-        batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))
-        jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-        out = jax.device_get(eval_step(variables, jb))
+    pending = []
+    stream = submitted()
+    done = False
+    while not done or pending:
+        while not done and len(pending) < 3:
+            try:
+                pending.append(next(stream))
+            except StopIteration:
+                done = True
+        batch, batch_valid, out_dev = pending.pop(0)
+        out = jax.device_get(out_dev)
         for i in range(len(batch_valid)):
             if not batch_valid[i] or (0 <= max_images <= seen):
                 continue
@@ -79,6 +98,7 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
             )
         if 0 <= max_images <= seen:
             break
+    del pending, stream
     summary = evaluator.summarize()
     if verbose:
         for k, v in sorted(summary.items()):
