@@ -55,6 +55,29 @@ def test_eval_cli_synthetic(capsys):
     assert 0.0 <= summary["mAP"] <= 1.0
 
 
+def test_eval_mesh_matches_single_device():
+    """Data-parallel eval over the 8-fake-device mesh must produce the same
+    mAP as single-device eval (same weights, same data)."""
+    import jax
+
+    from tpudet.cli.eval import evaluate
+    from tpudet.config import tiny_test_config
+    from tpudet.data import SyntheticDataset
+    from tpudet.models import FasterRCNN
+    from tpudet.parallel import make_mesh
+    from tpudet.train.state import create_train_state
+
+    cfg = tiny_test_config()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(3))
+    ds = SyntheticDataset(num_classes=3, num_examples=16, image_size=128)
+    kw = dict(batch_size=8, max_images=16, verbose=False)
+    single = evaluate(cfg, model, state.variables, ds, **kw)
+    mesh = make_mesh(num_data=8, num_model=1)
+    sharded = evaluate(cfg, model, state.variables, ds, mesh=mesh, **kw)
+    assert abs(single["mAP"] - sharded["mAP"]) < 1e-6
+
+
 def test_detect_cli(tmp_path):
     from tpudet.cli import detect as detect_cli
     from PIL import Image

@@ -35,9 +35,23 @@ def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
 
 
 def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
-             class_names=None, verbose=True, metric_style="voc"):
-    """Run 3c: batched inference + host-side mAP accumulation."""
-    eval_step = make_eval_step(model, cfg, fused_preprocess=True)
+             class_names=None, verbose=True, metric_style="voc", mesh=None):
+    """Run 3c: batched inference + host-side mAP accumulation.
+
+    With ``mesh`` the batch is data-parallel-sharded over the 'data' axis
+    (XLA partitions the whole inference program; detections come back
+    batch-sharded and are fetched to host for the evaluator)."""
+    eval_step = make_eval_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        if batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"eval batch_size {batch_size} not divisible by data-mesh "
+                f"size {mesh.shape['data']}"
+            )
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
     if metric_style == "coco":
         evaluator = CocoStyleEvaluator(cfg.data.num_classes,
                                        class_names=class_names)
@@ -60,7 +74,10 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
         the full per-step dispatch latency on top of device time)."""
         for batch in loader.batches(0):
             batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))
-            jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+            if batch_sharding is not None:
+                jb = jax.device_put(batch, batch_sharding)
+            else:
+                jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
             yield batch, batch_valid, eval_step(variables, jb)
 
     seen = 0
@@ -115,6 +132,8 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=-1)
     p.add_argument("--metric", default="", choices=["", "voc", "coco"],
                    help="default: coco for COCO datasets, voc otherwise")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device eval (no data-parallel sharding)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -130,9 +149,18 @@ def main(argv=None):
         dataset, "class_names", None
     )
     metric = args.metric or ("coco" if cfg.data.dataset == "coco" else "voc")
+    mesh = None
+    if not args.no_mesh and len(jax.devices()) > 1:
+        from tpudet.parallel import make_mesh
+
+        data = len(jax.devices())
+        if args.batch_size % data == 0:
+            mesh = make_mesh(num_data=data, num_model=1)
+            print(f"mesh: {dict(mesh.shape)}")
     summary = evaluate(
         cfg, model, state.variables, dataset, batch_size=args.batch_size,
         max_images=args.max_images, class_names=names, metric_style=metric,
+        mesh=mesh,
     )
     return summary
 
