@@ -55,6 +55,25 @@ def test_eval_cli_synthetic(capsys):
     assert 0.0 <= summary["mAP"] <= 1.0
 
 
+def test_evaluate_empty_split():
+    """Zero batches (empty val split) must summarize, not crash."""
+    import jax
+
+    from tpudet.cli.eval import evaluate
+    from tpudet.config import tiny_test_config
+    from tpudet.data import SyntheticDataset
+    from tpudet.models import FasterRCNN
+    from tpudet.train.state import create_train_state
+
+    cfg = tiny_test_config()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    ds = SyntheticDataset(num_classes=3, num_examples=0, image_size=128)
+    summary = evaluate(cfg, model, state.variables, ds, batch_size=2,
+                       verbose=False)
+    assert summary["mAP"] == 0.0
+
+
 def test_eval_mesh_matches_single_device():
     """Data-parallel eval over the 8-fake-device mesh must produce the same
     mAP as single-device eval (same weights, same data)."""

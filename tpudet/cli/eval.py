@@ -42,16 +42,16 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     (XLA partitions the whole inference program; detections come back
     batch-sharded and are fetched to host for the evaluator)."""
     eval_step = make_eval_step(model, cfg, mesh=mesh, fused_preprocess=True)
-    batch_sharding = None
+    sharding = None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from tpudet.parallel import batch_sharding
 
         if batch_size % mesh.shape["data"]:
             raise ValueError(
                 f"eval batch_size {batch_size} not divisible by data-mesh "
                 f"size {mesh.shape['data']}"
             )
-        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        sharding = batch_sharding(mesh)
     if metric_style == "coco":
         evaluator = CocoStyleEvaluator(cfg.data.num_classes,
                                        class_names=class_names)
@@ -74,8 +74,8 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
         the full per-step dispatch latency on top of device time)."""
         for batch in loader.batches(0):
             batch_valid = batch.pop("batch_valid", np.ones(batch_size, bool))
-            if batch_sharding is not None:
-                jb = jax.device_put(batch, batch_sharding)
+            if sharding is not None:
+                jb = jax.device_put(batch, sharding)
             else:
                 jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
             yield batch, batch_valid, eval_step(variables, jb)
@@ -90,6 +90,8 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 pending.append(next(stream))
             except StopIteration:
                 done = True
+        if not pending:  # zero batches in the split
+            break
         batch, batch_valid, out_dev = pending.pop(0)
         out = jax.device_get(out_dev)
         for i in range(len(batch_valid)):
@@ -150,13 +152,21 @@ def main(argv=None):
     )
     metric = args.metric or ("coco" if cfg.data.dataset == "coco" else "voc")
     mesh = None
-    if not args.no_mesh and len(jax.devices()) > 1:
+    # Mesh eval is single-controller only: each process evaluates the full
+    # split independently (see evaluate()), so a cross-host mesh would both
+    # contradict that and make device_get fail on non-addressable shards.
+    if (not args.no_mesh and jax.process_count() == 1
+            and len(jax.local_devices()) > 1):
         from tpudet.parallel import make_mesh
 
-        data = len(jax.devices())
+        data = len(jax.local_devices())
         if args.batch_size % data == 0:
             mesh = make_mesh(num_data=data, num_model=1)
             print(f"mesh: {dict(mesh.shape)}")
+        else:
+            print(f"eval: --batch-size {args.batch_size} not divisible by "
+                  f"{data} devices — running single-device (pass a multiple "
+                  "to enable data-parallel eval)")
     summary = evaluate(
         cfg, model, state.variables, dataset, batch_size=args.batch_size,
         max_images=args.max_images, class_names=names, metric_style=metric,

@@ -172,9 +172,11 @@ class ServingModel:
     def __init__(self, modules: Dict[Tuple[int, int], Any],
                  meta: Dict[str, Any]):
         import jax
+        from concurrent.futures import ThreadPoolExecutor
 
         self.meta = meta
         self._calls = {hw: jax.jit(e.call) for hw, e in modules.items()}
+        self._pool = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
         # Minimal DataConfig mirroring the exported preprocessing contract.
         from tpudet.config import DataConfig
 
@@ -212,8 +214,6 @@ class ServingModel:
 
         from tpudet.data.preprocess import canvas_for_hw, prepare_example
 
-        from concurrent.futures import ThreadPoolExecutor
-
         if score_thresh is None:
             score_thresh = self.meta["score_thresh"]
         bs = self.batch_size
@@ -228,12 +228,11 @@ class ServingModel:
             return prepare_example(self._data_cfg, images[i], *no_boxes)
 
         results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(images)
-        pool = ThreadPoolExecutor(min(8, os.cpu_count() or 1))
         for bucket, idxs in by_bucket.items():
             call = self._calls[bucket]
             for start in range(0, len(idxs), bs):
                 chunk = idxs[start : start + bs]
-                prepared = list(pool.map(prep, chunk))
+                prepared = list(self._pool.map(prep, chunk))
                 pad = bs - len(prepared)
                 canvases = np.stack(
                     [p["image"] for p in prepared]
@@ -263,5 +262,4 @@ class ServingModel:
                         "scores": out["scores"][k][keep],
                         "classes": out["classes"][k][keep],
                     }
-        pool.shutdown(wait=False)
         return results  # type: ignore[return-value]
