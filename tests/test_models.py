@@ -263,3 +263,26 @@ def test_resnet_remat_same_values_and_grads():
         ),
         g0, g1,
     )
+
+
+def test_fpn_packed_pooler_matches_default():
+    """FPN packed-pyramid pooler (ONE einsum pair over all levels) produces
+    the same detections as the default per-level masked-sum pooler."""
+    import dataclasses
+
+    cfg = tiny_test_config(use_fpn=True)
+    batch = make_batch(cfg, b=2)
+    base = FasterRCNN(cfg)
+    variables = base.init(jax.random.key(0))
+    ref = jax.jit(base.predict)(variables, batch)
+
+    cfg2 = cfg.replace(roi=dataclasses.replace(cfg.roi, pooler="roi_align_packed"))
+    out = jax.jit(FasterRCNN(cfg2).predict)(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(ref["boxes"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), np.asarray(ref["scores"]),
+        rtol=1e-4, atol=1e-4,
+    )

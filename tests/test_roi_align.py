@@ -68,3 +68,41 @@ def test_crop_and_resize_identity(rng):
     rois = np.asarray([[0.0, 0.0, 7.0, 7.0]], dtype=np.float32)
     out = np.asarray(R.crop_and_resize(jnp.asarray(feat), jnp.asarray(rois), 8))
     np.testing.assert_allclose(out[0], feat, rtol=1e-5, atol=1e-5)
+
+
+def test_multi_level_packed_matches_per_level(rng):
+    """Packed-pyramid FPN pooling == per-level roi_align_mxu masked-sum."""
+    c = 8
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (hw, hw + 8, c)).astype(np.float32))
+        for hw in (32, 16, 8, 4)
+    ]
+    strides = (4.0, 8.0, 16.0, 32.0)
+    n = 24
+    # Boxes in image coords spanning all levels' size regimes.
+    sides = rng.uniform(8, 120, (n, 2))
+    xy1 = rng.uniform(0, 16, (n, 2))
+    rois = np.concatenate([xy1, xy1 + sides], axis=-1).astype(np.float32)
+    levels = rng.integers(0, 4, n).astype(np.int32)
+
+    got = R.multi_level_roi_align_mxu(
+        feats, strides, jnp.asarray(rois), jnp.asarray(levels), 7, 2
+    )
+    want = 0.0
+    for lvl, (feat, stride) in enumerate(zip(feats, strides)):
+        p = R.roi_align_mxu(feat, jnp.asarray(rois) / stride, 7, 2)
+        want = want + p * (levels == lvl)[:, None, None, None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multi_level_packed_single_level_exact(rng):
+    """With one level the packed path IS roi_align_mxu."""
+    feat = jnp.asarray(rng.normal(0, 1, (16, 24, 4)).astype(np.float32))
+    rois = make_rois(rng, 6, 16, 24) * 4.0
+    got = R.multi_level_roi_align_mxu(
+        [feat], (4.0,), jnp.asarray(rois), jnp.zeros(6, jnp.int32), 7, 2
+    )
+    want = R.roi_align_mxu(feat, jnp.asarray(rois) / 4.0, 7, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

@@ -170,6 +170,10 @@ class ROIConfig:
     #                         fastest measured on v5e, the default)
     #   "roi_align_pallas"  — Pallas gather kernel (VMEM-resident features)
     #   "roi_align_gather"  — pure-jnp 4-corner gathers (oracle)
+    #   "roi_align_packed"  — FPN-only variant: all levels packed into one
+    #                         feature tensor, ONE einsum pair (exact; measured
+    #                         0.94x the default's per-level masked-sum on v5e
+    #                         — kept as the documented negative result)
     #   "crop_and_resize"   — TF convention (the float-tolerance parity oracle)
     # All "roi_align*" backends compute identical values (tested).
     pooler: str = "roi_align"

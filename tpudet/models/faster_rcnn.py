@@ -267,6 +267,19 @@ class FasterRCNN:
         areas = box_ops.area(rois)
         k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-8))
         k = jnp.clip(k, 2, 5).astype(jnp.int32)  # [R]
+        if roi.pooler == "roi_align_packed":
+            # Packed-pyramid einsum pair (exact; see KERNELS.md): measured
+            # 0.94x the per-level masked-sum below on v5e — padding W to
+            # max(W_l) inflates the contraction FLOPs more than the saved
+            # intermediate HBM traffic. Kept selectable as the measured
+            # negative result; the default stays the per-level path.
+            from tpudet.ops.roi_align import multi_level_roi_align_mxu
+
+            return multi_level_roi_align_mxu(
+                [feats[f"p{l}"] for l in (2, 3, 4, 5)],
+                (4.0, 8.0, 16.0, 32.0),
+                rois, k - 2, roi.output_size, roi.sampling_ratio,
+            )
         pooled = 0.0
         for level, stride in zip((2, 3, 4, 5), (4.0, 8.0, 16.0, 32.0)):
             feat = feats[f"p{level}"]

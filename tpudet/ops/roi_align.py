@@ -213,3 +213,66 @@ def roi_align_mxu(
         return jnp.einsum("nsh,nthc->nstc", wy, t1, precision=prec)
     t1 = jnp.einsum("nsh,hwc->nswc", wy, features, precision=prec)
     return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
+
+
+def _level_weights(boxes, size, s, r, offset):
+    """One level's folded bin-weight rows: [N, s, size] (f32)."""
+    n = boxes.shape[0]
+    ys, vy = _sample_grid(boxes, size, s, r, offset)
+    return _interp_weights(ys, vy, size).reshape(n, s, r, size).mean(axis=2)
+
+
+def multi_level_roi_align_mxu(
+    features,
+    strides,
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """FPN RoI Align over a packed pyramid, as ONE MXU einsum pair.
+
+    ``features`` is the list of per-level maps [H_l, W_l, C] (image coords =
+    feature coords × ``strides[l]``), ``levels`` [N] the assigned level index
+    per RoI. The naive static-shape formulation pools every RoI at every
+    level and masked-sums (4 einsum pairs + 4x the [N, s, ·, C] HBM
+    intermediates). Instead the levels are packed into one feature tensor —
+    concatenated along H, W zero-padded to max(W_l) — and each RoI's
+    interpolation weight rows are built against its assigned level's true
+    (H_l, W_l) geometry, masked by assignment, and placed at the level's H
+    offset. Off-level weights are hard zeros, so one contraction over the
+    packed axes equals the assigned level's single-level RoI Align exactly
+    (adding exact zeros), with ~2x less intermediate HBM traffic and 1/L the
+    kernel dispatches. Values identical to per-level :func:`roi_align_mxu`
+    (tested).
+    """
+    n = boxes.shape[0]
+    s, r = output_size, sampling_ratio
+    offset = 0.5 if aligned else 0.0
+    w_max = max(f.shape[1] for f in features)
+    dtype = features[0].dtype
+
+    wy_parts, wx = [], 0.0
+    for lvl, (feat, stride) in enumerate(zip(features, strides)):
+        h_l, w_l = feat.shape[0], feat.shape[1]
+        fboxes = boxes / jnp.asarray(stride, boxes.dtype)
+        m = (levels == lvl).astype(jnp.float32)[:, None, None]
+        wy_parts.append(_level_weights(fboxes[:, (1, 3)], h_l, s, r, offset) * m)
+        wx_l = _level_weights(fboxes[:, (0, 2)], w_l, s, r, offset) * m
+        wx = wx + jnp.pad(wx_l, ((0, 0), (0, 0), (0, w_max - w_l)))
+    wy = jnp.concatenate(wy_parts, axis=-1)  # [N, s, sum(H_l)]
+    packed = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, w_max - f.shape[1]), (0, 0))) for f in features],
+        axis=0,
+    )  # [sum(H_l), w_max, C]
+
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    h_tot = packed.shape[0]
+    if w_max >= h_tot:
+        t1 = jnp.einsum("ntw,hwc->nthc", wx, packed, precision=prec)
+        return jnp.einsum("nsh,nthc->nstc", wy, t1, precision=prec)
+    t1 = jnp.einsum("nsh,hwc->nswc", wy, packed, precision=prec)
+    return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
