@@ -55,6 +55,27 @@ def test_eval_cli_synthetic(capsys):
     assert 0.0 <= summary["mAP"] <= 1.0
 
 
+def test_eval_cli_save_json(tmp_path):
+    """--save-json writes a COCO-format results list (image_id/category_id/
+    bbox xywh/score per detection)."""
+    import json
+
+    from tpudet.cli import eval as eval_cli
+
+    out = tmp_path / "results.json"
+    eval_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--split", "val",
+        "--batch-size", "4", "--max-images", "8", "--save-json", str(out),
+    ])
+    results = json.loads(out.read_text())
+    assert isinstance(results, list)
+    for r in results[:5]:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert len(r["bbox"]) == 4
+        assert r["bbox"][2] >= 0 and r["bbox"][3] >= 0
+        assert 0.0 <= r["score"] <= 1.0
+
+
 def test_evaluate_empty_split():
     """Zero batches (empty val split) must summarize, not crash."""
     import jax

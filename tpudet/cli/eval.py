@@ -35,7 +35,8 @@ def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
 
 
 def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
-             class_names=None, verbose=True, metric_style="voc", mesh=None):
+             class_names=None, verbose=True, metric_style="voc", mesh=None,
+             save_json=""):
     """Run 3c: batched inference + host-side mAP accumulation.
 
     With ``mesh`` the batch is data-parallel-sharded over the 'data' axis
@@ -80,6 +81,15 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
             yield batch, batch_valid, eval_step(variables, jb)
 
+    # COCO-format results export: [{image_id, category_id, bbox xywh,
+    # score}]. image_id comes from dataset.image_id(index) when available
+    # (COCO: original ids; VOC: filename stems), else the dataset index;
+    # category_id from dataset.category_id(cls) (COCO: original category
+    # ids), else the contiguous class index.
+    results = [] if save_json else None
+    get_image_id = getattr(dataset, "image_id", lambda i: int(i))
+    get_cat_id = getattr(dataset, "category_id", lambda c: int(c))
+
     seen = 0
     pending = []
     stream = submitted()
@@ -108,6 +118,18 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 batch["gt_boxes"][i][gt_valid], batch["image_scale"][i],
                 batch["orig_hw"][i],
             )
+            if results is not None:
+                img_id = get_image_id(int(batch["example_index"][i]))
+                scores_i = out["scores"][i][valid]
+                classes_i = out["classes"][i][valid]
+                for b, s, c in zip(boxes, scores_i, classes_i):
+                    results.append({
+                        "image_id": img_id,
+                        "category_id": get_cat_id(int(c)),
+                        "bbox": [float(b[0]), float(b[1]),
+                                 float(b[2] - b[0]), float(b[3] - b[1])],
+                        "score": float(s),
+                    })
             gt_difficult = batch.get("gt_difficult")
             evaluator.add_image(
                 boxes, out["scores"][i][valid], out["classes"][i][valid],
@@ -118,6 +140,13 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
         if 0 <= max_images <= seen:
             break
     del pending, stream
+    if results is not None:
+        import json
+
+        with open(save_json, "w") as f:
+            json.dump(results, f)
+        if verbose:
+            print(f"wrote {len(results)} detections to {save_json}")
     summary = evaluator.summarize()
     if verbose:
         for k, v in sorted(summary.items()):
@@ -136,6 +165,8 @@ def main(argv=None):
                    help="default: coco for COCO datasets, voc otherwise")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device eval (no data-parallel sharding)")
+    p.add_argument("--save-json", default="",
+                   help="write detections as a COCO-format results json")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -170,7 +201,7 @@ def main(argv=None):
     summary = evaluate(
         cfg, model, state.variables, dataset, batch_size=args.batch_size,
         max_images=args.max_images, class_names=names, metric_style=metric,
-        mesh=mesh,
+        mesh=mesh, save_json=args.save_json,
     )
     return summary
 

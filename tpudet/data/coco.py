@@ -50,6 +50,18 @@ class CocoDataset:
     def __len__(self) -> int:
         return len(self.examples)
 
+    def image_id(self, index: int):
+        """COCO image id of dataset record ``index`` (for results export)."""
+        return self.examples[index][0]["id"]
+
+    def category_id(self, cls: int) -> int:
+        """Contiguous class index (1..C) -> original COCO category id."""
+        if not hasattr(self, "_class_to_cat_id"):
+            self._class_to_cat_id = {
+                v: k for k, v in self.cat_id_to_class.items()
+            }
+        return self._class_to_cat_id[int(cls)]
+
     def example_hw(self, index: int) -> tuple:
         """Original (h, w) from the annotation index — no image decode."""
         im, _ = self.examples[index]

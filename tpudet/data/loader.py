@@ -226,6 +226,9 @@ class DataLoader:
         batch = {
             k: np.stack([ex[k] for ex in examples]) for k in examples[0]
         }
+        # Dataset indices of each row (host-side bookkeeping: lets consumers
+        # map detections back to dataset records, e.g. COCO-json export).
+        batch["example_index"] = np.asarray(indices, np.int32)
         return batch
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:

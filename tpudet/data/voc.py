@@ -85,6 +85,10 @@ class VOCDataset:
     def __len__(self) -> int:
         return len(self.ids)
 
+    def image_id(self, index: int) -> str:
+        """VOC image id (filename stem) — used by results export."""
+        return self.ids[index]
+
     def example_hw(self, index: int) -> tuple:
         """Original (h, w) from the XML <size> tag — no JPEG decode.
         Memoized: bucket planning queries every example once per epoch."""
