@@ -108,3 +108,56 @@ def test_coco_style_evaluator():
     assert s["mAP@0.5"] == pytest.approx(1.0)
     assert s["mAP@0.75"] == pytest.approx(1.0)
     assert s["mAP"] == pytest.approx(0.8)
+
+
+def test_101_point_interpolation():
+    # PR: [(r=0.5, p=1.0), (r=1.0, p=0.5)] -> envelope 1.0 up to r=0.5,
+    # then 0.5 to r=1.0. 101-pt mean: 51 pts at 1.0, 50 pts at 0.5.
+    recall = np.asarray([0.5, 1.0])
+    precision = np.asarray([1.0, 0.5])
+    ap = average_precision(recall, precision, "101_points")
+    assert ap == pytest.approx((51 * 1.0 + 50 * 0.5) / 101)
+
+
+def test_coco_area_range_ap():
+    """Size-stratified AP: small GT only counts in the small bank; an
+    unmatched out-of-range detection is ignored there, not a false
+    positive."""
+    from tpudet.eval.metrics import CocoStyleEvaluator
+
+    ev = CocoStyleEvaluator(num_classes=1)
+    gt = np.asarray([[0, 0, 20, 20], [100, 100, 228, 228]], np.float32)
+    preds = np.asarray([[0, 0, 20, 20], [100, 100, 228, 228]], np.float32)
+    ev.add_image(preds, np.asarray([0.9, 0.8]), np.asarray([1, 1]),
+                 gt, np.asarray([1, 1]))
+    s = ev.summarize()
+    assert s["mAP"] == pytest.approx(1.0)
+    # In the small bank the large det is unmatched but out-of-range ->
+    # ignored; the small pair is a clean TP.
+    assert s["mAP_small"] == pytest.approx(1.0)
+    assert s["mAP_large"] == pytest.approx(1.0)
+    assert s["mAP_medium"] == pytest.approx(0.0)  # no medium GT
+    assert s["AR"] == pytest.approx(1.0)
+    assert s["AR_small"] == pytest.approx(1.0)
+
+
+def test_coco_mode_prefers_real_gt():
+    """COCO matching: a detection clearing the threshold on both an ignored
+    and a real GT must match the real one (VOC's best-IoU rule would match
+    the ignored GT and silently drop the detection, deflating recall)."""
+    # Real GT and difficult GT heavily overlapping; det has higher IoU with
+    # the difficult one but >0.5 with both.
+    gt = np.asarray([[0, 0, 20, 20], [0, 0, 22, 20]], np.float32)
+    difficult = np.asarray([False, True])
+    det = np.asarray([[0, 0, 22, 20]], np.float32)  # IoU 1.0 w/ ignored
+
+    voc = DetectionEvaluator(1, iou_thresh=0.5, mode="voc")
+    voc.add_image(det, np.asarray([0.9]), np.asarray([1]),
+                  gt, np.asarray([1, 1]), gt_difficult=difficult)
+    assert voc.summarize()["mAP"] == pytest.approx(0.0)  # det dropped
+
+    coco = DetectionEvaluator(1, iou_thresh=0.5, mode="coco",
+                              interpolation="101_points")
+    coco.add_image(det, np.asarray([0.9]), np.asarray([1]),
+                   gt, np.asarray([1, 1]), gt_difficult=difficult)
+    assert coco.summarize()["mAP"] == pytest.approx(1.0)  # matched real GT
