@@ -118,6 +118,8 @@ class DetectionEvaluator:
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c
             gt_mask = gt_classes == c
+            if not det_mask.any() and not gt_mask.any():
+                continue  # nothing to match or count for this class
             self._npos[c - 1] += int((~gt_ignore[gt_mask]).sum())
 
             d_boxes = pred_boxes[det_mask]
