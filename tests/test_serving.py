@@ -166,3 +166,27 @@ def test_export_cli(setup, tmp_path):
     ])
     serving = ServingModel.load(str(path))
     assert serving.batch_size == 1
+
+
+def test_export_fpn_model(tmp_path):
+    """FPN models (BASELINE config 5 shape) export and match the live path."""
+    cfg = tiny_test_config(canvas=128, num_classes=3, use_fpn=True)
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    ds = SyntheticDataset(num_classes=3, num_examples=2, image_size=128)
+    loader = DataLoader(cfg, ds, batch_size=2, shuffle=False, num_workers=2)
+    batch = next(iter(loader.batches(0)))
+    image, hw = batch["image"], batch["image_hw"].astype(np.float32)
+
+    def live(image, image_hw):
+        b = device_preprocess(
+            cfg, {"image": image, "image_hw": image_hw}, training=False
+        )
+        return model.predict(state.variables, b)
+
+    want = jax.device_get(jax.jit(live)(image, hw))
+    path = tmp_path / "fpn.tpudet"
+    save_artifact(str(path), cfg, state.variables, batch_size=2)
+    got = jax.device_get(ServingModel.load(str(path))(image, hw))
+    np.testing.assert_array_equal(got["valid"], want["valid"])
+    np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
