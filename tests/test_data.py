@@ -291,3 +291,65 @@ def test_prepare_example_carries_difficult_flags():
     # Absent flags -> all False (synthetic/COCO path).
     out2 = prepare_example(cfg, img, boxes, classes)
     assert not out2["gt_difficult"].any()
+
+
+def test_coco_dataset_keep_crowd(tmp_path):
+    """Eval splits carry iscrowd annotations through as ignore regions;
+    training drops them (they are not box-regression targets)."""
+    import json
+    from PIL import Image
+
+    from tpudet.data import build_dataset
+    from tpudet.data.coco import CocoDataset
+
+    root = tmp_path
+    (root / "annotations").mkdir()
+    for name in ("train2017", "val2017"):
+        (root / name).mkdir()
+        Image.new("RGB", (64, 48)).save(root / name / "img1.jpg")
+        blob = {
+            "images": [{"id": 7, "file_name": "img1.jpg",
+                        "height": 48, "width": 64}],
+            "categories": [{"id": 3, "name": "cat"}],
+            "annotations": [
+                {"id": 1, "image_id": 7, "category_id": 3,
+                 "bbox": [2, 2, 10, 10], "iscrowd": 0},
+                {"id": 2, "image_id": 7, "category_id": 3,
+                 "bbox": [20, 20, 30, 20], "iscrowd": 1},
+            ],
+        }
+        with open(root / "annotations" / f"instances_{name}.json", "w") as f:
+            json.dump(blob, f)
+
+    train = CocoDataset(str(root), split="train")
+    ex = train.get_example(0)
+    assert len(ex["boxes"]) == 1  # crowd dropped for training
+    assert not ex["crowd"].any()
+
+    val = CocoDataset(str(root), split="val", keep_crowd=True)
+    ex = val.get_example(0)
+    assert len(ex["boxes"]) == 2
+    assert ex["crowd"].tolist() == [False, True]
+    assert ex["difficult"].tolist() == [False, True]  # crowd => ignored
+    raw = val.get_raw(0)
+    assert raw["crowd"].tolist() == [False, True]
+
+    # The factory wires keep_crowd by split.
+    from tpudet.config import Config, DataConfig
+
+    cfg = Config(data=DataConfig(dataset="coco", data_dir=str(root),
+                                 num_classes=1))
+    assert len(build_dataset(cfg, "val").get_example(0)["boxes"]) == 2
+    assert len(build_dataset(cfg, "train").get_example(0)["boxes"]) == 1
+
+
+def test_prepare_example_carries_crowd_flags():
+    cfg = tiny_test_config().data
+    img = np.zeros((60, 80, 3), np.uint8)
+    boxes = np.asarray([[2, 2, 20, 20], [30, 30, 50, 50]], np.float32)
+    classes = np.asarray([1, 2], np.int32)
+    out = prepare_example(cfg, img, boxes, classes,
+                          crowd=np.asarray([False, True]))
+    assert out["gt_crowd"][:2].tolist() == [False, True]
+    assert not out["gt_crowd"][2:].any()
+    assert not prepare_example(cfg, img, boxes, classes)["gt_crowd"].any()

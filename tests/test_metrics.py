@@ -161,3 +161,158 @@ def test_coco_mode_prefers_real_gt():
     coco.add_image(det, np.asarray([0.9]), np.asarray([1]),
                    gt, np.asarray([1, 1]), gt_difficult=difficult)
     assert coco.summarize()["mAP"] == pytest.approx(1.0)  # matched real GT
+
+
+def test_coco_mode_order_independent_ignored_gt():
+    """pycocotools matches a threshold-clearing real GT regardless of an
+    ignored GT's (higher) IoU or array position — matching must not depend
+    on GT order."""
+    det = np.asarray([[0, 0, 22, 20]], np.float32)
+    for ignored_first in (True, False):
+        if ignored_first:
+            gt = np.asarray([[0, 0, 22, 20], [0, 0, 20, 20]], np.float32)
+            difficult = np.asarray([True, False])
+        else:
+            gt = np.asarray([[0, 0, 20, 20], [0, 0, 22, 20]], np.float32)
+            difficult = np.asarray([False, True])
+        ev = DetectionEvaluator(1, iou_thresh=0.5, mode="coco",
+                                interpolation="101_points")
+        ev.add_image(det, np.asarray([0.9]), np.asarray([1]),
+                     gt, np.asarray([1, 1]), gt_difficult=difficult)
+        assert ev.summarize()["mAP"] == pytest.approx(1.0), ignored_first
+
+
+def test_voc_devkit_duplicate_on_best_iou_gt_is_fp():
+    """PASCAL devkit: a detection takes its single best-IoU GT even if that
+    GT is already matched — it does NOT fall back to a lower-IoU unmatched
+    GT (pycocotools would)."""
+    gt = np.asarray([[0, 0, 20, 20], [0, 0, 26, 20]], np.float32)
+    # Both detections' best IoU is gt0; det2 also clears 0.5 with gt1.
+    dets = np.asarray([[0, 0, 20, 20], [0, 0, 21, 20]], np.float32)
+    scores = np.asarray([0.9, 0.8])
+    voc = DetectionEvaluator(1, iou_thresh=0.5, mode="voc",
+                             interpolation="all_points")
+    voc.add_image(dets, scores, np.asarray([1, 1]), gt, np.asarray([1, 1]))
+    s = voc.summarize()
+    # TP at 0.9 (recall 0.5), duplicate FP at 0.8 -> AP = 0.5.
+    assert s["mAP"] == pytest.approx(0.5)
+    coco = DetectionEvaluator(1, iou_thresh=0.5, mode="coco",
+                              interpolation="all_points")
+    coco.add_image(dets, scores, np.asarray([1, 1]), gt, np.asarray([1, 1]))
+    # pycocotools: det2 falls onto unmatched gt1 (IoU 21/26 > 0.5) -> 2 TPs.
+    assert coco.summarize()["mAP"] == pytest.approx(1.0)
+
+
+def test_crowd_iou_uses_detection_area():
+    """IoU against a crowd GT is intersection over the DETECTION's area: a
+    small correct detection inside a big crowd region is ignored (dropped),
+    not a false positive — even though union-IoU would be far below 0.5."""
+    crowd_gt = np.asarray([[0, 0, 100, 100]], np.float32)
+    det = np.asarray([[10, 10, 20, 20]], np.float32)  # union-IoU 0.01
+    ev = DetectionEvaluator(1, iou_thresh=0.5, mode="coco",
+                            interpolation="101_points")
+    ev.add_image(det, np.asarray([0.9]), np.asarray([1]),
+                 crowd_gt, np.asarray([1]),
+                 gt_difficult=np.asarray([True]),
+                 gt_crowd=np.asarray([True]))
+    s = ev.summarize()
+    # No positives anywhere (crowd is ignored), and no FP recorded.
+    assert s["mAP"] == 0.0
+    assert ev._scores[0] == []  # detection dropped, not an FP
+
+
+def test_crowd_gt_absorbs_multiple_detections():
+    """A crowd region stays matchable: every detection inside it is ignored,
+    while a non-crowd ignored GT absorbs only one."""
+    gt = np.asarray([[0, 0, 100, 100]], np.float32)
+    dets = np.asarray([[10, 10, 30, 30], [50, 50, 80, 80]], np.float32)
+    scores = np.asarray([0.9, 0.8])
+    ev = DetectionEvaluator(1, iou_thresh=0.5, mode="coco")
+    ev.add_image(dets, scores, np.asarray([1, 1]), gt, np.asarray([1]),
+                 gt_difficult=np.asarray([True]),
+                 gt_crowd=np.asarray([True]))
+    assert ev._scores[0] == []  # both dropped
+    # Same scene, ignored but NOT crowd: union-IoU is tiny, neither det
+    # matches, and both become FPs (area_range=None keeps them in range).
+    ev2 = DetectionEvaluator(1, iou_thresh=0.5, mode="coco")
+    ev2.add_image(dets, scores, np.asarray([1, 1]), gt, np.asarray([1]),
+                  gt_difficult=np.asarray([True]))
+    assert ev2._tps[0] == [False, False]
+
+
+def test_coco_style_evaluator_accepts_crowd():
+    from tpudet.eval.metrics import CocoStyleEvaluator
+
+    ev = CocoStyleEvaluator(num_classes=1)
+    gt = np.asarray([[0, 0, 40, 40], [60, 60, 200, 200]], np.float32)
+    dets = np.asarray([[0, 0, 40, 40], [100, 100, 150, 150]], np.float32)
+    ev.add_image(dets, np.asarray([0.9, 0.8]), np.asarray([1, 1]),
+                 gt, np.asarray([1, 1]),
+                 gt_difficult=np.asarray([False, True]),
+                 gt_crowd=np.asarray([False, True]))
+    s = ev.summarize()
+    # The real GT is a perfect TP; the det inside the crowd is ignored.
+    assert s["mAP"] == pytest.approx(1.0)
+    assert s["AR"] == pytest.approx(1.0)
+
+
+def _pycocotools_match_oracle(d_boxes, g_boxes, g_ignore, g_crowd, d_oor, t):
+    """Literal port of pycocotools COCOeval.evaluateImg matching (the
+    sorted-GT sequential loop with the IoU ratchet), reduced to per-
+    detection outcome codes: 1=TP, 0=FP, -1=ignored."""
+    from tpudet.eval.metrics import _iou_matrix
+
+    D, G = len(d_boxes), len(g_boxes)
+    gtind = np.argsort(g_ignore.astype(int), kind="mergesort")
+    g_boxes = g_boxes[gtind]
+    gig = g_ignore[gtind]
+    gcr = g_crowd[gtind]
+    ious = _iou_matrix(d_boxes, g_boxes, gcr)
+    gtm = np.full(G, -1)
+    codes = np.zeros(D, np.int8)
+    for dind in range(D):
+        iou = min(t, 1 - 1e-10)
+        m = -1
+        for gind in range(G):
+            if gtm[gind] >= 0 and not gcr[gind]:
+                continue
+            if m > -1 and not gig[m] and gig[gind]:
+                break
+            if ious[dind, gind] < iou:
+                continue
+            iou = ious[dind, gind]
+            m = gind
+        if m == -1:
+            codes[dind] = -1 if d_oor[dind] else 0
+        else:
+            gtm[m] = dind
+            codes[dind] = -1 if gig[m] else 1
+    return codes
+
+
+def test_coco_matching_fuzz_vs_pycocotools_port():
+    """2000 random crowded scenes: _match_dets must agree exactly with the
+    literal pycocotools matching loop (incl. crowd-IoU, crowd rematching,
+    ignore preference, tie-breaking, area-range det ignoring)."""
+    from tpudet.eval.metrics import _iou_matrix, _match_dets
+
+    rng = np.random.default_rng(1234)
+    for it in range(2000):
+        D, G = rng.integers(0, 10), rng.integers(0, 10)
+
+        def rand_boxes(n):
+            xy = rng.uniform(0, 60, (n, 2))
+            wh = rng.uniform(2, 50, (n, 2))
+            return np.concatenate([xy, xy + wh], 1)
+
+        d, g = rand_boxes(D), rand_boxes(G)
+        if G and D and rng.random() < 0.7:  # force heavy overlap
+            d = g[rng.integers(0, G, D)] + rng.normal(0, 3, (D, 4))
+        crowd = rng.random(G) < 0.3
+        ignore = (rng.random(G) < 0.4) | crowd
+        d_oor = rng.random(D) < 0.3
+        t = float(rng.choice([0.5, 0.75, 0.95]))
+        iou = _iou_matrix(d, g, crowd) if G else None
+        ours = _match_dets(iou, ignore, crowd, d_oor, t, "coco")
+        ref = _pycocotools_match_oracle(d, g, ignore, crowd, d_oor, t)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"scene {it}")

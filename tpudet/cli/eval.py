@@ -131,11 +131,14 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                         "score": float(s),
                     })
             gt_difficult = batch.get("gt_difficult")
+            gt_crowd = batch.get("gt_crowd")
             evaluator.add_image(
                 boxes, out["scores"][i][valid], out["classes"][i][valid],
                 gt_boxes, batch["gt_classes"][i][gt_valid],
                 gt_difficult=None if gt_difficult is None
                 else gt_difficult[i][gt_valid],
+                gt_crowd=None if gt_crowd is None
+                else gt_crowd[i][gt_valid],
             )
         if 0 <= max_images <= seen:
             break

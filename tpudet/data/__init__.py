@@ -35,5 +35,9 @@ def build_dataset(cfg, split: str | None = None):
         return VOCDataset(d.data_dir, split=split,
                           keep_difficult=keep_difficult)
     if d.dataset == "coco":
-        return CocoDataset(d.data_dir, split=split)
+        # Eval splits keep iscrowd annotations as ignore regions (the COCO
+        # protocol ignores detections matched to a crowd); training drops
+        # them — crowd regions are not usable as box-regression targets.
+        return CocoDataset(d.data_dir, split=split,
+                           keep_crowd=split in ("val", "val2017", "test"))
     raise ValueError(f"unknown dataset {d.dataset!r}")

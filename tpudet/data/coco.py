@@ -15,7 +15,13 @@ import numpy as np
 
 
 class CocoDataset:
-    def __init__(self, root: str, split: str = "train", min_box_size: float = 1.0):
+    def __init__(self, root: str, split: str = "train",
+                 min_box_size: float = 1.0, keep_crowd: bool = False):
+        """``keep_crowd`` carries iscrowd annotations through as ignore
+        regions (emitted with ``difficult``/``crowd`` flags set) — required
+        for protocol-faithful evaluation, where detections matched to a
+        crowd are ignored rather than counted as false positives. Training
+        splits drop them (crowd regions are not usable as box targets)."""
         name = {"train": "train2017", "val": "val2017",
                 "train2017": "train2017", "val2017": "val2017"}[split]
         ann_path = os.path.join(root, "annotations", f"instances_{name}.json")
@@ -31,7 +37,7 @@ class CocoDataset:
         images = {im["id"]: im for im in blob["images"]}
         anns_by_image: Dict[int, List[dict]] = {}
         for ann in blob["annotations"]:
-            if ann.get("iscrowd", 0):
+            if ann.get("iscrowd", 0) and not keep_crowd:
                 continue
             w, h = ann["bbox"][2], ann["bbox"][3]
             if w < min_box_size or h < min_box_size:
@@ -68,14 +74,16 @@ class CocoDataset:
         return im["height"], im["width"]
 
     def _annotations(self, anns):
-        boxes, classes = [], []
+        boxes, classes, crowd = [], [], []
         for ann in anns:
             x, y, w, h = ann["bbox"]
             boxes.append([x, y, x + w, y + h])
             classes.append(self.cat_id_to_class[ann["category_id"]])
+            crowd.append(bool(ann.get("iscrowd", 0)))
         return (
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32),
+            np.asarray(crowd, bool),
         )
 
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
@@ -85,11 +93,15 @@ class CocoDataset:
         img = Image.open(
             os.path.join(self.image_dir, im["file_name"])
         ).convert("RGB")
-        boxes, classes = self._annotations(anns)
+        boxes, classes, crowd = self._annotations(anns)
         return {
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
             "classes": classes,
+            # Crowd GT are ignore regions for the evaluator: neither counted
+            # as positives nor penalizing overlapping detections.
+            "difficult": crowd,
+            "crowd": crowd,
             "id": im["id"],
         }
 
@@ -99,6 +111,6 @@ class CocoDataset:
         im, anns = self.examples[index]
         with open(os.path.join(self.image_dir, im["file_name"]), "rb") as f:
             jpeg = f.read()
-        boxes, classes = self._annotations(anns)
+        boxes, classes, crowd = self._annotations(anns)
         return {"jpeg": jpeg, "boxes": boxes, "classes": classes,
-                "id": im["id"]}
+                "difficult": crowd, "crowd": crowd, "id": im["id"]}

@@ -203,6 +203,7 @@ class DataLoader:
                     return prepare_example_jpeg(
                         self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
                         difficult=ex.get("difficult"),
+                        crowd=ex.get("crowd"),
                     )
                 except NativeDecodeError:
                     # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
@@ -221,6 +222,7 @@ class DataLoader:
             return prepare_example(
                 self.cfg.data, ex["image"], ex["boxes"], ex["classes"],
                 difficult=ex.get("difficult"),
+                crowd=ex.get("crowd"),
             )
         examples = list(pool.map(one, indices))
         batch = {

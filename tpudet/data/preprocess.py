@@ -76,6 +76,7 @@ def _finalize_example(
     boxes: np.ndarray,
     classes: np.ndarray,
     difficult: np.ndarray | None,
+    crowd: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Shared tail of the host front-end: pack GT to fixed shapes + scale
     boxes by the exact per-axis resize factors (rounding differs per axis)."""
@@ -84,9 +85,12 @@ def _finalize_example(
     gt_classes = np.zeros((g,), np.int32)
     gt_valid = np.zeros((g,), bool)
     gt_difficult = np.zeros((g,), bool)
+    gt_crowd = np.zeros((g,), bool)
     n = min(len(boxes), g)
     if difficult is not None and n:
         gt_difficult[:n] = difficult[:n]
+    if crowd is not None and n:
+        gt_crowd[:n] = crowd[:n]
     if n:
         scaled = np.stack(
             [
@@ -110,6 +114,7 @@ def _finalize_example(
         "gt_classes": gt_classes,
         "gt_valid": gt_valid,
         "gt_difficult": gt_difficult,
+        "gt_crowd": gt_crowd,
     }
 
 
@@ -119,6 +124,7 @@ def prepare_example(
     boxes: np.ndarray,
     classes: np.ndarray,
     difficult: np.ndarray | None = None,
+    crowd: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
 
@@ -137,7 +143,7 @@ def prepare_example(
     canvas = np.zeros((ch, cw, 3), np.uint8)
     canvas[:nh, :nw] = image
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd
     )
 
 
@@ -147,6 +153,7 @@ def prepare_example_jpeg(
     boxes: np.ndarray,
     classes: np.ndarray,
     difficult: np.ndarray | None = None,
+    crowd: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
     JPEG decode (DCT-scaled when ``fast_jpeg_scale``), resize, and canvas pad
@@ -163,7 +170,7 @@ def prepare_example_jpeg(
         fast_dct_scale=cfg.fast_jpeg_scale,
     )
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd
     )
 
 

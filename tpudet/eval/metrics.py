@@ -3,13 +3,21 @@ kept off-device: this is the parity referee ("VOC mAP@0.5 parity ±0.3"), so
 it follows the canonical VOC protocol exactly rather than a tensorized
 approximation.
 
-Protocol (VOC devkit semantics):
-  * detections matched per class, per image, greedily in descending score
-    order to the unmatched GT with highest IoU ≥ threshold;
-  * each GT matches at most one detection; extra matches are false positives;
-  * GT marked difficult neither counts toward npos nor penalizes matches;
-  * AP: 11-point interpolation (VOC2007) or all-point area-under-PR-envelope
-    (VOC2010+/COCO-style), per EvalConfig.ap_interpolation.
+Protocols:
+  * ``mode="voc"`` — PASCAL devkit semantics: each detection (descending
+    score) takes its single best-IoU GT whether or not that GT is already
+    matched; if that GT is difficult the detection is dropped, if it was
+    already matched the detection is a false positive.
+  * ``mode="coco"`` — pycocotools semantics: a detection matches the best
+    unmatched non-ignored GT clearing the threshold; only if none exists may
+    it match an ignored GT (crowd GT stay rematchable, and IoU against a
+    crowd uses the detection's area as denominator); detections matched to
+    ignored GT are dropped, unmatched detections outside the area range are
+    ignored rather than counted as false positives.
+  * GT marked difficult/crowd/out-of-area-range neither count toward npos
+    nor penalize matches.
+  * AP: 11-point interpolation (VOC2007), all-point area-under-PR-envelope
+    (VOC2010+), or pycocotools 101-point sampling.
 """
 
 from __future__ import annotations
@@ -19,7 +27,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _iou_matrix(
+    a: np.ndarray, b: np.ndarray, crowd_b: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Pairwise IoU [len(a), len(b)]. Columns flagged in ``crowd_b`` use the
+    pycocotools crowd convention: intersection over the *detection* area
+    (a crowd region is a may-cover mask, not a box to be reproduced)."""
     area_a = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
     area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -27,7 +40,72 @@ def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     wh = np.maximum(rb - lt, 0)
     inter = wh[..., 0] * wh[..., 1]
     union = area_a[:, None] + area_b[None, :] - inter
-    return np.where(union > 0, inter / union, 0.0)
+    if crowd_b is not None and crowd_b.any():
+        union = np.where(crowd_b[None, :], area_a[:, None], union)
+    return np.divide(inter, union, out=np.zeros_like(inter),
+                     where=union > 0)
+
+
+def _match_dets(
+    iou: Optional[np.ndarray],   # [D, G] for this class (score-sorted rows)
+    g_ignore: np.ndarray,        # [G]
+    g_crowd: np.ndarray,         # [G]
+    d_oor: np.ndarray,           # [D] detection outside area range
+    thresh: float,
+    mode: str,
+) -> np.ndarray:
+    """Greedy per-class matching over detections already sorted by descending
+    score. Returns an int8 code per detection: 1 = true positive, 0 = false
+    positive, -1 = ignored (matched an ignored GT, or out-of-range unmatched
+    in COCO mode)."""
+    D = len(d_oor)
+    G = iou.shape[1] if iou is not None else 0
+    codes = np.zeros(D, np.int8)
+    matched = np.zeros(G, bool)
+    for di in range(D):
+        if G == 0:
+            codes[di] = -1 if (mode == "coco" and d_oor[di]) else 0
+            continue
+        row = iou[di]
+        if mode == "voc":
+            # Devkit: argmax over ALL GT of the class (MATLAB max → first
+            # index on ties), then resolve against that one GT only.
+            j = int(np.argmax(row))
+            if row[j] >= thresh:
+                if g_ignore[j]:
+                    codes[di] = -1
+                elif not matched[j]:
+                    matched[j] = True
+                    codes[di] = 1
+            continue
+        cand = row >= thresh
+        real = cand & ~g_ignore & ~matched
+        if real.any():
+            # pycocotools iterates GT in order and displaces on >=, so equal
+            # IoU goes to the LATER GT index.
+            vals = np.where(real, row, -1.0)
+            j = G - 1 - int(np.argmax(vals[::-1]))
+            matched[j] = True
+            codes[di] = 1
+        else:
+            # Only when no real GT clears the threshold may a detection fall
+            # onto an ignored GT (never displacing: ignored GT sort last in
+            # pycocotools). Crowd GT absorb any number of detections.
+            ig = cand & g_ignore & (~matched | g_crowd)
+            if ig.any():
+                vals = np.where(ig, row, -1.0)
+                j = G - 1 - int(np.argmax(vals[::-1]))
+                matched[j] = True
+                codes[di] = -1
+            elif d_oor[di]:
+                codes[di] = -1
+    return codes
+
+
+def _box_areas(b: np.ndarray) -> np.ndarray:
+    b = np.asarray(b, np.float64).reshape(-1, 4)
+    return (np.maximum(b[:, 2] - b[:, 0], 0)
+            * np.maximum(b[:, 3] - b[:, 1], 0))
 
 
 def average_precision(
@@ -60,6 +138,32 @@ def average_precision(
     return float(np.sum((mrec[changes + 1] - mrec[changes]) * mpre[changes + 1]))
 
 
+def _class_ap(
+    scores: Sequence[float], tps: Sequence[bool], npos: int, interpolation: str
+) -> float:
+    """AP for one class from accumulated (score, tp) pairs. NaN if npos=0."""
+    if npos == 0:
+        return float("nan")
+    s = np.asarray(scores)
+    t = np.asarray(tps, bool)
+    order = np.argsort(-s, kind="stable")
+    t = t[order]
+    tp_cum = np.cumsum(t)
+    fp_cum = np.cumsum(~t)
+    recall = tp_cum / npos
+    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+    return average_precision(recall, precision, interpolation)
+
+
+def _normalize_flags(gt_boxes, gt_difficult, gt_crowd):
+    g = len(gt_boxes)
+    difficult = (np.zeros(g, bool) if gt_difficult is None
+                 else np.asarray(gt_difficult, bool))
+    crowd = (np.zeros(g, bool) if gt_crowd is None
+             else np.asarray(gt_crowd, bool))
+    return difficult, crowd
+
+
 class DetectionEvaluator:
     def __init__(
         self,
@@ -70,16 +174,11 @@ class DetectionEvaluator:
         mode: str = "voc",
         area_range: Optional[tuple] = None,
     ):
-        """``mode="voc"`` (default) is the reference parity protocol.
-
-        ``mode="coco"`` follows pycocotools matching: detections prefer
-        non-ignored GT (VOC picks the best-IoU GT regardless and silently
-        drops matches to difficult ones), and unmatched detections whose
-        box area falls outside ``area_range`` are ignored rather than
-        counted as false positives. ``area_range=(lo, hi)`` additionally
-        marks GT with box area outside the range as ignored — this is how
-        COCO's AP_small/medium/large are defined.
-        """
+        """``mode="voc"`` (default) is the reference parity protocol;
+        ``mode="coco"`` follows pycocotools matching — see module docstring.
+        ``area_range=(lo, hi)`` marks GT with box area outside the range as
+        ignored (COCO's AP_small/medium/large) and, in COCO mode, ignores
+        unmatched out-of-range detections instead of counting them as FPs."""
         self.num_classes = num_classes
         self.iou_thresh = iou_thresh
         self.interpolation = interpolation
@@ -99,22 +198,17 @@ class DetectionEvaluator:
         gt_boxes: np.ndarray,       # [G, 4]
         gt_classes: np.ndarray,     # [G] in 1..C
         gt_difficult: Optional[np.ndarray] = None,  # [G] bool
+        gt_crowd: Optional[np.ndarray] = None,      # [G] bool (COCO iscrowd)
     ):
-        if gt_difficult is None:
-            gt_difficult = np.zeros(len(gt_boxes), bool)
-        gt_ignore = gt_difficult.astype(bool).copy()
-        det_out_of_range = np.zeros(len(pred_boxes), bool)
+        difficult, crowd = _normalize_flags(gt_boxes, gt_difficult, gt_crowd)
+        gt_ignore = difficult | crowd
+        det_oor = np.zeros(len(pred_boxes), bool)
         if self.area_range is not None:
             lo, hi = self.area_range
-
-            def _areas(b):
-                return (np.maximum(b[:, 2] - b[:, 0], 0)
-                        * np.maximum(b[:, 3] - b[:, 1], 0))
-
-            ga = _areas(np.asarray(gt_boxes).reshape(-1, 4))
+            ga = _box_areas(gt_boxes)
             gt_ignore |= (ga < lo) | (ga >= hi)
-            da = _areas(np.asarray(pred_boxes).reshape(-1, 4))
-            det_out_of_range = (da < lo) | (da >= hi)
+            da = _box_areas(pred_boxes)
+            det_oor = (da < lo) | (da >= hi)
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c
             gt_mask = gt_classes == c
@@ -122,65 +216,33 @@ class DetectionEvaluator:
                 continue  # nothing to match or count for this class
             self._npos[c - 1] += int((~gt_ignore[gt_mask]).sum())
 
-            d_boxes = pred_boxes[det_mask]
             d_scores = pred_scores[det_mask]
-            d_oor = det_out_of_range[det_mask]
+            order = np.argsort(-d_scores, kind="stable")
+            d_boxes = pred_boxes[det_mask][order]
+            d_scores = d_scores[order]
+            d_oor = det_oor[det_mask][order]
             g_boxes = gt_boxes[gt_mask]
             g_ignore = gt_ignore[gt_mask]
-            order = np.argsort(-d_scores, kind="stable")
-            matched = np.zeros(len(g_boxes), bool)
-            iou = _iou_matrix(d_boxes, g_boxes) if len(g_boxes) else None
-            prefer_real = self.mode == "coco"
-            for di in order:
-                best, best_iou = -1, self.iou_thresh
-                if iou is not None:
-                    for gi in range(len(g_boxes)):
-                        if matched[gi] or iou[di, gi] < best_iou:
-                            continue
-                        # COCO: never displace a non-ignored match with an
-                        # ignored one (an ignored GT is only taken when no
-                        # real GT clears the threshold).
-                        if (prefer_real and g_ignore[gi]
-                                and best >= 0 and not g_ignore[best]):
-                            continue
-                        if (prefer_real and not g_ignore[gi]
-                                and best >= 0 and g_ignore[best]):
-                            best, best_iou = gi, iou[di, gi]
-                            continue
-                        best, best_iou = gi, iou[di, gi]
-                if best >= 0:
-                    matched[best] = True
-                    if not g_ignore[best]:
-                        self._scores[c - 1].append(float(d_scores[di]))
-                        self._tps[c - 1].append(True)
-                    # matches to ignored/difficult GT are silently dropped
-                elif self.mode == "coco" and d_oor[di]:
-                    # Unmatched detection outside the area range: ignored
-                    # (pycocotools), not a false positive.
-                    pass
-                else:
-                    self._scores[c - 1].append(float(d_scores[di]))
-                    self._tps[c - 1].append(False)
+            g_crowd = crowd[gt_mask]
+            iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
+                   if len(g_boxes) else None)
+            codes = _match_dets(
+                iou, g_ignore, g_crowd, d_oor, self.iou_thresh, self.mode
+            )
+            keep = codes >= 0
+            self._scores[c - 1].extend(d_scores[keep].tolist())
+            self._tps[c - 1].extend((codes[keep] == 1).tolist())
 
     def summarize(self) -> Dict[str, float]:
         aps = {}
         for c in range(self.num_classes):
-            npos = self._npos[c]
             name = (
                 self.class_names[c] if self.class_names else f"class_{c + 1}"
             )
-            if npos == 0:
-                aps[name] = float("nan")
-                continue
-            scores = np.asarray(self._scores[c])
-            tps = np.asarray(self._tps[c], bool)
-            order = np.argsort(-scores, kind="stable")
-            tps = tps[order]
-            tp_cum = np.cumsum(tps)
-            fp_cum = np.cumsum(~tps)
-            recall = tp_cum / npos
-            precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
-            aps[name] = average_precision(recall, precision, self.interpolation)
+            aps[name] = _class_ap(
+                self._scores[c], self._tps[c], self._npos[c],
+                self.interpolation,
+            )
         valid = [v for v in aps.values() if not np.isnan(v)]
         result = {f"AP/{k}": v for k, v in aps.items()}
         result["mAP"] = float(np.mean(valid)) if valid else 0.0
@@ -201,9 +263,11 @@ class CocoStyleEvaluator:
     """COCO-protocol evaluator (BASELINE configs 4–5 are COCO): AP averaged
     over IoU thresholds 0.50:0.05:0.95 with 101-point interpolation, the
     size-stratified APs (small/medium/large — pycocotools area breakpoints
-    32² and 96², on box area), and AR@maxdets. Implemented as a bank of
-    per-(threshold, area-range) COCO-mode evaluators (host-side NumPy,
-    exactness over speed — same philosophy as the parity referee)."""
+    32² and 96², on box area), and AR@maxdets. Host-side NumPy — exactness
+    over speed, same philosophy as the parity referee — but the per-image
+    work is shared across the 40 (threshold × area-range) accumulation
+    banks: the IoU matrix and score ordering are computed once per
+    (image, class) and only the cheap greedy pass runs per bank."""
 
     THRESHOLDS = [0.5 + 0.05 * i for i in range(10)]
     AREA_RANGES = {
@@ -214,35 +278,102 @@ class CocoStyleEvaluator:
     }
 
     def __init__(self, num_classes: int, class_names=None):
-        self._banks: Dict[tuple, DetectionEvaluator] = {}
-        for t in self.THRESHOLDS:
-            for name, rng in self.AREA_RANGES.items():
-                self._banks[(t, name)] = DetectionEvaluator(
-                    num_classes, iou_thresh=t, interpolation="101_points",
-                    class_names=class_names, mode="coco", area_range=rng,
-                )
+        self.num_classes = num_classes
+        self.class_names = class_names
+        C = num_classes
+        self._keys = [(t, a) for t in self.THRESHOLDS for a in self.AREA_RANGES]
+        self._scores = {k: [[] for _ in range(C)] for k in self._keys}
+        self._tps = {k: [[] for _ in range(C)] for k in self._keys}
+        # npos depends only on the area range, not the IoU threshold.
+        self._npos = {a: np.zeros(C, np.int64) for a in self.AREA_RANGES}
 
-    def add_image(self, *args, **kwargs):
-        for bank in self._banks.values():
-            bank.add_image(*args, **kwargs)
+    def add_image(
+        self,
+        pred_boxes: np.ndarray,
+        pred_scores: np.ndarray,
+        pred_classes: np.ndarray,
+        gt_boxes: np.ndarray,
+        gt_classes: np.ndarray,
+        gt_difficult: Optional[np.ndarray] = None,
+        gt_crowd: Optional[np.ndarray] = None,
+    ):
+        difficult, crowd = _normalize_flags(gt_boxes, gt_difficult, gt_crowd)
+        base_ignore = difficult | crowd
+        gt_areas = _box_areas(gt_boxes)
+        det_areas = _box_areas(pred_boxes)
+        for c in range(1, self.num_classes + 1):
+            det_mask = pred_classes == c
+            gt_mask = gt_classes == c
+            if not det_mask.any() and not gt_mask.any():
+                continue
+            d_scores = pred_scores[det_mask]
+            order = np.argsort(-d_scores, kind="stable")
+            d_boxes = pred_boxes[det_mask][order]
+            d_scores_sorted = d_scores[order].tolist()
+            d_areas = det_areas[det_mask][order]
+            g_boxes = gt_boxes[gt_mask]
+            g_base_ignore = base_ignore[gt_mask]
+            g_crowd = crowd[gt_mask]
+            g_areas = gt_areas[gt_mask]
+            iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
+                   if len(g_boxes) else None)
+            for a, (lo, hi) in self.AREA_RANGES.items():
+                g_ignore = g_base_ignore | (g_areas < lo) | (g_areas >= hi)
+                d_oor = (d_areas < lo) | (d_areas >= hi)
+                self._npos[a][c - 1] += int((~g_ignore).sum())
+                for t in self.THRESHOLDS:
+                    codes = _match_dets(
+                        iou, g_ignore, g_crowd, d_oor, t, "coco"
+                    )
+                    keep = codes >= 0
+                    sc = self._scores[(t, a)][c - 1]
+                    tp = self._tps[(t, a)][c - 1]
+                    for i in np.flatnonzero(keep):
+                        sc.append(d_scores_sorted[i])
+                        tp.append(bool(codes[i] == 1))
+
+    def _bank_aps(self, t: float, a: str) -> np.ndarray:
+        return np.asarray([
+            _class_ap(self._scores[(t, a)][c], self._tps[(t, a)][c],
+                      self._npos[a][c], "101_points")
+            for c in range(self.num_classes)
+        ])
 
     def _mean_ap(self, area: str) -> float:
-        vals = [self._banks[(t, area)].summarize()["mAP"]
-                for t in self.THRESHOLDS]
+        vals = []
+        for t in self.THRESHOLDS:
+            aps = self._bank_aps(t, area)
+            ok = aps[~np.isnan(aps)]
+            vals.append(float(ok.mean()) if len(ok) else 0.0)
         return float(np.mean(vals))
 
     def _mean_ar(self, area: str) -> float:
-        recalls = np.stack([self._banks[(t, area)].max_recalls()
-                            for t in self.THRESHOLDS])
-        per_class = np.nanmean(recalls, axis=0)
-        valid = per_class[~np.isnan(per_class)]
-        return float(valid.mean()) if len(valid) else 0.0
+        npos = self._npos[area]
+        recalls = np.stack([
+            np.asarray([
+                float(np.sum(self._tps[(t, area)][c])) / npos[c]
+                if npos[c] > 0 else np.nan
+                for c in range(self.num_classes)
+            ])
+            for t in self.THRESHOLDS
+        ])
+        # nanmean per class, but skip all-NaN classes (no GT in range at any
+        # threshold) without tripping numpy's empty-slice warning.
+        present = ~np.isnan(recalls)
+        counts = present.sum(axis=0)
+        sums = np.where(present, recalls, 0.0).sum(axis=0)
+        per_class = sums[counts > 0] / counts[counts > 0]
+        return float(per_class.mean()) if per_class.size else 0.0
 
     def summarize(self) -> Dict[str, float]:
+        ap50 = self._bank_aps(0.5, "all")
+        ap50_ok = ap50[~np.isnan(ap50)]
+        ap75 = self._bank_aps(0.75, "all")
+        ap75_ok = ap75[~np.isnan(ap75)]
         out = {
             "mAP": self._mean_ap("all"),  # the COCO headline
-            "mAP@0.5": self._banks[(0.5, "all")].summarize()["mAP"],
-            "mAP@0.75": self._banks[(0.75, "all")].summarize()["mAP"],
+            "mAP@0.5": float(ap50_ok.mean()) if len(ap50_ok) else 0.0,
+            "mAP@0.75": float(ap75_ok.mean()) if len(ap75_ok) else 0.0,
             "mAP_small": self._mean_ap("small"),
             "mAP_medium": self._mean_ap("medium"),
             "mAP_large": self._mean_ap("large"),
@@ -252,9 +383,8 @@ class CocoStyleEvaluator:
             "AR_large": self._mean_ar("large"),
         }
         # Per-class APs at 0.5 for debugging parity.
-        out.update({
-            k: v
-            for k, v in self._banks[(0.5, "all")].summarize().items()
-            if k != "mAP"
-        })
+        for c in range(self.num_classes):
+            name = (self.class_names[c] if self.class_names
+                    else f"class_{c + 1}")
+            out[f"AP/{name}"] = float(ap50[c])
         return out

@@ -48,13 +48,14 @@ def _host_tag() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                if not line.strip():
+                    break  # end of the first CPU's block; the rest repeat it
                 # x86: "model name"/"flags"; aarch64: "CPU implementer"/
-                # "CPU part"/"Features".
+                # "CPU part"/"Features" (Features precedes the part lines,
+                # so collect the whole first block rather than early-exit).
                 if line.startswith(("model name", "flags", "CPU implementer",
                                     "CPU part", "Features")):
                     cpu += line
-                    if line.startswith(("flags", "Features")):
-                        break
     except OSError:
         pass
     return hashlib.sha256((os.uname().machine + cpu).encode()).hexdigest()[:8]
