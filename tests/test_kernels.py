@@ -154,3 +154,20 @@ def test_batched_nms_matches_per_class_reference(rng):
     sc = np.asarray(scores)
     top = sorted(expected, key=lambda i: -sc[i])[:100]
     assert got == set(top)
+
+
+def test_nms_pallas_zero_grad_with_bool_mask(rng):
+    """The custom_vjp bwd must emit a float0 cotangent for the boolean
+    valid_mask — a same-dtype zeros array is a TypeError under jax.grad."""
+    n = 100
+    boxes = jnp.asarray(random_boxes(rng, n, size=80.0))
+    scores = jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0, 1, n) > 0.3)
+
+    def loss(b, s):
+        idx, valid = nms_pallas(b, s, 0.5, 30, valid_mask=mask,
+                                interpret=True)
+        return jnp.sum(b[idx] * valid[:, None]) + 0.0 * jnp.sum(s)
+
+    g_boxes, _ = jax.grad(loss, argnums=(0, 1))(boxes, scores)
+    assert np.isfinite(np.asarray(g_boxes)).all()

@@ -286,3 +286,20 @@ def test_fpn_packed_pooler_matches_default():
         np.asarray(out["scores"]), np.asarray(ref["scores"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("use_fpn", [False, True])
+def test_non_divisible_canvas_traces(use_fpn):
+    """Anchor grids must use ceil(h/stride) to match SAME-padded conv
+    output dims: a 120-px canvas (not divisible by 16 or 64) previously
+    desynced anchor count from RPN output and failed at trace time
+    (e.g. the 832x1120 COCO aspect bucket at FPN stride 64)."""
+    cfg = tiny_test_config(canvas=120, use_fpn=use_fpn)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = {
+        "image": jnp.zeros((1, 120, 120, 3), jnp.float32),
+        "image_hw": jnp.asarray([[120.0, 120.0]]),
+    }
+    out = jax.jit(lambda v, b: model.predict(v, b))(variables, batch)
+    assert out["boxes"].shape[0] == 1

@@ -83,3 +83,25 @@ def test_batched_nms_separates_classes():
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray([0, 0]), 0.5, 2
     )
     assert list(np.asarray(idx)[np.asarray(valid)]) == [0]
+
+
+def test_batched_nms_offset_preserves_f32_resolution():
+    """The class-coordinate offset must keep sub-pixel f32 resolution for
+    high class ids: two near-threshold boxes in class 80 must resolve
+    exactly as they do in class 1 (a 1e5 offset puts class-80 boxes at
+    ~8e6 where f32 spacing is 0.5 px and flips the comparison)."""
+    from tpudet.ops.nms import batched_nms, nms
+
+    # IoU just over 0.5: suppression expected.
+    base = np.asarray([[0.0, 0.0, 100.0, 100.0],
+                       [0.0, 33.0, 100.0, 133.0]], np.float32)
+    scores = np.asarray([0.9, 0.8], np.float32)
+    ref_idx, ref_valid = nms(jnp.asarray(base), jnp.asarray(scores), 0.5, 2)
+    for cls in (1, 80):
+        ids = np.full(2, cls, np.int32)
+        idx, valid = batched_nms(jnp.asarray(base), jnp.asarray(scores),
+                                 jnp.asarray(ids), 0.5, 2)
+        np.testing.assert_array_equal(np.asarray(valid),
+                                      np.asarray(ref_valid), err_msg=str(cls))
+        np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
+                                      np.asarray(ref_idx)[np.asarray(ref_valid)])

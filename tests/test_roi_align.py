@@ -106,3 +106,20 @@ def test_multi_level_packed_single_level_exact(rng):
     want = R.roi_align_mxu(feat, jnp.asarray(rois) / 4.0, 7, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_roi_align_mxu_unaligned_matches_gather(rng):
+    """aligned=False must apply the same legacy min-extent clamp (1.0) in
+    both backends, including for sub-pixel boxes."""
+    from tpudet.ops.roi_align import roi_align, roi_align_mxu
+
+    fmap = jnp.asarray(rng.normal(size=(16, 16, 8)).astype(np.float32))
+    boxes = jnp.asarray(np.array([
+        [2.0, 3.0, 10.0, 12.0],
+        [5.0, 5.0, 5.3, 5.2],   # sub-pixel extents hit the clamp
+        [0.0, 0.0, 15.0, 15.0],
+    ], np.float32))
+    a = roi_align(fmap, boxes, 7, sampling_ratio=2, aligned=False)
+    b = roi_align_mxu(fmap, boxes, 7, sampling_ratio=2, aligned=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

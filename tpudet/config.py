@@ -205,6 +205,10 @@ class ROIConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     max_detections: int = 100
+    # Cap on flattened (box, class) candidates entering the final per-class
+    # NMS (top-k by score first; static shape). 0 -> the built-in default
+    # (1024). Raise for protocol-exact postprocessing in dense scenes.
+    max_nms_candidates: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

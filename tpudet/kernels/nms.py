@@ -294,12 +294,17 @@ def _nms_pallas_fwd(boxes, scores, valid_mask, iou_threshold, max_outputs,
 
 def _nms_pallas_bwd(iou_threshold, max_outputs, score_threshold, interpret,
                     presorted, res, _ct):
+    import numpy as np
+
     boxes, scores, valid_mask = res
-    return (
-        jnp.zeros_like(boxes),
-        jnp.zeros_like(scores),
-        None if valid_mask is None else jnp.zeros_like(valid_mask),
-    )
+    # Non-inexact primals (the bool valid_mask) take float0 cotangents —
+    # a same-dtype zeros array here is a TypeError under jax.grad.
+    mask_ct = None
+    if valid_mask is not None:
+        mask_ct = (jnp.zeros_like(valid_mask)
+                   if jnp.issubdtype(valid_mask.dtype, jnp.inexact)
+                   else np.zeros(valid_mask.shape, dtype=jax.dtypes.float0))
+    return (jnp.zeros_like(boxes), jnp.zeros_like(scores), mask_ct)
 
 
 _nms_pallas_nograd.defvjp(_nms_pallas_fwd, _nms_pallas_bwd)

@@ -43,8 +43,9 @@ from tpudet.ops.samplers import sample_balanced
 from tpudet.ops.roi_align import crop_and_resize, roi_align, roi_align_mxu
 from tpudet.train import losses as L
 
-# Cap on flattened (box, class) candidates entering the final per-class NMS;
-# top-k-ed by score first so the sequential NMS loop stays short on TPU.
+# Default cap on flattened (box, class) candidates entering the final
+# per-class NMS (overridable via ROIConfig.max_nms_candidates); top-k-ed by
+# score first so the sequential NMS loop stays short on TPU.
 MAX_NMS_CANDIDATES = 1024
 
 
@@ -143,8 +144,15 @@ class FasterRCNN:
         h, w = int(canvas_hw[0]), int(canvas_hw[1])
         if (h, w) not in self._anchors_cache:
             a = self.cfg.anchors
+            # SAME-padded stride-2 convs produce ceil(h/stride) spatial dims
+            # (nested ceils collapse: ceil(ceil(h/a)/b) == ceil(h/(a*b))), so
+            # the anchor grid must use ceil too — floor would desync the
+            # anchor count from the RPN output on canvases not divisible by
+            # the full stride product (e.g. the 832x1120 COCO bucket at
+            # FPN p6 stride 64).
+            ceil = lambda n, s: -(-n // s)  # noqa: E731
             if self.cfg.backbone.use_fpn:
-                shapes = [(h // s, w // s) for s in a.fpn_strides]
+                shapes = [(ceil(h, s), ceil(w, s)) for s in a.fpn_strides]
                 per_level = [
                     anchor_ops.generate_anchors_np(fh, fw, s, [sc], a.aspect_ratios)
                     for (fh, fw), s, sc in zip(shapes, a.fpn_strides, a.fpn_scales)
@@ -152,7 +160,8 @@ class FasterRCNN:
                 self._anchors_cache[(h, w)] = np.concatenate(per_level, axis=0)
             else:
                 self._anchors_cache[(h, w)] = anchor_ops.generate_anchors_np(
-                    h // a.stride, w // a.stride, a.stride, a.scales, a.aspect_ratios
+                    ceil(h, a.stride), ceil(w, a.stride), a.stride,
+                    a.scales, a.aspect_ratios
                 )
         return jnp.asarray(self._anchors_cache[(h, w)])
 
@@ -298,11 +307,9 @@ class FasterRCNN:
             gt_valid=gt_valid, allow_low_quality=True,
         )
         if cfg.ignore_cross_boundary:
-            inside = (
-                (anchors[:, 0] >= 0)
-                & (anchors[:, 1] >= 0)
-                & (anchors[:, 2] <= image_hw[1])
-                & (anchors[:, 3] <= image_hw[0])
+            # Backend-agnostic helper (same predicate on jnp arrays).
+            inside = anchor_ops.anchor_validity_mask_np(
+                anchors, image_hw[0], image_hw[1]
             )
             labels = jnp.where(inside, labels, -1)
         idx, is_pos, valid = sample_balanced(
@@ -451,8 +458,12 @@ class FasterRCNN:
             flat_scores > cfg.score_thresh
         )
 
-        # Keep the NMS loop short: pre-select top candidates by score.
-        k_cand = min(flat_scores.shape[0], MAX_NMS_CANDIDATES)
+        # Keep the NMS loop short: pre-select top candidates by score. In
+        # dense scenes a candidate below the cap could survive exact per-class
+        # NMS; raise roi.max_nms_candidates for protocol-exact postprocessing
+        # at some NMS cost.
+        cap = cfg.max_nms_candidates or MAX_NMS_CANDIDATES
+        k_cand = min(flat_scores.shape[0], cap)
         cand_scores, cand_idx = jax.lax.top_k(
             jnp.where(flat_valid, flat_scores, -1.0), k_cand
         )

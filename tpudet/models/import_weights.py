@@ -186,8 +186,14 @@ def apply_backbone_weights(variables: Dict, params: Dict, constants: Dict) -> Di
         variables["params"]["backbone"], params, "params/backbone/"
     )
     if constants:
-        new_vars.setdefault("constants", {})
-        new_vars["constants"] = dict(new_vars.get("constants", {}))
+        if "constants" not in variables:
+            raise ValueError(
+                "checkpoint carries frozen-BN constants but the model has no "
+                "'constants' collection — it was built with norm="
+                "'gn'; use BackboneConfig(norm='frozen_bn') to import "
+                "pretrained BN statistics"
+            )
+        new_vars["constants"] = dict(new_vars["constants"])
         new_vars["constants"]["backbone"] = merge(
             variables["constants"]["backbone"], constants, "constants/backbone/"
         )

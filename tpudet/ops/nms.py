@@ -103,11 +103,17 @@ def batched_nms(
     max_outputs: int,
     valid_mask: Optional[jnp.ndarray] = None,
     score_threshold: Optional[float] = None,
-    coordinate_offset: float = 1e5,
+    coordinate_offset: float = 4096.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-class NMS in one pass: offset each class's boxes to a disjoint
     coordinate range so cross-class pairs never overlap (standard trick), then
-    run plain :func:`nms`."""
+    run plain :func:`nms`.
+
+    ``coordinate_offset`` must exceed the max box coordinate but stay small
+    enough that offset coordinates keep f32 resolution: at 4096 with 80
+    classes the largest coordinate is ~3.3e5, where f32 spacing is 0.03 px
+    (1e5 would put class-80 boxes at ~8e6, f32 spacing 0.5 px — enough to
+    flip near-threshold IoU comparisons)."""
     offsets = class_ids.astype(boxes.dtype)[:, None] * coordinate_offset
     return nms(
         boxes + offsets,

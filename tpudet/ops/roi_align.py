@@ -135,9 +135,14 @@ def roi_align(
 
 
 def _sample_grid(boxes, size, s, r, offset):
-    """Sample coords along one axis: [N, s*r] positions + validity mask."""
+    """Sample coords along one axis: [N, s*r] positions + validity mask.
+
+    The degenerate-extent clamp matches :func:`roi_align`: 1e-6 when aligned
+    (offset 0.5), 1.0 in legacy unaligned mode (tf/detectron convention).
+    """
+    min_extent = 1e-6 if offset else 1.0
     start = boxes[:, 0] - offset
-    extent = jnp.maximum(boxes[:, 1] - boxes[:, 0], 1e-6)
+    extent = jnp.maximum(boxes[:, 1] - boxes[:, 0], min_extent)
     grid = (
         jnp.arange(s, dtype=boxes.dtype)[:, None]
         + (jnp.arange(r, dtype=boxes.dtype)[None, :] + 0.5) / r
