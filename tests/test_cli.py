@@ -214,3 +214,69 @@ def test_training_deterministic_same_seed():
         _, metrics = step(state, batch)
         losses.append(float(metrics["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_metrics_logger_grows_columns(tmp_path):
+    """Columns appearing after the first row (steps_per_sec on the second
+    call, eval metrics at the first eval interval) must survive into the
+    CSV instead of being silently dropped by a frozen header."""
+    import csv as csv_mod
+    import time as time_mod
+
+    from tpudet.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    logger.log(1, {"loss": 1.0})
+    time_mod.sleep(0.01)
+    logger.log(2, {"loss": 0.5})           # adds steps_per_sec
+    logger.log(2, {"mAP": 0.7}, prefix="eval")  # adds eval/mAP
+    logger.close()
+
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv_mod.DictReader(f))
+    assert rows[0]["step"] == "1"
+    assert float(rows[1]["steps_per_sec"]) > 0
+    assert float(rows[2]["eval/mAP"]) == 0.7
+    assert rows[2]["loss"] == ""  # eval row has no train columns
+
+    # Resume into the same logdir with a new column set: old rows keep
+    # their values, new columns extend the header.
+    logger2 = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    logger2.log(3, {"loss": 0.25, "grad_norm": 2.0})
+    logger2.close()
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv_mod.DictReader(f))
+    assert len(rows) == 4
+    assert rows[0]["loss"] == "1.0"
+    assert float(rows[3]["grad_norm"]) == 2.0
+
+
+def test_export_refuses_empty_checkpoint_dir(tmp_path):
+    """--checkpoint-dir pointing at a dir with no checkpoint (e.g. a typo)
+    must fail instead of silently exporting random weights."""
+    import pytest as _pytest
+
+    from tpudet.cli.export import main as export_main
+
+    (tmp_path / "empty_ckpt").mkdir()
+    with _pytest.raises(SystemExit, match="no checkpoint found"):
+        export_main([
+            "--preset", "tiny", "--checkpoint-dir",
+            str(tmp_path / "empty_ckpt"),
+            "--output", str(tmp_path / "m.tpudet"), "--batch-size", "1",
+        ])
+
+
+def test_train_cli_rejects_indivisible_mesh_batch(tmp_path):
+    """batch_size not divisible by the data-mesh size must error up front:
+    the sharded device_put would otherwise fail inside the loader's producer
+    thread and hang the training loop forever."""
+    import pytest as _pytest
+
+    from tpudet.cli.train import main as train_main
+
+    with _pytest.raises(ValueError, match="not divisible by the data-mesh"):
+        train_main([
+            "--preset", "tiny", "--dataset", "synthetic", "--steps", "1",
+            "--batch-size", "2",  # 8 fake devices -> data mesh of 8
+        ])

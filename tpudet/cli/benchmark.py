@@ -42,25 +42,10 @@ def _make_batch(cfg, batch_size: int):
     return {k: jnp.asarray(v) for k, v in raw.items()}
 
 
-def _sync(out):
-    """Force completion via a tiny device->host fetch.
-
-    ``jax.block_until_ready`` returns immediately on this environment's
-    experimental 'axon' TPU tunnel (verified: it reported 160x physical peak
-    on a known matmul); fetching one leaf waits for the real computation."""
-    jax.device_get(jax.tree_util.tree_leaves(out)[0])
-
-
-def _timeit(fn, iters: int, warmup: int = 2) -> float:
-    """Median wall-clock seconds per call (post-compile), synced per call."""
-    for _ in range(warmup):
-        _sync(fn())
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _sync(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+# Canonical timing harness (one implementation: the axon-tunnel sync
+# workaround lives in tpudet/utils/profiling.py).
+from tpudet.utils.profiling import device_timeit as _timeit  # noqa: E402
+from tpudet.utils.profiling import sync as _sync  # noqa: E402
 
 
 def _timeit_pipelined(fn, iters: int, warmup: int = 2) -> float:
@@ -90,7 +75,10 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
     sec = _timeit_pipelined(lambda: step(variables, batch), iters)
     sec_latency = _timeit(lambda: step(variables, batch), iters)
     ips = batch_size / sec
-    per_chip = ips / jax.device_count()
+    # The step is mesh-less jax.jit — it runs on ONE chip regardless of
+    # how many are attached, so per-chip == total here (dividing by
+    # device_count() would under-report by 8x on a v5e-8 host).
+    per_chip = ips
     return {
         "metric": "faster_rcnn_infer_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -101,7 +89,7 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
         "sec_per_batch_synced": round(sec_latency, 5),
         "total_images_per_sec": round(ips, 2),
         "backend": jax.default_backend(),
-        "num_devices": jax.device_count(),
+        "num_devices": 1,  # devices used by the mesh-less step
     }
 
 
@@ -140,7 +128,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
         _sync(out)
     sec = (time.perf_counter() - t0) / num_batches
     ips = batch_size / sec
-    per_chip = ips / jax.device_count()
+    per_chip = ips  # mesh-less single-chip step; see bench_infer
     return {
         "metric": "faster_rcnn_infer_stream_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -150,7 +138,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
         "num_batches": num_batches,
         "sec_per_batch": round(sec, 5),
         "backend": jax.default_backend(),
-        "num_devices": jax.device_count(),
+        "num_devices": 1,  # devices used by the mesh-less step
     }
 
 

@@ -22,27 +22,28 @@ from tpudet.train.state import create_train_state
 from tpudet.train.step import make_eval_step
 
 
-def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
-                        orig_hw: np.ndarray) -> np.ndarray:
-    """Canvas coords -> original-image coords (inverse of C2's resize)."""
-    sy, sx = image_scale[0], image_scale[1]
-    out = boxes.copy()
-    out[:, [0, 2]] /= sx
-    out[:, [1, 3]] /= sy
-    out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_hw[1])
-    out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_hw[0])
-    return out
+# Shared inverse-resize helper (also used by cli/detect and serving);
+# re-exported here for backward compatibility.
+from tpudet.data.preprocess import rescale_to_original  # noqa: F401,E402
 
 
 def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
              class_names=None, verbose=True, metric_style="voc", mesh=None,
-             save_json=""):
+             save_json="", eval_step=None):
     """Run 3c: batched inference + host-side mAP accumulation.
 
     With ``mesh`` the batch is data-parallel-sharded over the 'data' axis
     (XLA partitions the whole inference program; detections come back
-    batch-sharded and are fetched to host for the evaluator)."""
-    eval_step = make_eval_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    batch-sharded and are fetched to host for the evaluator).
+
+    ``eval_step`` lets callers that evaluate repeatedly (the train CLI's
+    --eval-every) reuse one compiled step across calls instead of paying a
+    fresh XLA compile each interval."""
+    if eval_step is None:
+        eval_step = make_eval_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    # Commit host variables to device once, not once per batch.
+    if mesh is None:
+        variables = jax.device_put(variables)
     sharding = None
     if mesh is not None:
         from tpudet.parallel import batch_sharding

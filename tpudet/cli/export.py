@@ -41,7 +41,17 @@ def main(argv=None):
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(cfg.train.seed))
     if args.checkpoint_dir:
-        state = CheckpointManager(args.checkpoint_dir).restore(state)
+        mgr = CheckpointManager(args.checkpoint_dir)
+        if mgr.latest_step is None:
+            # Silently shipping random weights with a valid-looking artifact
+            # is worse than failing: a typo'd path must not export.
+            raise SystemExit(
+                f"no checkpoint found in {args.checkpoint_dir!r} — refusing "
+                "to export randomly initialized weights (omit "
+                "--checkpoint-dir explicitly to export a random-weight "
+                "smoke-test artifact)"
+            )
+        state = mgr.restore(state)
     else:
         print("WARNING: no --checkpoint-dir given — exporting RANDOMLY "
               "INITIALIZED weights (fine for smoke tests, useless for "

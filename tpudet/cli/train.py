@@ -80,6 +80,14 @@ def main(argv=None):
     mesh = None
     if not args.no_mesh and len(devices) > 1:
         mesh = make_mesh(cfg.train.num_data_shards, cfg.train.num_model_shards)
+        if cfg.train.batch_size % mesh.shape["data"]:
+            # Fail loudly here: the device_put would otherwise raise inside
+            # the loader's producer thread and hang the main loop forever.
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} not divisible by the "
+                f"data-mesh size {mesh.shape['data']} — adjust --batch-size "
+                "or train.num_data_shards (or pass --no-mesh)"
+            )
         print(f"mesh: {mesh.shape}")
     print(f"devices: {devices}")
 
@@ -124,6 +132,7 @@ def main(argv=None):
 
     start = int(jax.device_get(state.step))
     eval_dataset = None
+    eval_step_fn = None
     stream = iter(loader)
     for step in range(start, cfg.train.total_steps):
         batch = next(stream)
@@ -146,10 +155,23 @@ def main(argv=None):
 
             if eval_dataset is None:
                 eval_dataset = build_dataset(cfg, split="val")
+            if eval_step_fn is None:
+                from tpudet.train.step import make_eval_step
+
+                # Built once: a fresh make_eval_step per interval would pay
+                # a full XLA recompile of the inference program every eval.
+                eval_step_fn = make_eval_step(model, cfg,
+                                              fused_preprocess=True)
+            # Meshless eval step: mesh-sharded variables must round-trip
+            # through host so evaluate() can commit them to one device
+            # (mixed device sets would fail under jit).
+            eval_vars = (state.variables if mesh is None
+                         else jax.device_get(state.variables))
             summary = evaluate(
-                cfg, model, jax.device_get(state.variables), eval_dataset,
+                cfg, model, eval_vars, eval_dataset,
                 batch_size=min(8, cfg.train.batch_size),
                 max_images=args.eval_max_images, verbose=False,
+                eval_step=eval_step_fn,
             )
             logger.log(step + 1, {"mAP": summary["mAP"]}, prefix="eval")
     if ckpt:

@@ -174,6 +174,20 @@ def prepare_example_jpeg(
     )
 
 
+def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
+                        orig_hw: np.ndarray) -> np.ndarray:
+    """Canvas coords -> original-image coords: the exact inverse of the
+    per-axis resize in ``_finalize_example`` (shared by eval, detect, and
+    serving so the contract lives in one place)."""
+    sy, sx = image_scale[0], image_scale[1]
+    out = boxes.copy()
+    out[:, [0, 2]] /= sx
+    out[:, [1, 3]] /= sy
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_hw[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_hw[0])
+    return out
+
+
 def _flip_single(image, boxes, image_hw):
     """Horizontally mirror the valid region [0:h, 0:w] of a padded canvas."""
     w_img = image_hw[1]

@@ -46,8 +46,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch pytree on the mesh, batch axis over 'data'.
 
-    Per-leaf: dim-0 sharded on 'data', everything else replicated. The global
-    batch size must divide the data-axis size.
+    Per-leaf: dim-0 sharded on 'data', everything else replicated. The
+    data-axis size must divide the global batch size (dim 0 of every leaf).
     """
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(

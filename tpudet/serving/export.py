@@ -212,7 +212,9 @@ class ServingModel:
         coordinates: {"boxes" [n,4], "scores" [n], "classes" [n]}."""
         import jax
 
-        from tpudet.data.preprocess import canvas_for_hw, prepare_example
+        from tpudet.data.preprocess import (
+            canvas_for_hw, prepare_example, rescale_to_original,
+        )
 
         if score_thresh is None:
             score_thresh = self.meta["score_thresh"]
@@ -245,17 +247,9 @@ class ServingModel:
                 out = jax.device_get(call(canvases, hw))
                 for k, (i, p) in enumerate(zip(chunk, prepared)):
                     keep = out["valid"][k] & (out["scores"][k] >= score_thresh)
-                    boxes = out["boxes"][k][keep]
-                    sy, sx = p["image_scale"]
-                    oh, ow = p["orig_hw"]
-                    boxes = np.stack(
-                        [
-                            np.clip(boxes[:, 0] / sx, 0, ow),
-                            np.clip(boxes[:, 1] / sy, 0, oh),
-                            np.clip(boxes[:, 2] / sx, 0, ow),
-                            np.clip(boxes[:, 3] / sy, 0, oh),
-                        ],
-                        axis=-1,
+                    boxes = rescale_to_original(
+                        out["boxes"][k][keep].astype(np.float32),
+                        p["image_scale"], p["orig_hw"],
                     )
                     results[i] = {
                         "boxes": boxes,

@@ -16,15 +16,20 @@ from typing import Dict, Optional
 class MetricsLogger:
     def __init__(self, logdir: Optional[str] = None, use_tensorboard: bool = True):
         self.logdir = logdir
-        self._csv_file = None
-        self._csv = None
-        self._csv_fields = None
+        self._csv_path = None
+        self._csv_fields: list = []
+        self._csv_rows: list = []
         self._tb = None
         if logdir:
             os.makedirs(logdir, exist_ok=True)
-            self._csv_file = open(
-                os.path.join(logdir, "metrics.csv"), "a", newline=""
-            )
+            self._csv_path = os.path.join(logdir, "metrics.csv")
+            # Resume: absorb an existing file so a changed column set
+            # rewrites cleanly instead of appending misaligned rows.
+            if os.path.exists(self._csv_path):
+                with open(self._csv_path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    self._csv_rows = [dict(r) for r in reader]
+                    self._csv_fields = list(reader.fieldnames or [])
             if use_tensorboard:
                 try:
                     import tensorflow as tf
@@ -34,6 +39,29 @@ class MetricsLogger:
                     self._tb = None
         self._t0 = time.time()
         self._last: Dict[str, tuple] = {}  # prefix -> (step, time)
+
+    def _write_csv(self, row: Dict[str, object]) -> None:
+        """Append a row; columns grow over time (e.g. steps_per_sec appears
+        on the second call, eval/ metrics at the first eval interval), so new
+        keys extend the header and rewrite the file rather than being
+        silently dropped."""
+        new = [k for k in row if k not in self._csv_fields]
+        self._csv_rows.append(row)
+        if new:
+            fields = set(self._csv_fields) | set(row)
+            self._csv_fields = (
+                (["step"] if "step" in fields else [])
+                + sorted(fields - {"step"})
+            )
+            with open(self._csv_path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._csv_fields, restval="")
+                w.writeheader()
+                w.writerows(self._csv_rows)
+        else:
+            with open(self._csv_path, "a", newline="") as f:
+                csv.DictWriter(
+                    f, fieldnames=self._csv_fields, restval=""
+                ).writerow(row)
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
         metrics = {k: float(v) for k, v in metrics.items()}
@@ -47,18 +75,14 @@ class MetricsLogger:
         parts = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
         print(f"[{prefix} step {step}] {parts}", flush=True)
 
-        if self._csv_file:
-            row = {"step": step, **metrics}
-            if self._csv is None:
-                self._csv_fields = ["step"] + sorted(metrics.keys())
-                self._csv = csv.DictWriter(
-                    self._csv_file, fieldnames=self._csv_fields,
-                    extrasaction="ignore",
-                )
-                if self._csv_file.tell() == 0:
-                    self._csv.writeheader()
-            self._csv.writerow(row)
-            self._csv_file.flush()
+        if self._csv_path:
+            # Non-train prefixes get prefixed columns so an eval row is
+            # distinguishable from a train row sharing the same step.
+            key = (lambda k: k) if prefix == "train" else (
+                lambda k: f"{prefix}/{k}"
+            )
+            self._write_csv({"step": step,
+                             **{key(k): v for k, v in metrics.items()}})
         if self._tb is not None:
             import tensorflow as tf
 
@@ -75,5 +99,4 @@ class MetricsLogger:
                 tf.summary.image(name, image[None], step=step)
 
     def close(self):
-        if self._csv_file:
-            self._csv_file.close()
+        pass  # CSV writes are flushed per row; TB writers flush per log
