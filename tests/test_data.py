@@ -353,3 +353,98 @@ def test_prepare_example_carries_crowd_flags():
     assert out["gt_crowd"][:2].tolist() == [False, True]
     assert not out["gt_crowd"][2:].any()
     assert not prepare_example(cfg, img, boxes, classes)["gt_crowd"].any()
+
+
+class _FailingDataset:
+    num_classes = 3
+
+    def __len__(self):
+        return 8
+
+    def get_example(self, index):
+        raise OSError(f"corrupt image {index}")
+
+
+def test_device_stream_surfaces_producer_errors():
+    """An exception in the producer thread (corrupt file, OOM, shape
+    mismatch) must raise in the consumer instead of hanging q.get()."""
+    import pytest as _pytest
+
+    from tpudet.data.loader import DataLoader
+
+    cfg = tiny_test_config()
+    loader = DataLoader(cfg, _FailingDataset(), batch_size=2, shuffle=False,
+                        num_workers=2)
+    stream = loader.device_stream()
+    with _pytest.raises(RuntimeError, match="producer thread failed"):
+        next(stream)
+    stream.close()
+
+
+def test_loader_rejects_batch_larger_than_dataset():
+    import pytest as _pytest
+
+    from tpudet.data import SyntheticDataset, DataLoader
+
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(num_classes=3, num_examples=4)
+    with _pytest.raises(ValueError, match="fewer"):
+        DataLoader(cfg, ds, batch_size=8, drop_last=True)
+    DataLoader(cfg, ds, batch_size=8, drop_last=False)  # tail batch ok
+
+
+def test_coco_invalid_split_and_train_only_min_box(tmp_path):
+    import json
+    import pytest as _pytest
+    from PIL import Image
+
+    from tpudet.data.coco import CocoDataset
+
+    with _pytest.raises(ValueError, match="unknown COCO split"):
+        CocoDataset(str(tmp_path), split="test")
+
+    (tmp_path / "annotations").mkdir()
+    for name in ("train2017", "val2017"):
+        (tmp_path / name).mkdir()
+        Image.new("RGB", (64, 48)).save(tmp_path / name / "a.jpg")
+        blob = {
+            "images": [{"id": 1, "file_name": "a.jpg",
+                        "height": 48, "width": 64}],
+            "categories": [{"id": 1, "name": "x"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1,
+                 "bbox": [2, 2, 10, 10], "iscrowd": 0},
+                # degenerate sub-pixel box: train drops it, eval keeps it
+                # (pycocotools counts all GT in npos)
+                {"id": 2, "image_id": 1, "category_id": 1,
+                 "bbox": [20, 20, 0.5, 8], "iscrowd": 0},
+            ],
+        }
+        with open(tmp_path / "annotations" / f"instances_{name}.json",
+                  "w") as f:
+            json.dump(blob, f)
+    assert len(CocoDataset(str(tmp_path), "train").get_example(0)["boxes"]) == 1
+    assert len(CocoDataset(str(tmp_path), "val").get_example(0)["boxes"]) == 2
+
+
+def test_build_dataset_rejects_class_mismatch(tmp_path):
+    import json
+    import pytest as _pytest
+    from PIL import Image
+
+    from tpudet.config import Config, DataConfig
+    from tpudet.data import build_dataset
+
+    (tmp_path / "annotations").mkdir()
+    (tmp_path / "val2017").mkdir()
+    Image.new("RGB", (32, 32)).save(tmp_path / "val2017" / "a.jpg")
+    blob = {"images": [{"id": 1, "file_name": "a.jpg",
+                        "height": 32, "width": 32}],
+            "categories": [{"id": 1, "name": "x"}, {"id": 2, "name": "y"}],
+            "annotations": []}
+    with open(tmp_path / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump(blob, f)
+    cfg = Config(data=DataConfig(dataset="coco", data_dir=str(tmp_path),
+                                 num_classes=80))
+    with _pytest.raises(ValueError, match="2 classes.*num_classes.*80"):
+        build_dataset(cfg, "val")

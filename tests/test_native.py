@@ -301,3 +301,34 @@ def test_native_mode_requires_raw_source():
     ds = SyntheticDataset(num_classes=3, num_examples=2, image_size=128)
     with pytest.raises(ValueError, match="get_raw"):
         DataLoader(cfg, ds, batch_size=2)
+
+
+def test_truncated_jpeg_rejected():
+    """libjpeg 'recovers' from premature EOF by gray-filling missing MCUs
+    and reporting success; the native decoder must treat corrupt-data
+    warnings as failure so the loader falls back / surfaces the bad file
+    instead of silently training on half-gray images."""
+    import io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tpudet.data import native_decode
+    from tpudet.native import native_available
+
+    if not native_available():
+        pytest.skip("native decoder unavailable")
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (120, 160, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    whole = buf.getvalue()
+
+    # Intact decodes fine...
+    native_decode.decode_resize_pad(whole, 100, 160, 128, 160)
+    # ...truncated (half the entropy-coded data gone) must raise.
+    truncated = whole[: len(whole) // 2]
+    with pytest.raises(native_decode.NativeDecodeError):
+        native_decode.decode_resize_pad(truncated, 100, 160, 128, 160)

@@ -32,12 +32,24 @@ def build_dataset(cfg, split: str | None = None):
         # protocol ignores them at matching time rather than dropping them);
         # training drops them, as the reference does.
         keep_difficult = split in ("test", "val")
-        return VOCDataset(d.data_dir, split=split,
-                          keep_difficult=keep_difficult)
-    if d.dataset == "coco":
+        ds = VOCDataset(d.data_dir, split=split,
+                        keep_difficult=keep_difficult)
+    elif d.dataset == "coco":
         # Eval splits keep iscrowd annotations as ignore regions (the COCO
         # protocol ignores detections matched to a crowd); training drops
         # them — crowd regions are not usable as box-regression targets.
-        return CocoDataset(d.data_dir, split=split,
-                           keep_crowd=split in ("val", "val2017", "test"))
-    raise ValueError(f"unknown dataset {d.dataset!r}")
+        ds = CocoDataset(d.data_dir, split=split,
+                         keep_crowd=split in ("val", "val2017"))
+    else:
+        raise ValueError(f"unknown dataset {d.dataset!r}")
+    # A class-count mismatch (e.g. a COCO dir with a num_classes=20 config)
+    # would otherwise emit GT class ids beyond the model heads / evaluator
+    # banks and silently corrupt losses and metrics.
+    ds_classes = getattr(ds, "num_classes", None)
+    if ds_classes is not None and ds_classes != d.num_classes:
+        raise ValueError(
+            f"dataset has {ds_classes} classes but cfg.data.num_classes is "
+            f"{d.num_classes} — use the matching preset or override "
+            "data.num_classes"
+        )
+    return ds

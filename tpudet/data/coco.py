@@ -22,8 +22,15 @@ class CocoDataset:
         for protocol-faithful evaluation, where detections matched to a
         crowd are ignored rather than counted as false positives. Training
         splits drop them (crowd regions are not usable as box targets)."""
-        name = {"train": "train2017", "val": "val2017",
-                "train2017": "train2017", "val2017": "val2017"}[split]
+        splits = {"train": "train2017", "val": "val2017",
+                  "train2017": "train2017", "val2017": "val2017"}
+        if split not in splits:
+            raise ValueError(
+                f"unknown COCO split {split!r} (valid: {sorted(splits)}; "
+                "test2017 has no public instance annotations)"
+            )
+        name = splits[split]
+        self.is_train = name.startswith("train")
         ann_path = os.path.join(root, "annotations", f"instances_{name}.json")
         with open(ann_path) as f:
             blob = json.load(f)
@@ -40,7 +47,10 @@ class CocoDataset:
             if ann.get("iscrowd", 0) and not keep_crowd:
                 continue
             w, h = ann["bbox"][2], ann["bbox"][3]
-            if w < min_box_size or h < min_box_size:
+            # Degenerate-box filter is TRAINING-only: pycocotools keeps all
+            # GT in npos, so dropping them on eval splits would inflate AP
+            # relative to the protocol.
+            if self.is_train and (w < min_box_size or h < min_box_size):
                 continue
             anns_by_image.setdefault(ann["image_id"], []).append(ann)
 

@@ -32,6 +32,14 @@ class Dataset(Protocol):
 
 _announced_native = False
 _announced_fallback = False
+_announced_gt_truncation = False
+
+
+class _ProducerError:
+    """Sentinel carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 def _resolve_decoder(cfg: Config, dataset) -> bool:
@@ -86,7 +94,9 @@ class DataLoader:
         self.num_workers = num_workers
         self.sharding = sharding
         self.drop_last = drop_last
-        self.prefetch = prefetch
+        # queue.Queue(maxsize=0) is UNBOUNDED — the opposite of "no
+        # prefetch" — so clamp to at least one in-flight batch.
+        self.prefetch = max(1, prefetch)
         # Multi-host input sharding: ``batch_size`` is the GLOBAL batch.
         # Each process reads a disjoint, equal-size strided slice of every
         # epoch's order (same shuffle seed everywhere, so the union of the
@@ -120,6 +130,16 @@ class DataLoader:
             raise ValueError(
                 "canvas bucketing is not supported with multi-host input "
                 "sharding — use a single static canvas"
+            )
+        per_process = len(dataset) // max(1, process_count)
+        if drop_last and per_process < self.batch_size:
+            # Every epoch would yield zero batches: batches() would return
+            # instantly and device_stream's producer would spin through
+            # epochs forever while the consumer blocks.
+            raise ValueError(
+                f"dataset yields {per_process} examples per process — fewer "
+                f"than the per-process batch size {self.batch_size}; reduce "
+                "batch_size or pass drop_last=False"
             )
         self.native_decode = _resolve_decoder(cfg, dataset)
         global _announced_native
@@ -225,6 +245,19 @@ class DataLoader:
                 crowd=ex.get("crowd"),
             )
         examples = list(pool.map(one, indices))
+        shapes = {tuple(ex["image"].shape) for ex in examples}
+        if len(shapes) > 1:
+            # Bucket planning keys off annotation-metadata dims
+            # (dataset.example_hw) while decode picks the canvas from the
+            # real pixels — a dataset whose metadata disagrees with its
+            # files lands here. Name the offenders instead of dying in
+            # np.stack (which, in the producer thread, used to hang).
+            raise ValueError(
+                "examples in one batch landed on different canvases "
+                f"{sorted(shapes)} (dataset indices {list(indices)}) — "
+                "annotation height/width metadata disagrees with the "
+                "actual image files"
+            )
         batch = {
             k: np.stack([ex[k] for ex in examples]) for k in examples[0]
         }
@@ -260,32 +293,44 @@ class DataLoader:
 
         def producer():
             epoch = start_epoch
-            while not stop.is_set():
-                for batch in self.batches(epoch):
-                    if self.process_count > 1:
-                        # Each process holds its batch_size/process_count
-                        # rows; assemble the global [global_batch, ...]
-                        # sharded array from the per-process local rows.
-                        dev = {
-                            k: jax.make_array_from_process_local_data(
-                                self.sharding,
-                                v,
-                                (self.global_batch_size,) + v.shape[1:],
-                            )
-                            for k, v in batch.items()
-                        }
-                    else:
-                        dev = jax.device_put(batch, self.sharding)
-                    q.put(dev)
-                    if stop.is_set():
-                        return
-                epoch += 1
+            try:
+                while not stop.is_set():
+                    for batch in self.batches(epoch):
+                        if self.process_count > 1:
+                            # Each process holds its batch_size/process_count
+                            # rows; assemble the global [global_batch, ...]
+                            # sharded array from the per-process local rows.
+                            dev = {
+                                k: jax.make_array_from_process_local_data(
+                                    self.sharding,
+                                    v,
+                                    (self.global_batch_size,) + v.shape[1:],
+                                )
+                                for k, v in batch.items()
+                            }
+                        else:
+                            dev = jax.device_put(batch, self.sharding)
+                        q.put(dev)
+                        if stop.is_set():
+                            return
+                    epoch += 1
+            except BaseException as e:  # noqa: BLE001
+                # A silently dead producer means the consumer blocks on
+                # q.get() forever (a corrupt image, a device_put OOM, a
+                # canvas-shape mismatch...). Hand the exception to the
+                # consumer thread instead.
+                q.put(_ProducerError(e))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, _ProducerError):
+                    raise RuntimeError(
+                        "DataLoader producer thread failed"
+                    ) from item.exc
+                yield item
         finally:
             stop.set()
             # Drain so the producer can observe the stop flag.

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from tpudet.config import Config, DataConfig
 from tpudet.ops.boxes import flip_boxes_horizontal
 
+_warned_gt_truncation = False
+
 
 def resize_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     """Aspect-preserving scale: min side -> min_size, capped by max_size."""
@@ -87,6 +89,16 @@ def _finalize_example(
     gt_difficult = np.zeros((g,), bool)
     gt_crowd = np.zeros((g,), bool)
     n = min(len(boxes), g)
+    if len(boxes) > g:
+        global _warned_gt_truncation
+        if not _warned_gt_truncation:
+            _warned_gt_truncation = True
+            print(
+                f"preprocess: an image has {len(boxes)} GT boxes; keeping "
+                f"the first {g} (raise data.max_gt_boxes to keep all — "
+                "dropped GT are invisible to training AND eval npos). "
+                "Further truncations will not be logged."
+            )
     if difficult is not None and n:
         gt_difficult[:n] = difficult[:n]
     if crowd is not None and n:

@@ -74,8 +74,19 @@ def _build() -> str:
         "-ffp-contract=fast", "-shared", "-fPIC", "-std=c++17", "-pthread",
         _SRC, "-o", tmp, "-ljpeg",
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(tmp, out)  # atomic under concurrent builders
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # Surface the compiler output: "failed to build" without it is
+            # undiagnosable (e.g. missing libjpeg headers).
+            raise RuntimeError(
+                "native decoder build failed: "
+                f"{' '.join(cmd)}\n{proc.stderr.strip()[-2000:]}"
+            )
+        os.replace(tmp, out)  # atomic under concurrent builders
+    finally:
+        if os.path.exists(tmp):  # failed build: no partial-object litter
+            os.remove(tmp)
     return out
 
 

@@ -42,7 +42,13 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-void emit_message(j_common_ptr, int) {}  // silence warnings
+// Suppress stderr chatter but keep the warning COUNT: libjpeg emits
+// corrupt-data warnings (premature EOF, bad Huffman code) and then "succeeds"
+// with gray-filled MCUs — silent data corruption unless we check
+// err->num_warnings after decode and fail the image instead.
+void emit_message(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
 
 // ---------------------------------------------------------------------------
 // Resize: separable triangle filter, PIL convention.
@@ -232,8 +238,9 @@ int tpudet_decode_jpeg(const uint8_t* data, size_t len, uint8_t* out,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  long warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
-  return TPUDET_OK;
+  return warnings ? TPUDET_ERR_DECODE : TPUDET_OK;
 }
 
 // Fused decode -> aspect-preserving resize -> pad onto a zeroed canvas
@@ -293,7 +300,12 @@ int tpudet_decode_resize_pad(const uint8_t* data, size_t len, int min_size,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  long warnings = jerr.pub.num_warnings;
   jpeg_destroy_decompress(&cinfo);
+  if (warnings) {  // corrupt data: fail rather than train on gray blocks
+    std::free(decoded_buf);
+    return TPUDET_ERR_DECODE;
+  }
   resize_into(decoded_buf, dh, dw, canvas, canvas_w, *nh, *nw);
   std::free(decoded_buf);
   return TPUDET_OK;
