@@ -77,3 +77,22 @@ def test_flip_boxes_involution(rng):
     np.testing.assert_allclose(np.asarray(back), b, rtol=1e-6)
     f = np.asarray(flipped)
     assert np.all(f[:, 2] >= f[:, 0])  # still well-formed
+
+
+def test_decode_commutes_with_gather(rng):
+    """decode(deltas)[idx] must equal decode(deltas[idx]) bitwise — the
+    proposal path switches between the two orders by anchor count (decode-
+    all-then-gather at VOC scale, gather-then-decode at FPN scale)."""
+    import jax.numpy as jnp
+
+    from tpudet.ops.boxes import decode_boxes
+
+    n, k = 500, 64
+    anchors = rng.uniform(0, 500, (n, 4)).astype(np.float32)
+    anchors[:, 2:] = anchors[:, :2] + rng.uniform(8, 100, (n, 2))
+    deltas = rng.normal(0, 0.4, (n, 4)).astype(np.float32)
+    idx = rng.choice(n, k, replace=False)
+    w = (10.0, 10.0, 5.0, 5.0)
+    a = decode_boxes(jnp.asarray(deltas), jnp.asarray(anchors), w)[idx]
+    b = decode_boxes(jnp.asarray(deltas[idx]), jnp.asarray(anchors[idx]), w)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
