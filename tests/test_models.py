@@ -303,3 +303,70 @@ def test_non_divisible_canvas_traces(use_fpn):
     }
     out = jax.jit(lambda v, b: model.predict(v, b))(variables, batch)
     assert out["boxes"].shape[0] == 1
+
+
+def test_fpn_per_level_proposal_protocol():
+    """FPN proposal generation: per-level top-k candidates, NMS within each
+    level only (cross-level overlaps survive), union top-N by score."""
+    cfg = tiny_test_config(canvas=128, use_fpn=True)
+    model = FasterRCNN(cfg)
+    sizes = model.anchor_level_sizes((128, 128))
+    assert sum(sizes) == model.anchor_boxes((128, 128)).shape[0]
+
+    n = sum(sizes)
+    # Plant two identical high-score anchors on DIFFERENT levels: global NMS
+    # would suppress one; per-level NMS must keep both.
+    logits = np.full(n, -10.0, np.float32)
+    deltas = np.zeros((n, 4), np.float32)
+    i0 = 0                      # first anchor of level 0
+    i1 = sizes[0]               # first anchor of level 1
+    logits[i0] = 9.0
+    logits[i1] = 8.0
+    # Make their DECODED boxes identical (decode the level-1 anchor onto the
+    # level-0 anchor box).
+    anchors = np.asarray(model.anchor_boxes((128, 128)))
+
+    def encode(src, dst):
+        from tpudet.ops.boxes import encode_boxes
+
+        return np.asarray(encode_boxes(
+            jnp.asarray(dst[None]), jnp.asarray(src[None]), (1.0, 1.0, 1.0, 1.0)
+        ))[0]
+
+    deltas[i1] = encode(anchors[i1], anchors[i0])
+    boxes, scores, valid = model.proposals(
+        jnp.asarray(logits[None]), jnp.asarray(deltas[None]),
+        jnp.asarray([[128.0, 128.0]]), training=False, canvas_hw=(128, 128),
+    )
+    kept_scores = np.asarray(scores[0])[np.asarray(valid[0])]
+    # Both planted candidates survive (sigmoid(9), sigmoid(8) ~ 0.9997).
+    assert (kept_scores > 0.999).sum() == 2
+
+
+def test_mxu_pooler_chunking_matches_unchunked():
+    """When the einsum pooler's intermediate would exceed the per-image
+    budget, RoIs are chunked through lax.map — results must be identical
+    to the one-shot path (1000 FPN test proposals OOM a 16GB HBM without
+    this)."""
+    import dataclasses
+
+    cfg = tiny_test_config(canvas=128, use_fpn=True)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    feats = model.core.apply(
+        variables, jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32)),
+        method=type(model.core).features,
+    )
+    feats1 = {k: v[0] for k, v in feats.items()}
+    rois = rng.uniform(5, 100, (64, 4)).astype(np.float32)
+    rois[:, 2:] = rois[:, :2] + rng.uniform(8, 24, (64, 2))
+    one_shot = model._pool_single(feats1, jnp.asarray(rois))
+
+    tiny_budget = cfg.replace(
+        roi=dataclasses.replace(cfg.roi, mxu_chunk_budget_mb=1)
+    )
+    model2 = FasterRCNN(tiny_budget)
+    chunked = model2._pool_single(feats1, jnp.asarray(rois))
+    np.testing.assert_allclose(np.asarray(one_shot), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)

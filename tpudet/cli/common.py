@@ -59,7 +59,15 @@ def preset_config(name: str) -> Config:
             # the single-level default 512 — the RPN conv runs on P2's full
             # 1/4-resolution grid, where the extra width measured
             # ~14 ms/batch at b=32 for no purpose the FPN protocol wants.
-            rpn=RPNConfig(conv_channels=256),
+            # Per-level pre-NMS top-k + within-level NMS are on by default
+            # in RPNConfig (the FPN/Detectron proposal protocol). Post-NMS:
+            # 1000 train (Detectron convention; training pools only the
+            # sampled RoIs, so it is cheap) but 300 test — the full
+            # Detectron 1000-test setting costs ~3x the RoI-head compute
+            # for a sub-point of AP; --set rpn.post_nms_topk_test=1000
+            # restores it (the pooler auto-chunks to fit HBM).
+            rpn=RPNConfig(conv_channels=256, post_nms_topk_train=1000,
+                          post_nms_topk_test=300),
         )
         return cfg
     raise ValueError(f"unknown preset {name!r}")

@@ -145,6 +145,14 @@ class RPNConfig:
     post_nms_topk_test: int = 300
     nms_thresh: float = 0.7
     min_box_size: float = 0.0
+    # FPN proposal protocol (FPN paper / Detectron convention; active only
+    # with an FPN backbone): pre-NMS top-k is taken PER LEVEL and NMS
+    # suppresses only within a level (cross-level boxes never suppress each
+    # other); the post-NMS top-N is then taken across the union by score.
+    # Set the test knob to 0 to fall back to global top-k + NMS over the
+    # concatenated pyramid.
+    fpn_pre_nms_topk_per_level_train: int = 2000
+    fpn_pre_nms_topk_per_level_test: int = 1000
     # Target assignment (§3.1.2): pos if IoU > fg_thresh OR argmax per GT;
     # neg if IoU < bg_thresh; else ignored.
     fg_iou_thresh: float = 0.7
@@ -186,6 +194,12 @@ class ROIConfig:
     # the sequential chunk loop costs far more than it saves (measured
     # 27 ms/batch at b=32 on v5e).
     pooler_chunk: int = 64
+    # Per-image budget (MB) for the MXU-einsum pooler's [R, s, dim, C]
+    # contraction intermediate. RoIs are chunked (lax.map) only when the
+    # estimate exceeds this — e.g. 1000 proposals on an FPN P2 map at 832²
+    # would otherwise materialize ~24 GB batched and OOM a 16 GB HBM.
+    # 0 disables chunking. 256 MB/img ≈ 8 GB at b=32 (known to fit).
+    mxu_chunk_budget_mb: int = 256
     # Fast R-CNN head (Fast R-CNN §2.1): two hidden FCs.
     fc_dim: int = 1024
     # Detection target assignment (Fast R-CNN §2.3).

@@ -213,13 +213,80 @@ class FasterRCNN:
         )
         return boxes[keep_idx], top_scores[keep_idx], valid
 
+    def anchor_level_sizes(self, canvas_hw: Tuple[int, int] | None = None):
+        """Per-FPN-level anchor counts, matching ``anchor_boxes``'s
+        level-order concatenation (ceil grid dims × anchors/cell)."""
+        if canvas_hw is None:
+            canvas_hw = (self.cfg.data.canvas_height, self.cfg.data.canvas_width)
+        h, w = int(canvas_hw[0]), int(canvas_hw[1])
+        a = self.cfg.anchors
+        per_cell = len(a.aspect_ratios)
+        return [(-(-h // s)) * (-(-w // s)) * per_cell for s in a.fpn_strides]
+
+    def _generate_proposals_single_fpn(
+        self, anchors, level_sizes, logits, deltas, image_hw, training
+    ):
+        """Per-image C10, FPN protocol (FPN paper / Detectron): top-k per
+        level, NMS within each level (via the level-offset batched NMS),
+        post-NMS top-N across the union by score."""
+        cfg = self.cfg.rpn
+        k_level = (cfg.fpn_pre_nms_topk_per_level_train if training
+                   else cfg.fpn_pre_nms_topk_per_level_test)
+        k_post = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
+
+        scores = jax.nn.sigmoid(logits)
+        cand_boxes, cand_scores, cand_levels = [], [], []
+        start = 0
+        for li, n_l in enumerate(level_sizes):
+            sl = slice(start, start + n_l)
+            start += n_l
+            top, idx = jax.lax.top_k(scores[sl], min(n_l, k_level))
+            dec = box_ops.decode_boxes(
+                deltas[sl][idx], anchors[sl][idx], cfg.box_reg_weights
+            )
+            cand_boxes.append(box_ops.clip_boxes(dec, image_hw))
+            cand_scores.append(top)
+            cand_levels.append(jnp.full(top.shape, li + 1, jnp.int32))
+        boxes = jnp.concatenate(cand_boxes)
+        top_scores = jnp.concatenate(cand_scores)
+        levels = jnp.concatenate(cand_levels)
+        # Pad the candidate list to a multiple of 512 (the NMS kernel's
+        # cross-tile row block): a ragged total (e.g. 4507 when P6 has
+        # fewer anchors than the per-level top-k) is both tile-unfriendly
+        # and was observed to crash the TPU worker on this stack when the
+        # ragged-count NMS call was embedded in the full detection program.
+        pad = (-boxes.shape[0]) % 512
+        if pad:
+            boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)])
+            top_scores = jnp.concatenate(
+                [top_scores, jnp.full((pad,), -1.0, top_scores.dtype)]
+            )
+            levels = jnp.concatenate(
+                [levels, jnp.zeros((pad,), levels.dtype)]
+            )
+        wh = boxes[:, 2:] - boxes[:, :2]
+        size_ok = (wh[:, 0] > cfg.min_box_size) & (wh[:, 1] > cfg.min_box_size)
+        keep_idx, valid = batched_nms_dispatch(
+            boxes, top_scores, levels, cfg.nms_thresh, k_post,
+            valid_mask=size_ok, use_pallas=self.cfg.use_pallas,
+        )
+        return (boxes[keep_idx],
+                jnp.where(valid, top_scores[keep_idx], 0.0), valid)
+
     def proposals(self, logits, deltas, image_hw, training, canvas_hw=None):
         """Batched proposal generation. Gradients are stopped — proposal
         coordinates are treated as data by the second stage (standard)."""
         anchors = self.anchor_boxes(canvas_hw)
-        fn = functools.partial(
-            self._generate_proposals_single, anchors, training=training
-        )
+        if (self.cfg.backbone.use_fpn
+                and self.cfg.rpn.fpn_pre_nms_topk_per_level_test > 0):
+            fn = functools.partial(
+                self._generate_proposals_single_fpn, anchors,
+                self.anchor_level_sizes(canvas_hw), training=training,
+            )
+        else:
+            fn = functools.partial(
+                self._generate_proposals_single, anchors, training=training
+            )
         boxes, scores, valid = jax.vmap(fn)(
             jax.lax.stop_gradient(logits), jax.lax.stop_gradient(deltas), image_hw
         )
@@ -250,14 +317,27 @@ class FasterRCNN:
         bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
         materialize [R, S*r, S*r, C] corner tensors for all R at once).
 
-        Only the gather backend needs this: its per-RoI corner tensors are
-        4x the pooled output. The MXU-einsum / crop_and_resize / Pallas
-        backends keep modest intermediates, and the ``lax.map`` chunk loop
-        serializes them (measured 27 ms/batch at b=32x300 RoIs on v5e — 25%
-        of inference device time), so they pool all RoIs in one shot."""
-        chunk = self.cfg.roi.pooler_chunk
+        The gather backend always needs this: its per-RoI corner tensors are
+        4x the pooled output. The MXU-einsum backends pool all RoIs in one
+        shot when they fit (the ``lax.map`` chunk loop serializes — measured
+        27 ms/batch at b=32x300 RoIs on v5e when applied needlessly) but are
+        chunked once their [R, s, dim, C] contraction intermediate would
+        exceed ``roi.mxu_chunk_budget_mb`` per image — 1000 FPN proposals on
+        an 832² P2 map would otherwise materialize ~24 GB batched."""
+        roi_cfg = self.cfg.roi
+        chunk = roi_cfg.pooler_chunk
         r = rois.shape[0]
-        needs_bounding = self.cfg.roi.pooler == "roi_align_gather"
+        needs_bounding = roi_cfg.pooler == "roi_align_gather"
+        if (not needs_bounding and roi_cfg.mxu_chunk_budget_mb > 0
+                and roi_cfg.pooler in ("roi_align", "roi_align_packed")):
+            # Largest level dominates the intermediate (bf16 on TPU).
+            dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
+            ch = next(iter(feats.values())).shape[-1]
+            per_roi = roi_cfg.output_size * dim * ch * 2
+            budget = roi_cfg.mxu_chunk_budget_mb * (1 << 20)
+            if r * per_roi > budget:
+                needs_bounding = True
+                chunk = max(32, budget // per_roi)
         if not needs_bounding or chunk <= 0 or r <= chunk:
             return self._pool_single_impl(feats, rois)
         pad = (-r) % chunk
