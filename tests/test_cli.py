@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_train_cli_short_run(tmp_path, capsys):
     from tpudet.cli import train as train_cli

@@ -269,11 +269,73 @@ def test_loader_process_sharding_guards():
                    sharding=sharding)
     with _pytest.raises(ValueError, match="sharding"):
         DataLoader(cfg, ds, batch_size=4, process_index=0, process_count=2)
-    bucketed = cfg.replace(data=replace(
-        cfg.data, aspect_buckets=((64, 64), (64, 96))))
-    with _pytest.raises(ValueError, match="bucketing"):
-        DataLoader(bucketed, ds, batch_size=4, process_index=0,
-                   process_count=2, sharding=sharding)
+
+
+def test_loader_bucketing_multi_host_deterministic_plan():
+    """Canvas bucketing composes with multi-host input sharding (VERDICT r1
+    item 7): the bucket/batch plan is computed on the GLOBAL epoch order
+    identically on every process and each process takes strided rows of
+    every global batch — so all processes see the same batch count and the
+    same canvas sequence (lockstep at collectives), rows are disjoint, and
+    the union covers each bucket's full batches exactly once."""
+    from dataclasses import replace
+
+    from tpudet.parallel import batch_sharding, make_mesh
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(data=replace(
+        cfg.data, aspect_buckets=((64, 64), (64, 96)),
+        min_size=64, max_size=96))
+    # Mixed aspect dataset so both buckets are exercised.
+    ds = SyntheticDataset(num_classes=3, num_examples=21, image_size=64)
+
+    class MixedHW:
+        def __init__(self, base):
+            self.base = base
+
+        def __len__(self):
+            return len(self.base)
+
+        def get_example(self, i):
+            ex = self.base.get_example(i)
+            if i % 3 == 0:  # every third image is wide -> second bucket
+                img = ex["image"]
+                ex = dict(ex, image=np.concatenate([img, img[:, :32]], 1))
+            return ex
+
+        def example_hw(self, i):
+            return (64, 96) if i % 3 == 0 else (64, 64)
+
+    mixed = MixedHW(ds)
+    sharding = batch_sharding(make_mesh(num_data=2, num_model=1))
+    plans, canvases, rows = [], [], []
+    for p in range(2):
+        loader = DataLoader(cfg, mixed, batch_size=4, shuffle=True, seed=3,
+                            num_workers=1, process_index=p, process_count=2,
+                            sharding=sharding)
+        plan = loader._epoch_batch_indices(0)
+        plans.append(plan)
+        canvases.append([
+            tuple(loader.dataset.example_hw(int(idx[0]))) for idx, _ in plan
+        ])
+        rows.append([set(int(i) for i in idx) for idx, _ in plan])
+        for batch in loader.batches(0):
+            assert batch["image"].shape[0] == 2  # per-process rows
+    # Identical batch counts and canvas sequences across processes.
+    assert len(plans[0]) == len(plans[1]) > 1
+    assert canvases[0] == canvases[1]
+    assert len(set(canvases[0])) == 2  # both buckets present
+    # Per-batch rows are disjoint across processes; union covers the
+    # bucket's full batches.
+    all0, all1 = set(), set()
+    for r0, r1 in zip(rows[0], rows[1]):
+        assert not (r0 & r1)
+        all0 |= r0
+        all1 |= r1
+    # 7 wide examples -> 1 full global batch of 4; 14 square -> 3 full
+    # batches of 4: 16 examples total across both processes.
+    assert len(all0 | all1) == 16
+
 
 
 def test_prepare_example_carries_difficult_flags():

@@ -30,6 +30,8 @@ near-tie orderings) regardless of init details.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

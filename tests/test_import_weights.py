@@ -6,6 +6,8 @@ the exact mechanism that imports ImageNet weights where network exists."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -123,6 +123,7 @@ def test_nms_pallas_presorted_matches_unsorted(rng):
     assert_same_selection(a, c)
 
 
+@pytest.mark.slow
 def test_batched_nms_matches_per_class_reference(rng):
     """Class-offset batched NMS must select exactly what independent
     per-class NMS selects, including at high class ids where a too-large

@@ -316,3 +316,57 @@ def test_coco_matching_fuzz_vs_pycocotools_port():
         ours = _match_dets(iou, ignore, crowd, d_oor, t, "coco")
         ref = _pycocotools_match_oracle(d, g, ignore, crowd, d_oor, t)
         np.testing.assert_array_equal(ours, ref, err_msg=f"scene {it}")
+
+
+def test_coco_gt_area_field_binning():
+    """pycocotools bins GT by the annotation 'area' field (segment area),
+    not box area: a 40x40 box whose segment area is 500 (< 32^2) is SMALL
+    GT even though its box area is medium. Detections keep box-area
+    binning. -1 entries fall back to box area (VOC has no area field)."""
+    from tpudet.eval.metrics import CocoStyleEvaluator
+
+    gt = np.asarray([[0, 0, 40, 40]], np.float32)  # box area 1600 (medium)
+    pred = np.asarray([[0, 0, 40, 40]], np.float32)
+
+    # Without gt_area: medium GT -> TP lands in the medium bank.
+    ev = CocoStyleEvaluator(num_classes=1)
+    ev.add_image(pred, np.asarray([0.9]), np.asarray([1]),
+                 gt, np.asarray([1]))
+    s = ev.summarize()
+    assert s["mAP_medium"] == pytest.approx(1.0)
+    assert s["AR_small"] == pytest.approx(0.0)
+
+    # Segment area 500 -> small GT bank; in the medium bank the GT is
+    # ignored and the matched detection is dropped (not an FP).
+    ev = CocoStyleEvaluator(num_classes=1)
+    ev.add_image(pred, np.asarray([0.9]), np.asarray([1]),
+                 gt, np.asarray([1]), gt_area=np.asarray([500.0]))
+    s = ev.summarize()
+    assert s["mAP_small"] == pytest.approx(1.0)
+    assert s["AR_small"] == pytest.approx(1.0)
+    assert s["mAP_medium"] == pytest.approx(0.0)  # no medium GT anywhere
+
+    # -1 sentinel == absent: identical to the no-gt_area call.
+    ev = CocoStyleEvaluator(num_classes=1)
+    ev.add_image(pred, np.asarray([0.9]), np.asarray([1]),
+                 gt, np.asarray([1]), gt_area=np.asarray([-1.0]))
+    s = ev.summarize()
+    assert s["mAP_medium"] == pytest.approx(1.0)
+
+
+def test_prepare_example_carries_gt_area():
+    from tpudet.config import DataConfig
+    from tpudet.data.preprocess import prepare_example
+
+    cfg = DataConfig(min_size=64, max_size=64, canvas_height=64,
+                     canvas_width=64, max_gt_boxes=4)
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.asarray([[0, 0, 10, 10]], np.float32)
+    classes = np.asarray([1], np.int32)
+    out = prepare_example(cfg, img, boxes, classes,
+                          area=np.asarray([42.0], np.float32))
+    assert out["gt_area"][0] == pytest.approx(42.0)
+    assert np.all(out["gt_area"][1:] == -1.0)
+    # Absent area -> all sentinel.
+    out = prepare_example(cfg, img, boxes, classes)
+    assert np.all(out["gt_area"] == -1.0)

@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
 from tpudet.models.resnet import ResNet, TinyBackbone

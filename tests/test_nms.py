@@ -105,3 +105,22 @@ def test_batched_nms_offset_preserves_f32_resolution():
                                       np.asarray(ref_valid), err_msg=str(cls))
         np.testing.assert_array_equal(np.asarray(idx)[np.asarray(valid)],
                                       np.asarray(ref_idx)[np.asarray(ref_valid)])
+
+
+def test_coordinate_offset_for_scales_with_canvas():
+    """ADVICE r1: the class-offset stride must exceed the max coordinate —
+    large-imagery canvases (> 4096) must get a larger band automatically."""
+    from tpudet.ops.nms import coordinate_offset_for
+
+    assert coordinate_offset_for(1344.0) == 4096.0
+    assert coordinate_offset_for(4095.9) == 4096.0
+    assert coordinate_offset_for(4096.0) == 8192.0
+    assert coordinate_offset_for(10000.0) == 16384.0
+
+    # Model-level derivation picks up aspect-bucket canvases too.
+    from tpudet.config import Config, DataConfig
+    from tpudet.models.faster_rcnn import _nms_offset
+
+    cfg = Config(data=DataConfig(canvas_height=1024, canvas_width=1024,
+                                 aspect_buckets=((640, 5000), (5000, 640))))
+    assert _nms_offset(cfg) == 8192.0

@@ -9,6 +9,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpudet.config import tiny_test_config
 from tpudet.data import DataLoader, SyntheticDataset
 from tpudet.data.preprocess import device_preprocess

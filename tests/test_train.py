@@ -3,6 +3,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tpudet.config import tiny_test_config, TrainConfig
 from tpudet.data import SyntheticDataset, DataLoader
 from tpudet.data.preprocess import device_preprocess

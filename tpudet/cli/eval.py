@@ -133,6 +133,14 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                     })
             gt_difficult = batch.get("gt_difficult")
             gt_crowd = batch.get("gt_crowd")
+            gt_area = batch.get("gt_area")
+            extra = {}
+            if isinstance(evaluator, CocoStyleEvaluator):
+                # COCO protocol: GT binned by the annotation area field,
+                # which lives in ORIGINAL-image pixels — matching the
+                # rescaled-to-original boxes used here.
+                extra["gt_area"] = (None if gt_area is None
+                                    else gt_area[i][gt_valid])
             evaluator.add_image(
                 boxes, out["scores"][i][valid], out["classes"][i][valid],
                 gt_boxes, batch["gt_classes"][i][gt_valid],
@@ -140,6 +148,7 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 else gt_difficult[i][gt_valid],
                 gt_crowd=None if gt_crowd is None
                 else gt_crowd[i][gt_valid],
+                **extra,
             )
         if 0 <= max_images <= seen:
             break

@@ -84,16 +84,22 @@ class CocoDataset:
         return im["height"], im["width"]
 
     def _annotations(self, anns):
-        boxes, classes, crowd = [], [], []
+        boxes, classes, crowd, areas = [], [], [], []
         for ann in anns:
             x, y, w, h = ann["bbox"]
             boxes.append([x, y, x + w, y + h])
             classes.append(self.cat_id_to_class[ann["category_id"]])
             crowd.append(bool(ann.get("iscrowd", 0)))
+            # pycocotools bins GT by the annotation's own 'area' field (the
+            # segmentation area, usually < box area for thin/diagonal
+            # objects) — carry it through for protocol-exact size-stratified
+            # metrics. Box area is the fallback for malformed annotations.
+            areas.append(float(ann.get("area", w * h)))
         return (
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32),
             np.asarray(crowd, bool),
+            np.asarray(areas, np.float32),
         )
 
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
@@ -103,7 +109,7 @@ class CocoDataset:
         img = Image.open(
             os.path.join(self.image_dir, im["file_name"])
         ).convert("RGB")
-        boxes, classes, crowd = self._annotations(anns)
+        boxes, classes, crowd, areas = self._annotations(anns)
         return {
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
@@ -112,6 +118,7 @@ class CocoDataset:
             # as positives nor penalizing overlapping detections.
             "difficult": crowd,
             "crowd": crowd,
+            "area": areas,
             "id": im["id"],
         }
 
@@ -121,6 +128,7 @@ class CocoDataset:
         im, anns = self.examples[index]
         with open(os.path.join(self.image_dir, im["file_name"]), "rb") as f:
             jpeg = f.read()
-        boxes, classes, crowd = self._annotations(anns)
+        boxes, classes, crowd, areas = self._annotations(anns)
         return {"jpeg": jpeg, "boxes": boxes, "classes": classes,
-                "difficult": crowd, "crowd": crowd, "id": im["id"]}
+                "difficult": crowd, "crowd": crowd, "area": areas,
+                "id": im["id"]}

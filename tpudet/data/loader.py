@@ -98,13 +98,12 @@ class DataLoader:
         # prefetch" — so clamp to at least one in-flight batch.
         self.prefetch = max(1, prefetch)
         # Multi-host input sharding: ``batch_size`` is the GLOBAL batch.
-        # Each process reads a disjoint, equal-size strided slice of every
-        # epoch's order (same shuffle seed everywhere, so the union of the
-        # slices is exactly one permutation pass truncated to a common
-        # length) and loads only its batch_size/process_count rows;
-        # ``device_stream`` assembles the global sharded array from the
-        # per-process rows. Defaults follow the JAX runtime; single-host
-        # runs see 0/1 and are unaffected.
+        # Every process computes the identical global batch plan (same
+        # shuffle seed + dataset metadata — this includes the canvas-bucket
+        # plan) and loads its disjoint strided batch_size/process_count rows
+        # of every global batch; ``device_stream`` assembles the global
+        # sharded array from the per-process rows. Defaults follow the JAX
+        # runtime; single-host runs see 0/1 and are unaffected.
         if process_index is None or process_count is None:
             process_index = jax.process_index()
             process_count = jax.process_count()
@@ -123,23 +122,14 @@ class DataLoader:
                     "sharding to assemble the global array"
                 )
         self.batch_size = batch_size // process_count
-        if process_count > 1 and self._bucketed:
-            # Bucket composition differs per process slice, so hosts would
-            # plan different batch counts/canvas sequences and desynchronize
-            # at the first collective. Multi-host runs use one static canvas.
-            raise ValueError(
-                "canvas bucketing is not supported with multi-host input "
-                "sharding — use a single static canvas"
-            )
-        per_process = len(dataset) // max(1, process_count)
-        if drop_last and per_process < self.batch_size:
+        if drop_last and len(dataset) < batch_size:
             # Every epoch would yield zero batches: batches() would return
             # instantly and device_stream's producer would spin through
             # epochs forever while the consumer blocks.
             raise ValueError(
-                f"dataset yields {per_process} examples per process — fewer "
-                f"than the per-process batch size {self.batch_size}; reduce "
-                "batch_size or pass drop_last=False"
+                f"dataset yields {len(dataset)} examples — fewer than the "
+                f"global batch size {batch_size}; reduce batch_size or pass "
+                "drop_last=False"
             )
         self.native_decode = _resolve_decoder(cfg, dataset)
         global _announced_native
@@ -158,33 +148,34 @@ class DataLoader:
                     or getattr(d, "orientation_buckets", False))
 
     def __len__(self) -> int:
-        if self._bucketed:
-            return len(self._epoch_batch_indices(0))
-        n = len(self._epoch_order(0))
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return len(self._epoch_batch_indices(0))
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
+        """GLOBAL epoch order — identical on every process (same seed)."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)
-        if self.process_count > 1:
-            # Equal-length slices (drop the global remainder): every process
-            # must plan the SAME number of batches per epoch, or hosts
-            # desynchronize at the first collective.
-            per = len(order) // self.process_count
-            order = order[self.process_index :: self.process_count][:per]
         return order
 
     def _epoch_batch_indices(self, epoch: int):
-        """Per-epoch list of (index_array [bs], num_real) batch plans.
+        """Per-epoch list of (index_array [bs], valid_mask|None) batch plans
+        for THIS process.
+
+        Planning is deterministic on the GLOBAL order with the GLOBAL batch
+        size — every process computes the identical global plan (same seed,
+        same dataset metadata), then takes its strided rows of every global
+        batch. All processes therefore see the same batch count and canvas
+        sequence per epoch and stay in lockstep at collectives — including
+        with canvas bucketing, whose bucket composition would desynchronize
+        hosts if each planned only its own slice (VERDICT r1 item 7).
 
         With bucketing (aspect_buckets / orientation_buckets) every batch is
         bucket-homogeneous, so the whole batch pads onto one static canvas;
         tail remainders of each bucket pad by repeating the bucket's last
-        example (masked via "batch_valid")."""
+        example (rows masked via the returned valid mask)."""
         from tpudet.data.preprocess import bucket_for_hw
 
-        bs = self.batch_size
+        gbs = self.global_batch_size
         order = self._epoch_order(epoch)
         if not self._bucketed:
             groups = [order]
@@ -199,19 +190,31 @@ class DataLoader:
             ])
             groups = [order[buckets == b] for b in np.unique(buckets)]
 
-        plans = []
+        plans = []  # global (idx [gbs], num_real)
         for g in groups:
-            n_full = len(g) // bs
+            n_full = len(g) // gbs
             for b in range(n_full):
-                plans.append((g[b * bs : (b + 1) * bs], bs))
-            rem = len(g) - n_full * bs
+                plans.append((g[b * gbs : (b + 1) * gbs], gbs))
+            rem = len(g) - n_full * gbs
             if rem and not self.drop_last:
-                idx = np.concatenate([g[n_full * bs:],
-                                      np.full(bs - rem, g[-1])])
+                idx = np.concatenate([g[n_full * gbs:],
+                                      np.full(gbs - rem, g[-1])])
                 plans.append((idx, rem))
         if self.shuffle and len(groups) > 1:
             np.random.default_rng((self.seed + epoch) ^ 0x5EED).shuffle(plans)
-        return plans
+
+        # This process's strided rows of every global batch. Row order within
+        # the assembled global array is process-strided, which is fine: rows
+        # are independent examples and every per-row field (including the
+        # valid mask) is sliced identically, so rows stay self-consistent.
+        pi, pc = self.process_index, self.process_count
+        local = []
+        for idx, num_real in plans:
+            valid = None
+            if num_real < gbs:
+                valid = (np.arange(gbs) < num_real)[pi::pc]
+            local.append((idx[pi::pc], valid))
+        return local
 
     def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
         def one(i):
@@ -224,6 +227,7 @@ class DataLoader:
                         self.cfg.data, ex["jpeg"], ex["boxes"], ex["classes"],
                         difficult=ex.get("difficult"),
                         crowd=ex.get("crowd"),
+                        area=ex.get("area"),
                     )
                 except NativeDecodeError:
                     # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
@@ -243,6 +247,7 @@ class DataLoader:
                 self.cfg.data, ex["image"], ex["boxes"], ex["classes"],
                 difficult=ex.get("difficult"),
                 crowd=ex.get("crowd"),
+                area=ex.get("area"),
             )
         examples = list(pool.map(one, indices))
         shapes = {tuple(ex["image"].shape) for ex in examples}
@@ -268,15 +273,14 @@ class DataLoader:
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Host batches for one epoch (no device transfer)."""
-        bs = self.batch_size
         pool = ThreadPoolExecutor(self.num_workers)
         try:
-            for idx, num_real in self._epoch_batch_indices(epoch):
+            for idx, valid in self._epoch_batch_indices(epoch):
                 batch = self._make_batch(pool, idx)
-                if num_real < bs:
+                if valid is not None:
                     # Tail batch padded by repeating an example; callers
                     # mask via "batch_valid".
-                    batch["batch_valid"] = np.arange(bs) < num_real
+                    batch["batch_valid"] = valid
                 yield batch
         finally:
             # Non-blocking shutdown: abandoned generators (early break,

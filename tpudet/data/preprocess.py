@@ -79,15 +79,23 @@ def _finalize_example(
     classes: np.ndarray,
     difficult: np.ndarray | None,
     crowd: np.ndarray | None = None,
+    area: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Shared tail of the host front-end: pack GT to fixed shapes + scale
-    boxes by the exact per-axis resize factors (rounding differs per axis)."""
+    boxes by the exact per-axis resize factors (rounding differs per axis).
+
+    ``area`` is the annotation's own area field in ORIGINAL-image pixels
+    (COCO's segmentation area — usually smaller than the box area for
+    thin/diagonal objects); the COCO evaluator bins GT by it, exactly as
+    pycocotools does. -1 marks "no annotation area" (VOC) and the evaluator
+    falls back to box area."""
     g = cfg.max_gt_boxes
     gt_boxes = np.zeros((g, 4), np.float32)
     gt_classes = np.zeros((g,), np.int32)
     gt_valid = np.zeros((g,), bool)
     gt_difficult = np.zeros((g,), bool)
     gt_crowd = np.zeros((g,), bool)
+    gt_area = np.full((g,), -1.0, np.float32)
     n = min(len(boxes), g)
     if len(boxes) > g:
         global _warned_gt_truncation
@@ -103,6 +111,8 @@ def _finalize_example(
         gt_difficult[:n] = difficult[:n]
     if crowd is not None and n:
         gt_crowd[:n] = crowd[:n]
+    if area is not None and n:
+        gt_area[:n] = area[:n]
     if n:
         scaled = np.stack(
             [
@@ -127,6 +137,7 @@ def _finalize_example(
         "gt_valid": gt_valid,
         "gt_difficult": gt_difficult,
         "gt_crowd": gt_crowd,
+        "gt_area": gt_area,
     }
 
 
@@ -137,6 +148,7 @@ def prepare_example(
     classes: np.ndarray,
     difficult: np.ndarray | None = None,
     crowd: np.ndarray | None = None,
+    area: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
 
@@ -155,7 +167,7 @@ def prepare_example(
     canvas = np.zeros((ch, cw, 3), np.uint8)
     canvas[:nh, :nw] = image
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area
     )
 
 
@@ -166,6 +178,7 @@ def prepare_example_jpeg(
     classes: np.ndarray,
     difficult: np.ndarray | None = None,
     crowd: np.ndarray | None = None,
+    area: np.ndarray | None = None,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
     JPEG decode (DCT-scaled when ``fast_jpeg_scale``), resize, and canvas pad
@@ -182,7 +195,7 @@ def prepare_example_jpeg(
         fast_dct_scale=cfg.fast_jpeg_scale,
     )
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area
     )
 
 

@@ -296,10 +296,20 @@ class CocoStyleEvaluator:
         gt_classes: np.ndarray,
         gt_difficult: Optional[np.ndarray] = None,
         gt_crowd: Optional[np.ndarray] = None,
+        gt_area: Optional[np.ndarray] = None,
     ):
+        """``gt_area``: the annotation's own area field (COCO segmentation
+        area) per GT, in the same coordinate space as the boxes; entries < 0
+        (or ``None``) fall back to box area. pycocotools bins GT by
+        ``ann['area']`` while detections always use box area — using box
+        area for GT too systematically shifts mAP_small/medium/large on
+        real COCO (thin/diagonal objects have segment area << box area)."""
         difficult, crowd = _normalize_flags(gt_boxes, gt_difficult, gt_crowd)
         base_ignore = difficult | crowd
         gt_areas = _box_areas(gt_boxes)
+        if gt_area is not None:
+            gt_area = np.asarray(gt_area, np.float64)
+            gt_areas = np.where(gt_area >= 0, gt_area, gt_areas)
         det_areas = _box_areas(pred_boxes)
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c

@@ -49,6 +49,20 @@ from tpudet.train import losses as L
 MAX_NMS_CANDIDATES = 1024
 
 
+def _nms_offset(cfg: Config) -> float:
+    """Class/level coordinate-offset stride for batched NMS, derived from
+    the largest canvas this config can produce (boxes are clipped to the
+    canvas, so this bounds every coordinate — large-imagery configs with
+    canvases > 4096 would otherwise silently overlap offset bands)."""
+    from tpudet.ops.nms import coordinate_offset_for
+
+    dims = [cfg.data.canvas_height, cfg.data.canvas_width,
+            cfg.data.canvas_short]
+    for h, w in cfg.data.aspect_buckets:
+        dims += [h, w]
+    return coordinate_offset_for(float(max(dims)))
+
+
 class DetectorCore(nn.Module):
     """Backbone + (optional) FPN + RPN head + Fast R-CNN head."""
 
@@ -269,6 +283,7 @@ class FasterRCNN:
         keep_idx, valid = batched_nms_dispatch(
             boxes, top_scores, levels, cfg.nms_thresh, k_post,
             valid_mask=size_ok, use_pallas=self.cfg.use_pallas,
+            coordinate_offset=_nms_offset(self.cfg),
         )
         return (boxes[keep_idx],
                 jnp.where(valid, top_scores[keep_idx], 0.0), valid)
@@ -330,10 +345,22 @@ class FasterRCNN:
         needs_bounding = roi_cfg.pooler == "roi_align_gather"
         if (not needs_bounding and roi_cfg.mxu_chunk_budget_mb > 0
                 and roi_cfg.pooler in ("roi_align", "roi_align_packed")):
-            # Largest level dominates the intermediate (bf16 on TPU).
-            dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
-            ch = next(iter(feats.values())).shape[-1]
-            per_roi = roi_cfg.output_size * dim * ch * 2
+            some = next(iter(feats.values()))
+            ch = some.shape[-1]
+            itemsize = jnp.dtype(some.dtype).itemsize
+            if roi_cfg.pooler == "roi_align_packed":
+                # Packed pyramid: all levels concatenated into one
+                # [sum(H_l), max(W_l), C] tensor; the einsum contracts over
+                # min(max W_l, sum H_l) — usually > any single level's
+                # min(H_l, W_l) on non-square canvases.
+                dim = min(
+                    max(f.shape[1] for f in feats.values()),
+                    sum(f.shape[0] for f in feats.values()),
+                )
+            else:
+                # Per-level masked-sum: the largest level dominates.
+                dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
+            per_roi = roi_cfg.output_size * dim * ch * itemsize
             budget = roi_cfg.mxu_chunk_budget_mb * (1 << 20)
             if r * per_roi > budget:
                 needs_bounding = True
@@ -564,6 +591,7 @@ class FasterRCNN:
             cand_boxes, cand_scores, cand_classes,
             cfg.nms_thresh, cfg.max_detections, valid_mask=cand_valid,
             use_pallas=self.cfg.use_pallas,
+            coordinate_offset=_nms_offset(self.cfg),
         )
         return (
             cand_boxes[keep],

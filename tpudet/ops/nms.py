@@ -95,6 +95,22 @@ def _select_kept(keep: jnp.ndarray, order: jnp.ndarray, max_outputs: int):
     return indices, valid
 
 
+def coordinate_offset_for(max_coord: float) -> float:
+    """Class-offset stride for :func:`batched_nms`, derived from the largest
+    possible box coordinate (canvas size): the next power of two above
+    ``max_coord``, at least 4096.
+
+    Guards the offset trick's precondition — boxes from adjacent
+    class/level bands must never overlap, so the stride must exceed every
+    coordinate. Power-of-two keeps offset arithmetic exact in f32; even at
+    8192 x 80 classes the largest shifted coordinate is ~6.6e5, where f32
+    spacing is 0.0625 px — still sub-pixel for IoU comparisons."""
+    out = 4096.0
+    while out <= max_coord:
+        out *= 2.0
+    return out
+
+
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
