@@ -23,12 +23,24 @@ def main():
     )
     # Synthetic input (no datasets in this environment) at the VOC canvas.
     result = bench_infer(cfg, batch_size=32, iters=10)
-    print(json.dumps({
+    line = {
         "metric": result["metric"],
         "value": result["value"],
         "unit": result["unit"],
         "vs_baseline": result["vs_baseline"],
-    }))
+    }
+    # Secondary tracked metric (BASELINE.json "NMS Pallas kernel us/img"):
+    # measured at proposal-generation shape; reported in the same JSON line
+    # so the driver history records it every round.
+    try:
+        from tpudet.cli.benchmark import bench_nms
+
+        nms = bench_nms(cfg, iters=5)
+        line["nms_kernel_us_per_img"] = nms["value"]
+    except Exception as e:  # noqa: BLE001 — secondary metric must not
+        line["nms_kernel_us_per_img"] = None  # sink the primary number
+        line["nms_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -282,3 +282,17 @@ def test_train_cli_rejects_indivisible_mesh_batch(tmp_path):
             "--preset", "tiny", "--dataset", "synthetic", "--steps", "1",
             "--batch-size", "2",  # 8 fake devices -> data mesh of 8
         ])
+
+
+def test_parity_cli_dry_run(tmp_path):
+    """The one-command VOC parity run (VERDICT r1 item 8) is dry-runnable
+    end-to-end on synthetic data: layout check -> train -> protocol-exact
+    eval -> parity table, resumable via the workdir."""
+    from tpudet.cli import parity
+
+    summary = parity.main([
+        "--dry-run", "--workdir", str(tmp_path / "w"), "--steps", "4",
+        "--batch-size", "8", "--eval-batch-size", "8",
+    ])
+    assert "mAP" in summary
+    assert (tmp_path / "w" / "checkpoints").exists()

@@ -183,6 +183,18 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
+    # The evaluator is the parity referee: postprocessing must be
+    # protocol-exact by default — ALL P*C (box, class) candidates enter the
+    # final per-class NMS, like the reference's dynamic-shape postprocess.
+    # The throughput-oriented candidate cap stays available for serving
+    # (--set roi.max_nms_candidates=1024 restores it here).
+    if cfg.roi.max_nms_candidates == 0:
+        import dataclasses
+
+        cfg = cfg.replace(
+            roi=dataclasses.replace(cfg.roi, max_nms_candidates=-1)
+        )
+
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     if args.checkpoint_dir:

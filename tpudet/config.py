@@ -221,7 +221,11 @@ class ROIConfig:
     max_detections: int = 100
     # Cap on flattened (box, class) candidates entering the final per-class
     # NMS (top-k by score first; static shape). 0 -> the built-in default
-    # (1024). Raise for protocol-exact postprocessing in dense scenes.
+    # (1024, the serving/throughput setting); -1 -> EXACT: all P*C
+    # candidates enter NMS (what the TF2 reference's dynamic-shape
+    # postprocess does — the eval CLI forces this so the parity referee has
+    # no protocol deviation). In dense scenes a candidate below a finite
+    # cap could survive exact per-class NMS.
     max_nms_candidates: int = 0
 
 

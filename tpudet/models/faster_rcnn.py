@@ -576,9 +576,13 @@ class FasterRCNN:
 
         # Keep the NMS loop short: pre-select top candidates by score. In
         # dense scenes a candidate below the cap could survive exact per-class
-        # NMS; raise roi.max_nms_candidates for protocol-exact postprocessing
-        # at some NMS cost.
-        cap = cfg.max_nms_candidates or MAX_NMS_CANDIDATES
+        # NMS; roi.max_nms_candidates = -1 gives protocol-exact
+        # postprocessing (all P*C candidates — the eval CLI's default) at
+        # some NMS cost.
+        if cfg.max_nms_candidates < 0:
+            cap = flat_scores.shape[0]
+        else:
+            cap = cfg.max_nms_candidates or MAX_NMS_CANDIDATES
         k_cand = min(flat_scores.shape[0], cap)
         cand_scores, cand_idx = jax.lax.top_k(
             jnp.where(flat_valid, flat_scores, -1.0), k_cand
