@@ -1,6 +1,15 @@
-"""Test harness: run everything on CPU with 8 fake devices so mesh/sharding
-semantics (pjit, psum over 'data') are exercised without a TPU pod
-(SURVEY.md §4 item 4).
+"""Test harness with two tiers (SURVEY.md §4 items 3–4):
+
+Default tier — run everything on CPU with 8 fake devices so mesh/sharding
+semantics (pjit, psum over 'data') are exercised without a TPU pod. Pallas
+kernels run in interpret mode here.
+
+TPU tier — ``TPUDET_TEST_TPU=1 pytest -m tpu`` keeps the real backend (the
+single v5e chip in this environment) and runs only the ``tpu``-marked tests:
+Pallas kernels at real shapes compiled through Mosaic, plus a full predict /
+train step on the flagship config. Interpret-mode tests cannot see
+Mosaic/runtime behavior (a ragged-shape NMS call once crashed the TPU worker
+while every interpret test was green), hence this tier.
 
 Note: this environment's sitecustomize imports jax and pins the platform to
 the 'axon' TPU plugin at interpreter start; backends initialize lazily, so
@@ -9,18 +18,39 @@ setting JAX_PLATFORMS via os.environ would be too late."""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import numpy as np
+import pytest
 
-import jax  # noqa: E402
+TPU_MODE = os.environ.get("TPUDET_TEST_TPU") == "1"
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_MODE:
+        skip = pytest.mark.skip(
+            reason="TPU mode (TPUDET_TEST_TPU=1) runs only tpu-marked tests; "
+            "the CPU-tier tests assume the 8-fake-device CPU mesh"
+        )
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="needs the real TPU: run TPUDET_TEST_TPU=1 pytest -m tpu"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture

@@ -1,0 +1,227 @@
+"""On-TPU test tier (VERDICT r1 item 3; SURVEY.md §4 items 3–4).
+
+Run with::
+
+    TPUDET_TEST_TPU=1 python -m pytest tests/test_tpu.py -m tpu -x -q
+
+Interpret-mode Pallas tests (the default CPU tier) cannot see Mosaic compiler
+or TPU-runtime behavior: the ragged 4507-candidate NMS call that crashed the
+TPU worker during round-1 bring-up was green in every interpret test. This
+tier re-runs the kernels compiled through Mosaic at real shapes, plus one
+full predict and one train step on the flagship config, on the real chip.
+
+Tunnel notes (this environment): first compile of a full-model program takes
+minutes through the remote-compile tunnel; keep everything in ONE process and
+never run a second TPU client concurrently.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+from tests.oracles import np_nms  # noqa: E402
+from tests.test_boxes import random_boxes  # noqa: E402
+
+
+def _selection(idx, valid):
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    return list(idx[valid])
+
+
+# ------------------------------------------------------------------ kernels
+def test_nms_pallas_real_shapes(rng):
+    """Mosaic-compiled NMS at proposal-generation shape (6000 -> 300)."""
+    from tpudet.kernels.nms import nms_pallas
+
+    boxes = random_boxes(rng, 6000, size=900.0)
+    scores = rng.uniform(0, 1, 6000).astype(np.float32)
+    idx, valid = jax.jit(
+        lambda b, s: nms_pallas(b, s, 0.7, 300)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    got = _selection(idx, valid)
+    want = np_nms(boxes, scores, 0.7, 300)
+    assert got == want
+
+
+def test_nms_pallas_presorted_real_shapes(rng):
+    """The presorted fast path (what proposal generation uses) on TPU."""
+    from tpudet.kernels.nms import nms_pallas
+
+    boxes = random_boxes(rng, 4096, size=900.0)
+    scores = np.sort(rng.uniform(0, 1, 4096).astype(np.float32))[::-1].copy()
+    idx, valid = jax.jit(
+        lambda b, s: nms_pallas(b, s, 0.7, 300, presorted=True)
+    )(jnp.asarray(boxes), jnp.asarray(scores))
+    got = _selection(idx, valid)
+    want = np_nms(boxes, scores, 0.7, 300)
+    assert got == want
+
+
+def test_nms_pallas_ragged_padded_4507(rng):
+    """Regression for the round-1 TPU worker crash: the FPN per-level union
+    produces ragged candidate counts (4507 when P6 has fewer anchors than
+    the per-level top-k); faster_rcnn pads them to a multiple of 512 with
+    invalid rows before the kernel (faster_rcnn.py proposal path). Assert
+    the padded call is correct ON the real chip at exactly that shape."""
+    from tpudet.kernels.nms import nms_pallas
+
+    n_ragged = 4507
+    pad = (-n_ragged) % 512
+    boxes = random_boxes(rng, n_ragged, size=800.0)
+    scores = rng.uniform(0, 1, n_ragged).astype(np.float32)
+    boxes_p = np.concatenate([boxes, np.zeros((pad, 4), np.float32)])
+    scores_p = np.concatenate([scores, np.full(pad, -1.0, np.float32)])
+    valid_p = np.concatenate([np.ones(n_ragged, bool), np.zeros(pad, bool)])
+
+    idx, valid = jax.jit(
+        lambda b, s, v: nms_pallas(b, s, 0.7, 1000, valid_mask=v)
+    )(jnp.asarray(boxes_p), jnp.asarray(scores_p), jnp.asarray(valid_p))
+    got = _selection(idx, valid)
+    want = np_nms(boxes, scores, 0.7, 1000)
+    assert got == want
+
+
+def test_roi_align_backends_match_on_tpu(rng):
+    """Pallas + MXU-einsum RoI Align vs the jnp gather oracle, compiled for
+    the real chip (the CPU tier only ever runs these in interpret mode)."""
+    from tpudet.kernels.roi_align import roi_align_pallas
+    from tpudet.ops.roi_align import roi_align, roi_align_mxu
+
+    h, w, c = 40, 64, 256
+    feat = rng.normal(0, 1, (h, w, c)).astype(np.float32)
+    n = 64
+    xy1 = rng.uniform(0, 40, (n, 2)).astype(np.float32)
+    wh = rng.uniform(2, 24, (n, 2)).astype(np.float32)
+    rois = np.concatenate([xy1, xy1 + wh], axis=-1).astype(np.float32)
+
+    feat_j, rois_j = jnp.asarray(feat), jnp.asarray(rois)
+    want = np.asarray(jax.jit(
+        lambda f, r: roi_align(f, r, 7, 2)
+    )(feat_j, rois_j))
+    got_mxu = np.asarray(jax.jit(
+        lambda f, r: roi_align_mxu(f, r, 7, 2)
+    )(feat_j, rois_j))
+    got_pallas = np.asarray(jax.jit(
+        lambda f, r: roi_align_pallas(f, r, 7, 2)
+    )(feat_j, rois_j))
+    np.testing.assert_allclose(got_mxu, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_pallas, want, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------- full model
+def _flagship_cfg():
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+
+    cfg = preset_config("voc_r50")
+    # One static canvas (not 5 aspect buckets) to bound compile count; bf16
+    # compute exactly like bench.py's flagship measurement.
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", aspect_buckets=(),
+            canvas_height=640, canvas_width=1024,
+        ),
+        backbone=dataclasses.replace(cfg.backbone, dtype="bfloat16"),
+    )
+    return cfg
+
+
+def _flagship_batch(cfg, batch_size):
+    from tpudet.data import DataLoader, SyntheticDataset
+    from tpudet.data.preprocess import device_preprocess
+
+    ds = SyntheticDataset(
+        num_classes=cfg.data.num_classes, num_examples=batch_size,
+        image_size=500,
+    )
+    loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    return device_preprocess(cfg, {k: jnp.asarray(v) for k, v in raw.items()})
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from tpudet.models import FasterRCNN
+
+    cfg = _flagship_cfg()
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = _flagship_batch(cfg, batch_size=2)
+    return cfg, model, variables, batch
+
+
+def test_predict_flagship_pallas_vs_xla(flagship):
+    """Full flagship predict on the real chip, Pallas kernels vs the pure-XLA
+    fallback path in the same process: structural sanity + cross-path
+    agreement of the detection sets (bf16 tolerances)."""
+    from tpudet.models import FasterRCNN
+    from tests.oracles import np_iou
+
+    cfg, model, variables, batch = flagship
+    out_p = jax.jit(model.predict)(variables, batch)
+    out_p = {k: np.asarray(v) for k, v in out_p.items()}
+
+    model_x = FasterRCNN(cfg.replace(use_pallas=False))
+    out_x = jax.jit(model_x.predict)(variables, batch)
+    out_x = {k: np.asarray(v) for k, v in out_x.items()}
+
+    h, w = cfg.data.canvas_height, cfg.data.canvas_width
+    for out in (out_p, out_x):
+        assert np.all(np.isfinite(out["boxes"])) and np.all(
+            np.isfinite(out["scores"])
+        )
+        v = out["valid"]
+        assert np.all(out["scores"][v] > 0) and np.all(out["scores"][v] <= 1)
+        assert np.all(out["boxes"][v][:, [0, 2]] >= 0)
+        assert np.all(out["boxes"][v][:, [0, 2]] <= w)
+        assert np.all(out["boxes"][v][:, [1, 3]] <= h)
+
+    total = matched = 0
+    for i in range(out_p["boxes"].shape[0]):
+        vp, vx = out_p["valid"][i], out_x["valid"][i]
+        bp, bx = out_p["boxes"][i][vp], out_x["boxes"][i][vx]
+        sp, sx = out_p["scores"][i][vp], out_x["scores"][i][vx]
+        cp, cx = out_p["classes"][i][vp], out_x["classes"][i][vx]
+        total += len(bp)
+        if len(bp) == 0 or len(bx) == 0:
+            continue
+        iou = np_iou(bp, bx)
+        used = np.zeros(len(bx), bool)
+        for a in range(len(bp)):
+            for b in range(len(bx)):
+                if (not used[b] and iou[a, b] > 0.9 and cp[a] == cx[b]
+                        and abs(sp[a] - sx[b]) < 0.05):
+                    used[b] = True
+                    matched += 1
+                    break
+    assert total > 0, "flagship predict produced no detections"
+    assert matched >= 0.8 * total, f"pallas/xla agreement {matched}/{total}"
+
+
+def test_train_step_flagship(flagship):
+    """One flagship train step on the real chip: finite loss + metrics."""
+    import dataclasses
+
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg, model, variables, batch = flagship
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, num_data_shards=1, bf16=True
+        )
+    )
+    from tpudet.models import FasterRCNN
+
+    model_t = FasterRCNN(cfg)
+    state = create_train_state(model_t, cfg.train, jax.random.key(0))
+    step = make_train_step(model_t, cfg)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    assert metrics["num_pos_anchors"] >= 0
