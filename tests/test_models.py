@@ -443,3 +443,46 @@ def test_postprocess_exact_mode_matches_oracle():
     # A small cap on the same scene loses candidates that exact NMS keeps.
     cap_b, cap_s, cap_c = run(16)
     assert len(cap_b) < len(exact_b)
+
+
+def test_fpn_window_pooler_matches_default():
+    """The pool-once-per-RoI windowed pooler produces the same detections
+    as the per-level masked-sum default in the full model (window=56 on a
+    128-px canvas: nothing can overflow a tile, so the fit-bumped level
+    assignment coincides with the paper assignment and the comparison is
+    exact to float tolerance)."""
+    import dataclasses
+
+    cfg = tiny_test_config(use_fpn=True)
+    batch = make_batch(cfg, b=2)
+    base = FasterRCNN(cfg)
+    variables = base.init(jax.random.key(0))
+    ref = jax.jit(base.predict)(variables, batch)
+
+    cfg2 = cfg.replace(roi=dataclasses.replace(
+        cfg.roi, pooler="roi_align_window", window=56))
+    out = jax.jit(FasterRCNN(cfg2).predict)(variables, batch)
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"]), np.asarray(ref["boxes"]),
+        rtol=1e-4, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), np.asarray(ref["scores"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_window_pooler_canvas_guard():
+    """A window too small for the canvas (a p5 RoI could overflow its
+    tile) must fail loudly at model build."""
+    import dataclasses
+
+    cfg = tiny_test_config(use_fpn=True)
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, canvas_height=2048,
+                                 canvas_width=2048),
+        roi=dataclasses.replace(cfg.roi, pooler="roi_align_window",
+                                window=56),
+    )
+    with pytest.raises(ValueError, match="roi.window"):
+        FasterRCNN(cfg)

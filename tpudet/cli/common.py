@@ -68,6 +68,14 @@ def preset_config(name: str) -> Config:
             # restores it (the pooler auto-chunks to fit HBM).
             rpn=RPNConfig(conv_channels=256, post_nms_topk_train=1000,
                           post_nms_topk_test=300),
+            # RoI pooling stays the all-level masked-sum default for now:
+            # the pool-once-per-RoI windowed backend (roi.pooler=
+            # roi_align_window, window=56 for these 1344-px canvases) is
+            # value-equivalent and available, but its current packed-pyramid
+            # setup re-copies the feature pyramid per image (~3.9 of
+            # ~4.9 ms/img measured), so it does not yet beat the masked sum
+            # at b=32 in-model. KERNELS.md tracks the no-pack kernel that
+            # will flip this default.
         )
         return cfg
     raise ValueError(f"unknown preset {name!r}")

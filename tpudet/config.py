@@ -182,11 +182,24 @@ class ROIConfig:
     #                         feature tensor, ONE einsum pair (exact; measured
     #                         0.94x the default's per-level masked-sum on v5e
     #                         — kept as the documented negative result)
+    #   "roi_align_window"  — FPN-only pool-once-per-RoI: one static
+    #                         [window, window, C] tile sliced per RoI at its
+    #                         assigned level (packed pyramid), einsums
+    #                         against the tile — ~20x fewer pooling FLOPs
+    #                         than the all-level masked sum. Level
+    #                         assignment is fit-bumped for extreme-aspect
+    #                         slivers (ops/roi_align.py::fpn_assign_levels).
     #   "crop_and_resize"   — TF convention (the float-tolerance parity oracle)
-    # All "roi_align*" backends compute identical values (tested).
+    # All "roi_align*" backends compute identical values (tested; _window
+    # under its fit-bumped level assignment).
     pooler: str = "roi_align"
     output_size: int = 7
     sampling_ratio: int = 2  # samples per bin side for roi_align
+    # Tile side (feature cells) for pooler="roi_align_window"; multiple of
+    # 8 (TPU DMA sublane alignment). Must satisfy
+    # max(canvas_h, canvas_w)/32 <= window - 12 so every RoI fits a tile at
+    # p5 (checked at model build); 56 covers the 1344-px COCO canvases.
+    window: int = 56
     # Pool RoIs in sequential chunks of this size (lax.map) to bound the
     # gather workspace: peak memory ~ B * chunk * (S*ratio)^2 * C instead of
     # B * R * (...). 0 disables chunking. Applies ONLY to the

@@ -40,13 +40,28 @@ from tpudet.ops import anchors as anchor_ops
 from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
-from tpudet.ops.roi_align import crop_and_resize, roi_align, roi_align_mxu
+from tpudet.ops.roi_align import (
+    crop_and_resize,
+    fpn_assign_levels,
+    roi_align,
+    roi_align_mxu,
+    roi_align_window,
+)
 from tpudet.train import losses as L
 
 # Default cap on flattened (box, class) candidates entering the final
 # per-class NMS (overridable via ROIConfig.max_nms_candidates); top-k-ed by
 # score first so the sequential NMS loop stays short on TPU.
 MAX_NMS_CANDIDATES = 1024
+
+
+def _max_canvas_dim(cfg: Config) -> int:
+    """Largest canvas side this config can produce (aspect buckets override
+    the single canvas; canvas_short is a short side by definition)."""
+    d = cfg.data
+    if d.aspect_buckets:
+        return max(max(h, w) for h, w in d.aspect_buckets)
+    return max(d.canvas_height, d.canvas_width)
 
 
 def _nms_offset(cfg: Config) -> float:
@@ -56,11 +71,7 @@ def _nms_offset(cfg: Config) -> float:
     canvases > 4096 would otherwise silently overlap offset bands)."""
     from tpudet.ops.nms import coordinate_offset_for
 
-    dims = [cfg.data.canvas_height, cfg.data.canvas_width,
-            cfg.data.canvas_short]
-    for h, w in cfg.data.aspect_buckets:
-        dims += [h, w]
-    return coordinate_offset_for(float(max(dims)))
+    return coordinate_offset_for(float(_max_canvas_dim(cfg)))
 
 
 class DetectorCore(nn.Module):
@@ -136,6 +147,17 @@ class FasterRCNN:
         self.cfg = cfg
         self.core = DetectorCore(cfg)
         self._anchors_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        if cfg.roi.pooler == "roi_align_window" and cfg.backbone.use_fpn:
+            max_dim = _max_canvas_dim(cfg)
+            # The windowed pooler's precondition: even a canvas-sized RoI
+            # must fit a tile at the coarsest pooling level (p5, stride 32).
+            if max_dim / 32.0 > cfg.roi.window - 12:
+                raise ValueError(
+                    f"roi.window={cfg.roi.window} too small for canvases up "
+                    f"to {max_dim}px: need window >= "
+                    f"{int(-(-max_dim // 32)) + 12} so p5-level RoIs fit "
+                    "(or use pooler='roi_align')"
+                )
 
     # ------------------------------------------------------------- anchors
     @property
@@ -344,11 +366,16 @@ class FasterRCNN:
         r = rois.shape[0]
         needs_bounding = roi_cfg.pooler == "roi_align_gather"
         if (not needs_bounding and roi_cfg.mxu_chunk_budget_mb > 0
-                and roi_cfg.pooler in ("roi_align", "roi_align_packed")):
+                and roi_cfg.pooler in ("roi_align", "roi_align_packed",
+                                       "roi_align_window")):
             some = next(iter(feats.values()))
             ch = some.shape[-1]
             itemsize = jnp.dtype(some.dtype).itemsize
-            if roi_cfg.pooler == "roi_align_packed":
+            if roi_cfg.pooler == "roi_align_window":
+                # Intermediate = the [R, window, window, C] tile stack.
+                per_roi = roi_cfg.window * roi_cfg.window * ch * itemsize
+                dim = None
+            elif roi_cfg.pooler == "roi_align_packed":
                 # Packed pyramid: all levels concatenated into one
                 # [sum(H_l), max(W_l), C] tensor; the einsum contracts over
                 # min(max W_l, sum H_l) — usually > any single level's
@@ -360,7 +387,8 @@ class FasterRCNN:
             else:
                 # Per-level masked-sum: the largest level dominates.
                 dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
-            per_roi = roi_cfg.output_size * dim * ch * itemsize
+            if dim is not None:
+                per_roi = roi_cfg.output_size * dim * ch * itemsize
             budget = roi_cfg.mxu_chunk_budget_mb * (1 << 20)
             if r * per_roi > budget:
                 needs_bounding = True
@@ -389,9 +417,32 @@ class FasterRCNN:
             fboxes = rois / stride
             return self._pool_one_level(feats["c4"], fboxes)
 
-        areas = box_ops.area(rois)
-        k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-8))
-        k = jnp.clip(k, 2, 5).astype(jnp.int32)  # [R]
+        fit = roi.window if roi.pooler == "roi_align_window" else 0
+        k = fpn_assign_levels(rois, fit_window=fit)  # [R] in 2..5
+        if roi.pooler == "roi_align_window":
+            # Pool ONCE per RoI against a static window at its assigned
+            # level (VERDICT r1 item 4) instead of pooling at all four
+            # levels and masked-summing — ~20x fewer pooling FLOPs. On TPU
+            # the tile extraction runs as a Pallas DMA kernel with the
+            # contraction fused in-VMEM (XLA's per-RoI dynamic_slice lowers
+            # to a segment-count-bound gather that is SLOWER than the
+            # masked sum it replaces); elsewhere the XLA gather formulation
+            # computes identical values (kernels/roi_align_window.py).
+            level_feats = [feats[f"p{l}"] for l in (2, 3, 4, 5)]
+            lv_strides = (4.0, 8.0, 16.0, 32.0)
+            if self.cfg.use_pallas and jax.default_backend() == "tpu":
+                from tpudet.kernels.roi_align_window import (
+                    roi_align_window_pallas,
+                )
+
+                return roi_align_window_pallas(
+                    level_feats, lv_strides, rois, k - 2,
+                    roi.output_size, roi.sampling_ratio, window=roi.window,
+                )
+            return roi_align_window(
+                level_feats, lv_strides, rois, k - 2,
+                roi.output_size, roi.sampling_ratio, window=roi.window,
+            )
         if roi.pooler == "roi_align_packed":
             # Packed-pyramid einsum pair (exact; see KERNELS.md): measured
             # 0.94x the per-level masked-sum below on v5e — padding W to

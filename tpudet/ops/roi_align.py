@@ -281,3 +281,185 @@ def multi_level_roi_align_mxu(
         return jnp.einsum("nsh,nthc->nstc", wy, t1, precision=prec)
     t1 = jnp.einsum("nsh,hwc->nswc", wy, packed, precision=prec)
     return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
+
+
+def fpn_assign_levels(
+    boxes: jnp.ndarray,
+    min_level: int = 2,
+    max_level: int = 5,
+    canonical_scale: float = 224.0,
+    canonical_level: int = 4,
+    fit_window: int = 0,
+) -> jnp.ndarray:
+    """FPN-paper RoI level assignment (k = floor(k0 + log2(sqrt(area)/224)),
+    clipped to [min_level, max_level]) — shared by every FPN pooling backend
+    so they are comparable bit-for-bit.
+
+    ``fit_window`` > 0 additionally guarantees the WINDOWED pooler's
+    precondition: the RoI's larger side must span at most ``fit_window - 12``
+    cells at its assigned level (2 cells of bilinear-neighbor slack each
+    side + 7 for the 8-aligned x-origin the TPU DMA tiling requires), so
+    extreme-aspect boxes (border slivers: e.g. 4x800 px, whose sqrt-area
+    assignment is p2 but whose long side spans ~200 p2 cells) are bumped to
+    the first level where they fit. Identical for every box of
+    aspect ratio below ~(fit_window/28)^2; the level shift for slivers is a
+    deliberate, documented protocol choice of this framework's FPN (the TF2
+    reference has no FPN — SURVEY.md C24 is build-only)."""
+    areas = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0) * jnp.maximum(
+        boxes[..., 3] - boxes[..., 1], 0.0
+    )
+    k = jnp.floor(
+        canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_scale + 1e-8)
+    )
+    k = jnp.clip(k, min_level, max_level).astype(jnp.int32)
+    if fit_window:
+        span = jnp.maximum(
+            boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1]
+        )
+        need = jnp.ceil(
+            jnp.log2(jnp.maximum(span, 1.0) / float(fit_window - 12))
+        ).astype(jnp.int32)
+        k = jnp.clip(jnp.maximum(k, need), min_level, max_level)
+    return k
+
+
+def _window_axis_weights(vals2, sizes, s, r, offset, window, max_origin,
+                         align=1):
+    """One axis of windowed RoI-Align: per-RoI window origin + folded
+    window-local bin-weight rows.
+
+    vals2 [N, 2]: (lo, hi) box coords in the RoI's own level's feature
+    cells; sizes [N]: that level's extent along this axis; ``max_origin``
+    the largest slice start keeping the window inside the packed tensor
+    (the clamp must happen HERE, before the weights are built, so weights
+    and slice share one origin). Returns (weights [N, s, window] f32,
+    origin [N] int32) with every nonzero weight column inside
+    [origin, origin + window) — guaranteed by the ``fit_window`` level
+    assignment + the in-bounds proof in :func:`roi_align_window`."""
+    n = vals2.shape[0]
+    min_extent = 1e-6 if offset else 1.0
+    start = vals2[:, 0] - offset
+    extent = jnp.maximum(vals2[:, 1] - vals2[:, 0], min_extent)
+    grid = (
+        jnp.arange(s, dtype=vals2.dtype)[:, None]
+        + (jnp.arange(r, dtype=vals2.dtype)[None, :] + 0.5) / r
+    ).reshape(-1)  # [s*r], increasing
+    pos = start[:, None] + grid[None, :] * (extent / s)[:, None]
+    valid = (pos >= -1.0) & (pos <= sizes[:, None])
+    posc = jnp.clip(pos, 0.0, sizes[:, None] - 1.0)
+    # Grid is increasing, so posc[:, 0] is the smallest sample; the origin
+    # stays low enough that floor(pos_max) + 1 < origin + window (span <=
+    # window - 2) and the slice stays in-bounds (see callers' packing).
+    origin = jnp.clip(jnp.floor(posc[:, 0]), 0.0, float(max_origin))
+    if align > 1:
+        # The TPU DMA source slice needs align-divisible offsets on the
+        # sublane (second-minor) dim; rounding down costs up to align-1
+        # columns of the window (priced into the fit_window slack).
+        origin = jnp.floor(origin / align) * align
+    idx = origin[:, None] + jnp.arange(window, dtype=vals2.dtype)[None, :]
+    w = jnp.maximum(1.0 - jnp.abs(posc[:, :, None] - idx[:, None, :]), 0.0)
+    w = w * valid[:, :, None]
+    w = w.reshape(n, s, r, window).mean(axis=2)
+    return w, origin.astype(jnp.int32)
+
+
+def roi_align_window(
+    features,
+    strides,
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    window: int = 48,
+) -> jnp.ndarray:
+    """FPN RoI Align via per-RoI static windows — the pool-ONCE-per-RoI
+    formulation (VERDICT r1 item 4).
+
+    The masked-sum path pools every RoI against every level's FULL map: the
+    first einsum contracts over H_l*W_l per RoI, so P2 dominates and ~3/4 of
+    the FLOPs produce masked-out zeros (~41 ms/batch at b=32 COCO — the
+    dominant coco_r101_fpn cost). But the FPN assignment bounds every RoI's
+    span at its OWN level to < 28*sqrt(aspect) cells, so it is enough to
+    slice one static [window, window, C] tile per RoI around its box from a
+    packed pyramid and contract against the tile: ~20x fewer MXU FLOPs and
+    HBM reads bounded by R * window^2 * C instead of R * sum(H_l * W_l).
+
+    ``levels`` must come from :func:`fpn_assign_levels` with
+    ``fit_window=window`` (0-based here: level index into ``features``) —
+    that is the precondition that every nonzero bilinear weight lands inside
+    the window. Values then equal the per-level masked-sum path with the
+    same assignment to float tolerance (tested).
+
+    Packing layout: levels concatenated along H with ``window`` zero rows
+    after each level (a window starting on the last real row never reads
+    the next level's data) and W zero-padded to max(max W_l, window); the
+    zero padding is only ever multiplied by exactly-zero weights.
+    """
+    packed, wy, wx, oy, ox = window_pool_setup(
+        features, strides, boxes, levels, output_size, sampling_ratio,
+        aligned, window,
+    )
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+
+    tiles = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(packed, (y, x, 0), (window, window, c))
+    )(oy, ox)  # [N, window, window, C]
+
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    t1 = jnp.einsum("nsh,nhwc->nswc", wy, tiles, precision=prec)
+    return jnp.einsum("ntw,nswc->nstc", wx, t1, precision=prec)
+
+
+def window_pool_setup(
+    features, strides, boxes, levels, output_size, sampling_ratio,
+    aligned, window,
+):
+    """Shared geometry for the windowed poolers (XLA gather path above and
+    the Pallas DMA kernel in tpudet.kernels.roi_align_window): packs the
+    pyramid and computes per-RoI window-local weights + slice origins.
+
+    Returns (packed [sum(H_l + window), w_pad, C], wy [N, s, window] f32,
+    wx [N, s, window] f32, oy [N] int32, ox [N] int32)."""
+    s, r = output_size, sampling_ratio
+    offset = 0.5 if aligned else 0.0
+    # Packed width 8-aligned so (w_pad - window) stays a legal 8-aligned
+    # x-origin (window itself must be a multiple of 8).
+    if window % 8:
+        raise ValueError(f"window must be a multiple of 8, got {window}")
+    w_pad = -(-max(max(f.shape[1] for f in features), window) // 8) * 8
+
+    parts, offs, acc = [], [], 0
+    for f in features:
+        offs.append(acc)
+        parts.append(
+            jnp.pad(f, ((0, window), (0, w_pad - f.shape[1]), (0, 0)))
+        )
+        acc += f.shape[0] + window
+    packed = jnp.concatenate(parts, axis=0)  # [sum(H_l + window), w_pad, C]
+
+    h_arr = jnp.asarray([f.shape[0] for f in features], boxes.dtype)
+    w_arr = jnp.asarray([f.shape[1] for f in features], boxes.dtype)
+    off_arr = jnp.asarray(offs, jnp.int32)
+    stride_arr = jnp.asarray(strides, boxes.dtype)
+
+    st = stride_arr[levels][:, None]
+    fboxes = boxes / st
+    # y never needs an origin clamp (each level carries `window` pad rows,
+    # so origin <= H_l - 1 always leaves the slice inside the level's
+    # extent); x clamps to the packed width. Coverage under the clamp:
+    # nonzero columns end at floor(pos_max) + 1 <= W_l <= w_pad - 1 <
+    # (w_pad - window) + window.
+    wy, y0 = _window_axis_weights(
+        fboxes[:, (1, 3)], h_arr[levels], s, r, offset, window,
+        max_origin=packed.shape[0],
+    )
+    wx, x0 = _window_axis_weights(
+        fboxes[:, (0, 2)], w_arr[levels], s, r, offset, window,
+        max_origin=w_pad - window, align=8,
+    )
+    oy = off_arr[levels] + y0  # y window may run into the level's pad rows
+    return packed, wy, wx, oy, x0
