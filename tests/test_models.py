@@ -472,6 +472,39 @@ def test_fpn_window_pooler_matches_default():
     )
 
 
+def test_window_pooler_trains():
+    """With pooler=roi_align_window the train forward routes pooling
+    through the differentiable masked sum (same fit-bumped level
+    assignment — the Pallas kernel has no VJP): loss + grads must compile
+    and be finite, and the loss must equal the default pooler's loss to
+    float tolerance on a small-canvas scene (no fit bumping)."""
+    import dataclasses
+
+    cfg = tiny_test_config(use_fpn=True)
+    batch = make_batch(cfg, b=2)
+    base = FasterRCNN(cfg)
+    variables = base.init(jax.random.key(0))
+    rng = jax.random.key(1)
+
+    def loss_of(cfg_):
+        model = FasterRCNN(cfg_)
+
+        def f(v):
+            total, _ = model.loss(v, batch, rng)
+            return total
+
+        return jax.jit(jax.value_and_grad(f))(variables)
+
+    ref_loss, ref_grads = loss_of(cfg)
+    cfg2 = cfg.replace(roi=dataclasses.replace(
+        cfg.roi, pooler="roi_align_window", window=56))
+    loss, grads = loss_of(cfg2)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+
 def test_window_pooler_canvas_guard():
     """A window too small for the canvas (a p5 RoI could overflow its
     tile) must fail loudly at model build."""

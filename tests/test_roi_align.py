@@ -175,6 +175,35 @@ def test_roi_align_window_matches_masked_sum(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_align_window_pallas_interpret_matches_xla(rng):
+    """The Pallas windowed kernel (interpret mode; no-pack v2 with
+    per-level refs and level-branched tile DMA) == the XLA windowed path
+    to float tolerance on the same hard-case RoIs."""
+    from tpudet.kernels.roi_align_window import roi_align_window_pallas
+    from tpudet.ops.roi_align import fpn_assign_levels, roi_align_window
+
+    feats, strides = _pyramid(rng)
+    n = 13  # deliberately not a multiple of rois_per_step
+    xy1 = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+    wh = rng.uniform(8, 250, (n, 2)).astype(np.float32)
+    rois = np.concatenate([xy1, np.minimum(xy1 + wh, 330.0)], -1)
+    rois[0] = [0.0, 0.0, 3.0, 200.0]     # border sliver
+    rois[1] = [100.0, 2.0, 300.0, 6.0]   # tall sliver
+    rois[2] = [50.0, 50.0, 52.5, 52.5]   # tiny
+    rois[3] = [0.0, 0.0, 208.0, 330.0]   # canvas-sized -> p5
+    rois = jnp.asarray(rois.astype(np.float32))
+
+    window = 24
+    levels = fpn_assign_levels(rois, fit_window=window) - 2
+    want = np.asarray(roi_align_window(
+        feats, strides, rois, levels, 7, 2, window=window
+    ))
+    got = np.asarray(roi_align_window_pallas(
+        feats, strides, rois, levels, 7, 2, window=window, interpret=True
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_fpn_assign_levels_fit_bumping(rng):
     """fit_window bumps only boxes whose larger side overflows the tile at
     the paper-assigned level; square boxes keep the paper assignment."""

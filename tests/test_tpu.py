@@ -112,6 +112,47 @@ def test_roi_align_backends_match_on_tpu(rng):
     np.testing.assert_allclose(got_pallas, want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_align_window_pallas_real_shapes(rng):
+    """The no-pack windowed FPN pooler (per-level HBM refs, level-branched
+    tile DMA) Mosaic-compiled at real coco_r101_fpn shapes (1344-px canvas
+    pyramid, 300 RoIs, window 56) vs the masked-sum oracle under the same
+    fit-bumped level assignment."""
+    from tpudet.kernels.roi_align_window import roi_align_window_pallas
+    from tpudet.ops.roi_align import fpn_assign_levels, roi_align_mxu
+
+    c = 256
+    shapes = ((336, 336), (168, 168), (84, 84), (42, 42))
+    strides = (4.0, 8.0, 16.0, 32.0)
+    feats = [
+        jnp.asarray(rng.normal(0, 1, (h, w, c)).astype(np.float32))
+        for h, w in shapes
+    ]
+    n = 300
+    xy1 = rng.uniform(0, 1000, (n, 2)).astype(np.float32)
+    wh = rng.uniform(4, 900, (n, 2)).astype(np.float32)
+    rois = np.concatenate([xy1, np.minimum(xy1 + wh, 1344.0)], -1)
+    rois[0] = [0.0, 0.0, 5.0, 1300.0]      # border sliver -> fit-bumped
+    rois[1] = [0.0, 0.0, 1344.0, 1344.0]   # canvas-sized -> p5
+    rois = jnp.asarray(rois.astype(np.float32))
+
+    window = 56
+    levels = fpn_assign_levels(rois, fit_window=window) - 2
+    got = np.asarray(jax.jit(
+        lambda f, r, l: roi_align_window_pallas(
+            list(f), strides, r, l, 7, 2, window=window
+        )
+    )(feats, rois, levels))
+
+    lv = np.asarray(levels)
+    want = 0.0
+    for li, (f, s) in enumerate(zip(feats, strides)):
+        p = np.asarray(jax.jit(
+            lambda f, r: roi_align_mxu(f, r, 7, 2)
+        )(f, rois / s))
+        want = want + p * (lv == li)[:, None, None, None]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 # --------------------------------------------------------------- full model
 def _flagship_cfg():
     import dataclasses

@@ -11,6 +11,7 @@ from tpudet.config import (
     BackboneConfig,
     Config,
     DataConfig,
+    ROIConfig,
     RPNConfig,
     apply_overrides,
     tiny_test_config,
@@ -68,14 +69,15 @@ def preset_config(name: str) -> Config:
             # restores it (the pooler auto-chunks to fit HBM).
             rpn=RPNConfig(conv_channels=256, post_nms_topk_train=1000,
                           post_nms_topk_test=300),
-            # RoI pooling stays the all-level masked-sum default for now:
-            # the pool-once-per-RoI windowed backend (roi.pooler=
-            # roi_align_window, window=56 for these 1344-px canvases) is
-            # value-equivalent and available, but its current packed-pyramid
-            # setup re-copies the feature pyramid per image (~3.9 of
-            # ~4.9 ms/img measured), so it does not yet beat the masked sum
-            # at b=32 in-model. KERNELS.md tracks the no-pack kernel that
-            # will flip this default.
+            # Pool-once-per-RoI windowed pooler (no-pack Pallas DMA kernel;
+            # window=56 covers these 1344-px canvases at p5): 203 -> 252
+            # img/s/chip at b=32 over the all-level masked sum it replaces
+            # (KERNELS.md). Value-equivalent to the masked sum under the
+            # same fit-bumped level assignment (tested); training pools
+            # through the differentiable masked sum with the same
+            # assignment. --set roi.pooler=roi_align restores the old
+            # default.
+            roi=ROIConfig(pooler="roi_align_window", window=56),
         )
         return cfg
     raise ValueError(f"unknown preset {name!r}")

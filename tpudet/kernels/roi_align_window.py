@@ -14,10 +14,21 @@ different bottleneck (all measured on v5e, b=32 x 300 RoIs, COCO canvases):
 
 The DMA engine has neither problem: a [window, window, C] tile is ONE
 strided descriptor (window contiguous ~25 KB row segments), so this kernel
-grid-loops over RoIs, double-buffers tile DMAs HBM->VMEM from a packed
-pyramid at dynamic per-RoI origins (scalar-prefetched), and contracts each
-tile against its RoI's separable bilinear weights ON-CHIP — the [N, window,
-window, C] tile tensor never exists in HBM.
+grid-loops over RoIs, double-buffers tile DMAs HBM->VMEM at dynamic
+per-RoI origins (scalar-prefetched), and contracts each tile against its
+RoI's separable bilinear weights ON-CHIP — the [N, window, window, C] tile
+tensor never exists in HBM.
+
+v2 (no-pack): v1 DMA'd from a packed pyramid whose construction re-copied
+every feature byte per image (~3.9 of ~4.9 ms/img measured — more than the
+kernel itself). Now each LEVEL map is its own HBM operand; the per-RoI
+tile copy is issued against the RoI's own level's ref, branched on the
+scalar-prefetched level id (the copies are identical in size, only the
+source memref differs). The only host-side data movement left is a tiny
+static pad of levels that need one (P4 width to a multiple of 8, P5 up to
+``window`` per side: ~5 MB/img vs ~150) — see
+``ops.roi_align.window_pool_setup_nopack`` for the per-level in-bounds
+proof.
 
 Contraction shape: the separable weights are combined into one
 [s*s, window*window] matrix per RoI (built in-VMEM from two small
@@ -26,9 +37,9 @@ a single MXU matmul against the tile viewed as [window*window, C]; that
 view only merges LEADING dims, which is layout-free in Mosaic (a trailing
 merge like [win, win*C] would relayout).
 
-Weights/origins come from ``ops.roi_align.window_pool_setup`` — the same
-math as the XLA windowed path, so the two backends are bit-comparable and
-both inherit the masked-sum equivalence tests.
+Weights/origins come from ``ops.roi_align.window_pool_setup_nopack`` — the
+same axis math as the XLA windowed path, so the two backends are
+value-comparable and both inherit the masked-sum equivalence tests.
 """
 
 from __future__ import annotations
@@ -41,7 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpudet.ops.roi_align import window_pool_setup
+from tpudet.ops.roi_align import window_pool_setup_nopack
 
 
 def _expansion_constants(window: int, dtype):
@@ -61,37 +72,55 @@ def _expansion_constants(window: int, dtype):
 def _kernel(
     n_steps: int,
     k_per_step: int,
+    n_levels: int,
     s: int,
     window: int,
     c: int,
-    origins_ref,   # SMEM [N_pad, 2] int32 (oy, ox) — scalar prefetch
-    wy_ref,        # VMEM block [K, s, window]
-    wx_ref,        # VMEM block [K, s, window]
-    e_ref,         # VMEM [window, window*window] constant
-    t_ref,         # VMEM [window, window*window] constant
-    packed_ref,    # ANY (HBM) [H_tot, w_pad, C]
-    out_ref,       # VMEM block [K, s*s, C]
-    tiles,         # scratch VMEM [2, K, window, window, C]
-    left,          # scratch VMEM [s*s, window*window]
-    sems,          # DMA semaphores [2, K]
+    *refs,
 ):
+    (origins_ref,   # SMEM [N_pad, 3] int32 (oy, ox, level) — scalar prefetch
+     wy_ref,        # VMEM block [K, s, window]
+     wx_ref,        # VMEM block [K, s, window]
+     e_ref,         # VMEM [window, window*window] constant
+     t_ref,         # VMEM [window, window*window] constant
+     *rest) = refs
+    level_refs = rest[:n_levels]   # ANY (HBM) [H_pad_l, W_pad_l, C] each
+    (out_ref,      # VMEM block [K, s*s, C]
+     tiles,        # scratch VMEM [2, K, window, window, C]
+     left,         # scratch VMEM [s*s, window*window]
+     sems,         # DMA semaphores [2, K]
+     ) = rest[n_levels:]
+
     i = pl.program_id(0)
     kk = k_per_step
 
-    def tile_dma(slot, step, k):
-        j = step * kk + k
-        # x origins are 8-aligned by window_pool_setup; Mosaic needs the
-        # divisibility asserted to slice the (8, 128)-tiled HBM memref.
+    def tile_copy(fref, slot, j):
+        # x origins are 8-aligned by window_pool_setup_nopack; Mosaic needs
+        # the divisibility asserted to slice the (8, 128)-tiled HBM memref.
         ox = pl.multiple_of(origins_ref[j, 1], 8)
         return pltpu.make_async_copy(
-            packed_ref.at[
+            fref.at[
                 pl.ds(origins_ref[j, 0], window),
                 pl.ds(ox, window),
                 :,
             ],
-            tiles.at[slot, k],
-            sems.at[slot, k],
+            tiles.at[slot, j % kk],
+            sems.at[slot, j % kk],
         )
+
+    def tile_start(slot, step, k):
+        j = step * kk + k
+        lvl = origins_ref[j, 2]
+        for l, fref in enumerate(level_refs):
+            @pl.when(lvl == l)
+            def _():
+                tile_copy(fref, slot, j).start()
+
+    def tile_wait(slot, step, k):
+        # Every level's copy moves the same window*window*C bytes through
+        # the same semaphore, so the wait can be built against any source.
+        j = step * kk + k
+        tile_copy(level_refs[0], slot, j).wait()
 
     def run(slot):
         # Prefetch next step's tiles into the other buffer, then drain and
@@ -99,14 +128,22 @@ def _kernel(
         @pl.when(i + 1 < n_steps)
         def _():
             for k in range(kk):
-                tile_dma(1 - slot, i + 1, k).start()
+                tile_start(1 - slot, i + 1, k)
 
         for k in range(kk):
-            tile_dma(slot, i, k).wait()
+            tile_wait(slot, i, k)
             wy = wy_ref[k]  # [s, window]
             wx = wx_ref[k]
+            # f32 inputs get full-precision MXU passes to match the XLA
+            # paths (which use Precision.HIGHEST); bf16 stays on the fast
+            # single pass.
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if out_ref.dtype == jnp.float32 else None
+            )
             dot = functools.partial(
-                jax.lax.dot, preferred_element_type=jnp.float32
+                jax.lax.dot, preferred_element_type=jnp.float32,
+                precision=prec,
             )
             wy_rep = dot(wy, e_ref[...])  # [s, window^2]: wy[a, h] at h*W+w
             wx_til = dot(wx, t_ref[...])  # [s, window^2]: wx[b, w] at h*W+w
@@ -121,7 +158,7 @@ def _kernel(
     @pl.when(i == 0)
     def _():
         for k in range(kk):
-            tile_dma(0, 0, k).start()
+            tile_start(0, 0, k)
 
     @pl.when(jax.lax.rem(i, 2) == 0)
     def _():
@@ -152,7 +189,7 @@ def roi_align_window_pallas(
     dtype = features[0].dtype
     n = boxes.shape[0]
 
-    packed, wy, wx, oy, ox = window_pool_setup(
+    padded, wy, wx, oy, ox = window_pool_setup_nopack(
         features, strides, boxes, levels, output_size, sampling_ratio,
         aligned, window,
     )
@@ -163,13 +200,18 @@ def roi_align_window_pallas(
         wx = jnp.concatenate([wx, jnp.zeros((pad,) + wx.shape[1:], wx.dtype)])
         oy = jnp.concatenate([oy, jnp.zeros((pad,), oy.dtype)])
         ox = jnp.concatenate([ox, jnp.zeros((pad,), ox.dtype)])
+        levels = jnp.concatenate([levels, jnp.zeros((pad,), levels.dtype)])
     n_pad = n + pad
     n_steps = n_pad // kk
 
     e_const, t_const = _expansion_constants(window, dtype)
-    origins = jnp.stack([oy, ox], axis=-1)  # [N_pad, 2] int32
+    origins = jnp.stack(
+        [oy, ox, levels.astype(jnp.int32)], axis=-1
+    )  # [N_pad, 3] int32
 
-    kernel = functools.partial(_kernel, n_steps, kk, s, window, c)
+    kernel = functools.partial(
+        _kernel, n_steps, kk, len(padded), s, window, c
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
@@ -184,7 +226,9 @@ def roi_align_window_pallas(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E
             pl.BlockSpec(memory_space=pltpu.VMEM),  # T
-            pl.BlockSpec(memory_space=pltpu.ANY),   # packed (HBM)
+        ] + [
+            pl.BlockSpec(memory_space=pl.ANY)       # per-level maps (HBM)
+            for _ in padded
         ],
         out_specs=pl.BlockSpec(
             (kk, s * s, c), lambda i, og: (i, 0, 0),
@@ -204,5 +248,5 @@ def roi_align_window_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(origins, wy.astype(dtype), wx.astype(dtype), e_const, t_const, packed)
+    )(origins, wy.astype(dtype), wx.astype(dtype), e_const, t_const, *padded)
     return out[:n].reshape(n, s, s, c)

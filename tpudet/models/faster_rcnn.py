@@ -349,7 +349,8 @@ class FasterRCNN:
             feat, fboxes, roi.output_size, roi.sampling_ratio
         )
 
-    def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
+    def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray,
+                     training: bool = False):
         """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
         bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
         materialize [R, S*r, S*r, C] corner tensors for all R at once).
@@ -371,8 +372,20 @@ class FasterRCNN:
             some = next(iter(feats.values()))
             ch = some.shape[-1]
             itemsize = jnp.dtype(some.dtype).itemsize
-            if roi_cfg.pooler == "roi_align_window":
-                # Intermediate = the [R, window, window, C] tile stack.
+            if roi_cfg.pooler == "roi_align_window" and training:
+                # Training routes the windowed pooler through the
+                # differentiable masked sum (see _pool_single_impl), so
+                # budget it as that path.
+                dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
+            elif roi_cfg.pooler == "roi_align_window":
+                if self.cfg.use_pallas and jax.default_backend() == "tpu":
+                    # The Pallas kernel double-buffers a handful of tiles
+                    # in VMEM scratch — the [R, window, window, C] stack
+                    # never exists in HBM, so chunking would only
+                    # serialize it.
+                    return self._pool_single_impl(feats, rois)
+                # XLA fallback materializes the [R, window, window, C]
+                # tile stack.
                 per_roi = roi_cfg.window * roi_cfg.window * ch * itemsize
                 dim = None
             elif roi_cfg.pooler == "roi_align_packed":
@@ -394,16 +407,17 @@ class FasterRCNN:
                 needs_bounding = True
                 chunk = max(32, budget // per_roi)
         if not needs_bounding or chunk <= 0 or r <= chunk:
-            return self._pool_single_impl(feats, rois)
+            return self._pool_single_impl(feats, rois, training)
         pad = (-r) % chunk
         padded = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)], 0)
         out = jax.lax.map(
-            lambda rc: self._pool_single_impl(feats, rc),
+            lambda rc: self._pool_single_impl(feats, rc, training),
             padded.reshape(-1, chunk, 4),
         )
         return out.reshape((-1,) + out.shape[2:])[:r]
 
-    def _pool_single_impl(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray):
+    def _pool_single_impl(self, feats: Dict[str, jnp.ndarray],
+                          rois: jnp.ndarray, training: bool = False):
         """Per-image C12: extract fixed-size RoI features.
 
         Single-scale: one roi_align on c4. FPN: FPN-paper level assignment
@@ -419,7 +433,7 @@ class FasterRCNN:
 
         fit = roi.window if roi.pooler == "roi_align_window" else 0
         k = fpn_assign_levels(rois, fit_window=fit)  # [R] in 2..5
-        if roi.pooler == "roi_align_window":
+        if roi.pooler == "roi_align_window" and not training:
             # Pool ONCE per RoI against a static window at its assigned
             # level (VERDICT r1 item 4) instead of pooling at all four
             # levels and masked-summing — ~20x fewer pooling FLOPs. On TPU
@@ -443,6 +457,12 @@ class FasterRCNN:
                 level_feats, lv_strides, rois, k - 2,
                 roi.output_size, roi.sampling_ratio, window=roi.window,
             )
+        # pooler == "roi_align_window" in TRAINING falls through to the
+        # masked sum below with the SAME fit-bumped level assignment: the
+        # Pallas kernel has no VJP, and the masked sum computes the same
+        # values (tested to float tolerance) with an efficient
+        # einsum-transpose backward. Train/eval therefore pool identically
+        # up to float tolerance.
         if roi.pooler == "roi_align_packed":
             # Packed-pyramid einsum pair (exact; see KERNELS.md): measured
             # 0.94x the per-level masked-sum below on v5e — padding W to
@@ -570,7 +590,9 @@ class FasterRCNN:
             batch["gt_valid"], roi_keys,
         )
 
-        pooled = jax.vmap(self._pool_single)(feats, roi_boxes)
+        pooled = jax.vmap(
+            functools.partial(self._pool_single, training=True)
+        )(feats, roi_boxes)
         r = roi_boxes.shape[1]
         pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])
         cls_logits, det_deltas = self.core.apply(
