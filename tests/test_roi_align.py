@@ -204,6 +204,32 @@ def test_roi_align_window_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("window", [24, 32, 56])
+def test_roi_align_window_fuzz(rng, window):
+    """Windowed pooling == masked-sum oracle across window sizes on random
+    boxes including degenerate (zero-area) and out-of-order-free edge
+    cases; levels fit-bumped for the given window."""
+    from tpudet.ops.roi_align import fpn_assign_levels, roi_align_window
+
+    feats, strides = _pyramid(rng)
+    n = 32
+    xy1 = rng.uniform(0, 320, (n, 2)).astype(np.float32)
+    wh = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+    rois = np.concatenate([xy1, np.minimum(xy1 + wh, 330.0)], -1)
+    rois[0, 2:] = rois[0, :2]          # zero-area box
+    rois[1] = [329.0, 329.0, 330.0, 330.0]  # bottom-right corner sliver
+    rois = rois.astype(np.float32)
+
+    levels = fpn_assign_levels(jnp.asarray(rois), fit_window=window) - 2
+    got = np.asarray(roi_align_window(
+        feats, strides, jnp.asarray(rois), levels, 7, 2, window=window
+    ))
+    want = _masked_sum_reference(
+        feats, strides, rois, np.asarray(levels), 7, 2
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_fpn_assign_levels_fit_bumping(rng):
     """fit_window bumps only boxes whose larger side overflows the tile at
     the paper-assigned level; square boxes keep the paper assignment."""
