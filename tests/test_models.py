@@ -345,6 +345,37 @@ def test_fpn_per_level_proposal_protocol():
     assert (kept_scores > 0.999).sum() == 2
 
 
+def test_approx_topk_serving_knob():
+    """rpn.topk_method="approx" (serving-only approx_max_k selection) still
+    surfaces well-separated high-score proposals, and training-mode
+    proposal generation ignores the knob (always exact)."""
+    import dataclasses
+
+    cfg = tiny_test_config(canvas=128, use_fpn=True)
+    cfg_apx = cfg.replace(rpn=dataclasses.replace(cfg.rpn, topk_method="approx"))
+    model = FasterRCNN(cfg)
+    model_apx = FasterRCNN(cfg_apx)
+    n = sum(model.anchor_level_sizes((128, 128)))
+    rng = np.random.default_rng(3)
+    logits = rng.normal(-8.0, 0.5, n).astype(np.float32)
+    planted = rng.choice(n, 5, replace=False)
+    logits[planted] = 9.0
+    deltas = rng.normal(0, 0.05, (n, 4)).astype(np.float32)
+    args = (jnp.asarray(logits[None]), jnp.asarray(deltas[None]),
+            jnp.asarray([[128.0, 128.0]]))
+    for training in (False, True):
+        _, s_ex, v_ex = model.proposals(*args, training=training,
+                                        canvas_hw=(128, 128))
+        _, s_ap, v_ap = model_apx.proposals(*args, training=training,
+                                            canvas_hw=(128, 128))
+        # The clearly-separated planted proposals survive either selection.
+        assert (np.asarray(s_ex[0])[np.asarray(v_ex[0])] > 0.999).sum() >= 5
+        assert (np.asarray(s_ap[0])[np.asarray(v_ap[0])] > 0.999).sum() >= 5
+        if training:
+            # Exact and approx configs are identical in training mode.
+            np.testing.assert_array_equal(np.asarray(s_ex), np.asarray(s_ap))
+
+
 def test_mxu_pooler_chunking_matches_unchunked():
     """When the einsum pooler's intermediate would exceed the per-image
     budget, RoIs are chunked through lax.map — results must be identical

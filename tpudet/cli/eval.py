@@ -194,6 +194,15 @@ def main(argv=None):
         cfg = cfg.replace(
             roi=dataclasses.replace(cfg.roi, max_nms_candidates=-1)
         )
+    # Same principle for pre-NMS top-k: the approximate serving selection
+    # (rpn.topk_method="approx") never runs under the referee.
+    if cfg.rpn.topk_method != "exact":
+        import dataclasses
+
+        print("eval: forcing rpn.topk_method=exact (parity referee)")
+        cfg = cfg.replace(
+            rpn=dataclasses.replace(cfg.rpn, topk_method="exact")
+        )
 
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))

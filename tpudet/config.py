@@ -166,6 +166,17 @@ class RPNConfig:
     box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
     # Ignore anchors crossing the image boundary during training (§3.1.3).
     ignore_cross_boundary: bool = True
+    # Pre-NMS top-k selection method at inference:
+    #   "exact"  — jax.lax.top_k (protocol-exact; the default, and what the
+    #              eval CLI always uses so the mAP referee never deviates)
+    #   "approx" — jax.lax.approx_max_k, TPU PartialReduce-based partial
+    #              selection tuned to topk_recall_target. A serving knob:
+    #              per-level top-k over the P2 grid is the dominant
+    #              non-conv cost of FPN proposal generation and the
+    #              near-threshold proposals approx may drop are fed to NMS
+    #              anyway. Training always selects exactly.
+    topk_method: str = "exact"
+    topk_recall_target: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)

@@ -208,6 +208,18 @@ class FasterRCNN:
         return self.core.init(rng, dummy)
 
     # ------------------------------------------------------- proposal path
+    def _pre_nms_topk(self, scores, k, training):
+        """Pre-NMS top-k dispatch (C10). ``rpn.topk_method="approx"`` routes
+        inference through ``lax.approx_max_k`` (TPU PartialReduce partial
+        selection at ``rpn.topk_recall_target``) — a serving-only
+        approximation; training and the eval CLI always select exactly."""
+        cfg = self.cfg.rpn
+        if cfg.topk_method == "approx" and not training and k < scores.shape[0]:
+            return jax.lax.approx_max_k(
+                scores, k, recall_target=cfg.topk_recall_target
+            )
+        return jax.lax.top_k(scores, k)
+
     def _generate_proposals_single(
         self,
         anchors: jnp.ndarray,
@@ -222,8 +234,10 @@ class FasterRCNN:
         k_pre = min(n, cfg.pre_nms_topk_train if training else cfg.pre_nms_topk_test)
         k_post = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
 
-        scores = jax.nn.sigmoid(logits)
-        top_scores, idx = jax.lax.top_k(scores, k_pre)
+        # Select on raw logits (sigmoid is strictly monotone, so the top-k
+        # set and its order are identical) and sigmoid only the k survivors.
+        top_logits, idx = self._pre_nms_topk(logits, k_pre, training)
+        top_scores = jax.nn.sigmoid(top_logits)
         if n <= 4 * k_pre:
             # Decode ALL anchors, then gather once: decode is cheap
             # elementwise VPU work, while each [k, 4] gather from the anchor
@@ -270,13 +284,16 @@ class FasterRCNN:
                    else cfg.fpn_pre_nms_topk_per_level_test)
         k_post = cfg.post_nms_topk_train if training else cfg.post_nms_topk_test
 
-        scores = jax.nn.sigmoid(logits)
         cand_boxes, cand_scores, cand_levels = [], [], []
         start = 0
         for li, n_l in enumerate(level_sizes):
             sl = slice(start, start + n_l)
             start += n_l
-            top, idx = jax.lax.top_k(scores[sl], min(n_l, k_level))
+            # Top-k on raw logits (monotone sigmoid after selection).
+            top_l, idx = self._pre_nms_topk(
+                logits[sl], min(n_l, k_level), training
+            )
+            top = jax.nn.sigmoid(top_l)
             dec = box_ops.decode_boxes(
                 deltas[sl][idx], anchors[sl][idx], cfg.box_reg_weights
             )
