@@ -510,3 +510,106 @@ def test_build_dataset_rejects_class_mismatch(tmp_path):
                                  num_classes=80))
     with _pytest.raises(ValueError, match="2 classes.*num_classes.*80"):
         build_dataset(cfg, "val")
+
+
+def _write_nuimages_fixture(root):
+    """Minimal nuScenes-style table set: 3 categories, 2 key-frame images
+    (one unannotated), 1 non-key-frame image that must be skipped."""
+    import json
+    from PIL import Image
+
+    for version in ("v1.0-train", "v1.0-val"):
+        (root / version).mkdir()
+        cam = root / "samples" / "CAM_FRONT"
+        cam.mkdir(parents=True, exist_ok=True)
+        Image.new("RGB", (64, 48)).save(cam / "kf1.jpg")
+        Image.new("RGB", (64, 48)).save(cam / "kf2.jpg")
+        tables = {
+            "category": [
+                {"token": "tcar", "name": "vehicle.car"},
+                {"token": "tped", "name": "human.pedestrian.adult"},
+                {"token": "tbar", "name": "movable_object.barrier"},
+            ],
+            "sample_data": [
+                {"token": "sd1", "filename": "samples/CAM_FRONT/kf1.jpg",
+                 "width": 64, "height": 48, "is_key_frame": True},
+                {"token": "sd2", "filename": "samples/CAM_FRONT/kf2.jpg",
+                 "width": 64, "height": 48, "is_key_frame": True},
+                {"token": "sd3", "filename": "samples/CAM_FRONT/sweep.jpg",
+                 "width": 64, "height": 48, "is_key_frame": False},
+            ],
+            "object_ann": [
+                {"token": "a1", "sample_data_token": "sd1",
+                 "category_token": "tcar", "bbox": [2.0, 3.0, 20.0, 15.0]},
+                {"token": "a2", "sample_data_token": "sd1",
+                 "category_token": "tped", "bbox": [30.0, 10.0, 40.0, 30.0]},
+                # degenerate sliver: dropped for training, kept for eval
+                {"token": "a3", "sample_data_token": "sd1",
+                 "category_token": "tbar", "bbox": [50.0, 5.0, 50.4, 40.0]},
+            ],
+        }
+        for name, rows in tables.items():
+            with open(root / version / f"{name}.json", "w") as f:
+                json.dump(rows, f)
+
+
+def test_nuimages_dataset(tmp_path):
+    from tpudet.data.nuimages import NuImagesDataset
+
+    _write_nuimages_fixture(tmp_path)
+
+    train = NuImagesDataset(str(tmp_path), split="train")
+    # sd2 has no annotations (dropped for training); sd3 is not a key frame.
+    assert len(train) == 1
+    assert train.num_classes == 3
+    # classes are category names sorted: adult=1, barrier=2, car=3
+    assert train.class_names[0] == "human.pedestrian.adult"
+    ex = train.get_example(0)
+    assert ex["image"].shape == (48, 64, 3)
+    assert ex["boxes"].shape == (2, 4)  # sliver dropped in training
+    assert sorted(ex["classes"].tolist()) == [1, 3]
+    np.testing.assert_allclose(
+        ex["area"], (ex["boxes"][:, 2] - ex["boxes"][:, 0])
+        * (ex["boxes"][:, 3] - ex["boxes"][:, 1]))
+    assert not ex["crowd"].any() and not ex["difficult"].any()
+    assert train.example_hw(0) == (48, 64)
+
+    val = NuImagesDataset(str(tmp_path), split="val")
+    assert len(val) == 2  # unannotated key frame kept for eval
+    by_id = {val.image_id(i): i for i in range(len(val))}
+    ex = val.get_example(by_id["sd1"])
+    assert ex["boxes"].shape == (3, 4)  # sliver kept for eval
+    raw = val.get_raw(by_id["sd1"])
+    assert raw["jpeg"][:2] == b"\xff\xd8"  # JPEG magic
+    assert raw["boxes"].shape == (3, 4)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="v1.0-"):
+        NuImagesDataset(str(tmp_path), split="v1.0-missing")
+
+
+def test_build_dataset_nuimages_and_loader(tmp_path):
+    """Factory dispatch + one loader batch end-to-end off the nuImages
+    fixture (exercises example_hw bucketing and flag plumbing)."""
+    from tpudet.config import Config, DataConfig
+    from tpudet.data import DataLoader, build_dataset
+
+    _write_nuimages_fixture(tmp_path)
+    cfg = Config(data=DataConfig(dataset="nuimages", data_dir=str(tmp_path),
+                                 num_classes=3, min_size=48, max_size=64,
+                                 canvas_height=64, canvas_width=64))
+    ds = build_dataset(cfg, "val")
+    assert len(ds) == 2
+    loader = DataLoader(cfg, ds, batch_size=2, shuffle=False,
+                        drop_last=False)
+    batch = next(iter(loader))
+    assert batch["image"].shape[0] == 2
+    assert batch["gt_boxes"].shape[0] == 2
+
+    cfg_bad = Config(data=DataConfig(dataset="nuimages",
+                                     data_dir=str(tmp_path), num_classes=80))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="3 classes.*num_classes.*80"):
+        build_dataset(cfg_bad, "val")

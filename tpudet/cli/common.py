@@ -88,7 +88,7 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["tiny", "voc_r50", "coco_r50", "coco_r101_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
-                   help="override dataset type (voc|coco|synthetic)")
+                   help="override dataset type (voc|coco|nuimages|synthetic)")
     p.add_argument(
         "--set", action="append", default=[], metavar="KEY=VALUE",
         help="dotted config override, e.g. --set rpn.nms_thresh=0.6",

@@ -215,7 +215,11 @@ def main(argv=None):
     names = VOC_CLASSES if cfg.data.dataset == "voc" else getattr(
         dataset, "class_names", None
     )
-    metric = args.metric or ("coco" if cfg.data.dataset == "coco" else "voc")
+    # COCO-style mAP@[.5:.95] is also the community convention for nuImages
+    # 2D boxes; VOC keeps its own devkit protocol.
+    metric = args.metric or (
+        "coco" if cfg.data.dataset in ("coco", "nuimages") else "voc"
+    )
     mesh = None
     # Mesh eval is single-controller only: each process evaluates the full
     # split independently (see evaluate()), so a cross-host mesh would both

@@ -15,6 +15,7 @@ from tpudet.data.loader import DataLoader, Dataset  # noqa: F401
 from tpudet.data.synthetic import SyntheticDataset  # noqa: F401
 from tpudet.data.voc import VOC_CLASSES, VOCDataset  # noqa: F401
 from tpudet.data.coco import CocoDataset  # noqa: F401
+from tpudet.data.nuimages import NuImagesDataset  # noqa: F401
 
 
 def build_dataset(cfg, split: str | None = None):
@@ -40,6 +41,10 @@ def build_dataset(cfg, split: str | None = None):
         # them — crowd regions are not usable as box-regression targets.
         ds = CocoDataset(d.data_dir, split=split,
                          keep_crowd=split in ("val", "val2017"))
+    elif d.dataset == "nuimages":
+        # nuScenes-style autonomous-driving annotations (SURVEY C1); no
+        # crowd/difficult concept, so eval needs no ignore-region plumbing.
+        ds = NuImagesDataset(d.data_dir, split=split)
     else:
         raise ValueError(f"unknown dataset {d.dataset!r}")
     # A class-count mismatch (e.g. a COCO dir with a num_classes=20 config)
