@@ -46,6 +46,7 @@ from tpudet.ops.roi_align import (
     roi_align,
     roi_align_mxu,
     roi_align_window,
+    roi_align_window_train,
 )
 from tpudet.train import losses as L
 
@@ -390,9 +391,11 @@ class FasterRCNN:
             ch = some.shape[-1]
             itemsize = jnp.dtype(some.dtype).itemsize
             if roi_cfg.pooler == "roi_align_window" and training:
-                # Training routes the windowed pooler through the
-                # differentiable masked sum (see _pool_single_impl), so
-                # budget it as that path.
+                # Training pools through roi_align_window_train (Pallas
+                # forward, masked-sum-TRANSPOSE backward) on TPU, or the
+                # masked sum itself elsewhere — either way the backward
+                # materializes the per-level [R, s, dim, C] transpose
+                # intermediates, so budget it as the masked-sum path.
                 dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
             elif roi_cfg.pooler == "roi_align_window":
                 if self.cfg.use_pallas and jax.default_backend() == "tpu":
@@ -474,12 +477,25 @@ class FasterRCNN:
                 level_feats, lv_strides, rois, k - 2,
                 roi.output_size, roi.sampling_ratio, window=roi.window,
             )
-        # pooler == "roi_align_window" in TRAINING falls through to the
-        # masked sum below with the SAME fit-bumped level assignment: the
-        # Pallas kernel has no VJP, and the masked sum computes the same
-        # values (tested to float tolerance) with an efficient
-        # einsum-transpose backward. Train/eval therefore pool identically
-        # up to float tolerance.
+        if (roi.pooler == "roi_align_window" and training
+                and self.cfg.use_pallas
+                and jax.default_backend() == "tpu"):
+            # Training on TPU: Pallas windowed FORWARD + masked-sum-
+            # transpose BACKWARD (custom VJP in ops.roi_align) — same
+            # values as the masked sum below to float tolerance, ~5x
+            # cheaper forward, and no feature residuals saved.
+            return roi_align_window_train(
+                [feats[f"p{l}"] for l in (2, 3, 4, 5)],
+                (4.0, 8.0, 16.0, 32.0),
+                rois, roi.output_size, roi.sampling_ratio,
+                window=roi.window,
+            )
+        # pooler == "roi_align_window" in TRAINING otherwise falls through
+        # to the masked sum below with the SAME fit-bumped level
+        # assignment: the Pallas kernel itself has no VJP, and the masked
+        # sum computes the same values (tested to float tolerance) with an
+        # efficient einsum-transpose backward. Train/eval therefore pool
+        # identically up to float tolerance.
         if roi.pooler == "roi_align_packed":
             # Packed-pyramid einsum pair (exact; see KERNELS.md): measured
             # 0.94x the per-level masked-sum below on v5e — padding W to

@@ -468,6 +468,77 @@ def window_pool_setup(
     return packed, wy, wx, oy, x0
 
 
+def roi_align_window_train(
+    features,
+    strides,
+    boxes: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    window: int = 48,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Training-path windowed FPN pooling: Pallas windowed FORWARD +
+    masked-sum-transpose BACKWARD (custom VJP).
+
+    The forward is the pool-once-per-RoI Pallas kernel (the inference
+    default — ~5x cheaper than pooling every RoI against every level); the
+    kernel has no VJP, so the backward transposes the per-level masked-sum
+    einsum expression instead (``jax.linear_transpose`` — pooling is linear
+    in the feature maps, and the two formulations agree to float tolerance
+    under the same fit-bumped level assignment, so the feature cotangent is
+    the exact adjoint of the value the forward computes up to that
+    tolerance). Boxes get a zero cotangent: proposals reach pooling through
+    ``stop_gradient`` (+ appended GT) in Faster R-CNN training, so no
+    gradient flows through box coordinates on this path anyway.
+
+    Residuals are just ``boxes``: the backward rebuilds the bilinear
+    weights from geometry, so feature VALUES are never saved — pooling adds
+    no activation memory beyond its own output.
+    """
+    features = tuple(features)
+    strides_t = tuple(float(v) for v in strides)
+    shapes = tuple(jax.ShapeDtypeStruct(f.shape, f.dtype) for f in features)
+    s, r = output_size, sampling_ratio
+
+    def levels_of(b):
+        # 0-based index into ``features`` (p2..p5), fit-bumped exactly like
+        # the model's masked-sum training path so values/grads correspond.
+        return fpn_assign_levels(b, fit_window=window) - 2
+
+    def dense(feats, b, lv):
+        # The per-level masked sum this framework trains through when the
+        # Pallas kernel is unavailable — the backward is its transpose.
+        pooled = 0.0
+        for i, (f, st) in enumerate(zip(feats, strides_t)):
+            p = roi_align_mxu(f, b / st, s, r, aligned)
+            pooled = pooled + p * (lv == i)[:, None, None, None]
+        return pooled
+
+    @jax.custom_vjp
+    def pool(feats, b):
+        from tpudet.kernels.roi_align_window import roi_align_window_pallas
+
+        return roi_align_window_pallas(
+            feats, strides_t, b, levels_of(b), s, r, aligned, window,
+            interpret=interpret,
+        )
+
+    def pool_fwd(feats, b):
+        return pool(feats, b), b
+
+    def pool_bwd(b, g):
+        lv = levels_of(b)
+        transpose = jax.linear_transpose(
+            lambda feats: dense(feats, b, lv), shapes
+        )
+        (d_feats,) = transpose(g.astype(shapes[0].dtype))
+        return tuple(d_feats), jnp.zeros_like(b)
+
+    pool.defvjp(pool_fwd, pool_bwd)
+    return pool(features, boxes)
+
+
 def window_pool_setup_nopack(
     features, strides, boxes, levels, output_size, sampling_ratio,
     aligned, window,
