@@ -550,3 +550,31 @@ def test_window_pooler_canvas_guard():
     )
     with pytest.raises(ValueError, match="roi.window"):
         FasterRCNN(cfg)
+
+
+def test_blocked_topk_bit_identical_predictions():
+    """rpn.topk_method="blocked" must leave proposal generation bit-identical
+    to "exact" in both modes (ops-level parity is proven in
+    test_selection.py; this pins the model wiring, with a block size small
+    enough that blocking actually engages at the tiny anchor count)."""
+    import dataclasses
+
+    cfg = tiny_test_config(canvas=128, use_fpn=True)
+    cfg_blk = cfg.replace(rpn=dataclasses.replace(
+        cfg.rpn, topk_method="blocked", topk_block_size=64))
+    model = FasterRCNN(cfg)
+    model_blk = FasterRCNN(cfg_blk)
+    n = sum(model.anchor_level_sizes((128, 128)))
+    rng = np.random.default_rng(7)
+    logits = rng.normal(0.0, 2.0, n).astype(np.float32)
+    deltas = rng.normal(0, 0.05, (n, 4)).astype(np.float32)
+    args = (jnp.asarray(logits[None]), jnp.asarray(deltas[None]),
+            jnp.asarray([[128.0, 128.0]]))
+    for training in (False, True):
+        b_ex, s_ex, v_ex = model.proposals(*args, training=training,
+                                           canvas_hw=(128, 128))
+        b_bl, s_bl, v_bl = model_blk.proposals(*args, training=training,
+                                               canvas_hw=(128, 128))
+        np.testing.assert_array_equal(np.asarray(b_ex), np.asarray(b_bl))
+        np.testing.assert_array_equal(np.asarray(s_ex), np.asarray(s_bl))
+        np.testing.assert_array_equal(np.asarray(v_ex), np.asarray(v_bl))

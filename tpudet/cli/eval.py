@@ -195,8 +195,10 @@ def main(argv=None):
             roi=dataclasses.replace(cfg.roi, max_nms_candidates=-1)
         )
     # Same principle for pre-NMS top-k: the approximate serving selection
-    # (rpn.topk_method="approx") never runs under the referee.
-    if cfg.rpn.topk_method != "exact":
+    # (rpn.topk_method="approx") never runs under the referee. "blocked" is
+    # exempt: it is bit-identical to lax.top_k (tie order included — see
+    # tpudet/ops/selection.py), so forcing it off would change nothing.
+    if cfg.rpn.topk_method not in ("exact", "blocked"):
         import dataclasses
 
         print("eval: forcing rpn.topk_method=exact (parity referee)")

@@ -169,6 +169,11 @@ class RPNConfig:
     # Pre-NMS top-k selection method at inference:
     #   "exact"  — jax.lax.top_k (protocol-exact; the default, and what the
     #              eval CLI always uses so the mAP referee never deviates)
+    #   "blocked" — ops.selection.blocked_top_k: exact two-stage selection
+    #              (per-block batched sort + short merge), bit-identical to
+    #              lax.top_k including tie order, so it is legal for
+    #              training and the eval referee alike. Replaces the full
+    #              ~130k-wide P2 sort with 16 parallel 8k-row sorts.
     #   "approx" — jax.lax.approx_max_k, TPU PartialReduce-based partial
     #              selection tuned to topk_recall_target. A serving knob:
     #              per-level top-k over the P2 grid is the dominant
@@ -177,6 +182,10 @@ class RPNConfig:
     #              anyway. Training always selects exactly.
     topk_method: str = "exact"
     topk_recall_target: float = 0.95
+    # First-stage row width for topk_method="blocked" (per-block batched
+    # sort). 8192 keeps rows lane-friendly; blocked_top_k falls back to
+    # lax.top_k whenever blocking cannot win at the given operand size.
+    topk_block_size: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,7 @@ from tpudet.models.rpn_head import RPNHead
 from tpudet.models.det_head import FastRCNNHead
 from tpudet.ops import boxes as box_ops
 from tpudet.ops import anchors as anchor_ops
+from tpudet.ops import selection
 from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
@@ -210,11 +211,22 @@ class FasterRCNN:
 
     # ------------------------------------------------------- proposal path
     def _pre_nms_topk(self, scores, k, training):
-        """Pre-NMS top-k dispatch (C10). ``rpn.topk_method="approx"`` routes
-        inference through ``lax.approx_max_k`` (TPU PartialReduce partial
-        selection at ``rpn.topk_recall_target``) — a serving-only
-        approximation; training and the eval CLI always select exactly."""
+        """Pre-NMS top-k dispatch (C10).
+
+        - ``rpn.topk_method="blocked"`` routes through
+          :func:`tpudet.ops.selection.blocked_top_k` — exact, bit-identical
+          to ``lax.top_k`` including tie order (see that module's proof), so
+          it applies in training AND inference.
+        - ``rpn.topk_method="approx"`` routes inference through
+          ``lax.approx_max_k`` (TPU PartialReduce partial selection at
+          ``rpn.topk_recall_target``) — a serving-only approximation;
+          training and the eval CLI always select exactly.
+        """
         cfg = self.cfg.rpn
+        if cfg.topk_method == "blocked":
+            return selection.blocked_top_k(
+                scores, k, block_size=cfg.topk_block_size
+            )
         if cfg.topk_method == "approx" and not training and k < scores.shape[0]:
             return jax.lax.approx_max_k(
                 scores, k, recall_target=cfg.topk_recall_target
