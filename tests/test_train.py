@@ -16,10 +16,12 @@ from tpudet.train.step import make_train_step, make_eval_step
 
 def small_cfg(**train_kw):
     cfg = tiny_test_config()
-    return cfg.replace(train=TrainConfig(
+    kw = dict(
         batch_size=2, learning_rate=0.02, warmup_steps=0, weight_decay=1e-4,
-        checkpoint_every=10**9, **train_kw,
-    ))
+        checkpoint_every=10**9,
+    )
+    kw.update(train_kw)
+    return cfg.replace(train=TrainConfig(**kw))
 
 
 def make_train_batch(cfg, b=2):
@@ -168,3 +170,109 @@ def test_train_step_bf16_backbone():
     # Params remain f32 (only compute is bf16).
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+class _LinearStubModel:
+    """Deterministic rng-free stand-in: loss = mean_i <w, x_i> over the batch.
+
+    Gradient w.r.t. w is the batch-mean of x, so gradient accumulation over
+    equal microbatches must reproduce the full-batch gradient exactly — this
+    isolates the accumulation arithmetic from detection-model sampling rng
+    (which legitimately differs per microbatch)."""
+
+    def init(self, rng):
+        return {"params": {"w": jnp.zeros((4,), jnp.float32)}}
+
+    def loss(self, variables, batch, rng):
+        w = variables["params"]["w"]
+        per_ex = batch["x"] @ w + 0.5 * jnp.sum(w * w)
+        loss = jnp.mean(per_ex)
+        return loss, {"loss": loss}
+
+
+def test_grad_accum_matches_full_batch():
+    from tpudet.train.step import make_train_step
+    import dataclasses
+
+    cfg = small_cfg(batch_size=8)
+    model = _LinearStubModel()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
+    batch = {"x": x}
+
+    states, metrics = {}, {}
+    for accum in (1, 2, 4):
+        c = cfg.replace(train=dataclasses.replace(
+            cfg.train, accum_steps=accum, weight_decay=0.0))
+        s = create_train_state(model, c.train, jax.random.key(0))
+        step = make_train_step(model, c)
+        s, m = step(s, batch)
+        states[accum], metrics[accum] = s, m
+    w1 = np.asarray(states[1].params["w"])
+    for accum in (2, 4):
+        # Accumulation reorders the f32 summation; exact bitwise equality is
+        # not guaranteed, only agreement to summation-order noise.
+        np.testing.assert_allclose(
+            np.asarray(states[accum].params["w"]), w1, rtol=1e-5, atol=1e-8)
+        assert float(metrics[accum]["loss"]) == pytest.approx(
+            float(metrics[1]["loss"]), rel=1e-6)
+    # Sanity: the update actually moved the params (grad = mean x + w != 0).
+    assert np.abs(w1).max() > 0
+
+
+def test_grad_accum_real_model_decreases_loss():
+    import dataclasses
+
+    cfg = small_cfg(batch_size=4)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=2))
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg, b=4)
+    batch = device_preprocess(cfg, raw, jax.random.key(42), training=False)
+
+    first = None
+    for _ in range(15):
+        state, m = step(state, batch)
+        if first is None:
+            first = float(m["loss"])
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < first
+    assert int(state.step) == 15  # one optimizer step per global batch
+
+
+def test_grad_accum_data_parallel_mesh():
+    """accum=2 over the 8-device mesh: microbatch axis stays data-sharded,
+    params stay replicated, loss finite."""
+    import dataclasses
+
+    cfg = small_cfg(batch_size=16)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=2))
+    model = FasterRCNN(cfg)
+    mesh = make_mesh(num_data=8)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg, mesh=mesh)
+
+    raw = make_train_batch(cfg, b=16)
+    batch = device_preprocess(cfg, raw, jax.random.key(0), training=False)
+    batch = shard_batch(mesh, batch)
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accum_divisibility_errors():
+    import dataclasses
+
+    cfg = small_cfg(batch_size=6)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=4))
+    model = FasterRCNN(cfg)
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_train_step(model, cfg)
+    # Microbatch must still divide the data-mesh axis: 16/4=4 < 8 devices.
+    cfg = small_cfg(batch_size=16)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=4))
+    with pytest.raises(ValueError, match="data-mesh"):
+        make_train_step(FasterRCNN(cfg), cfg, mesh=make_mesh(num_data=8))

@@ -266,7 +266,15 @@ class ROIConfig:
 class TrainConfig:
     """Optimizer, schedule, loop, checkpointing (SURVEY.md C17–C19)."""
 
-    batch_size: int = 2  # global batch size
+    batch_size: int = 2  # global batch size (per optimizer update)
+    # Gradient accumulation: split each global batch into accum_steps
+    # microbatches, lax.scan the forward/backward over them inside the one
+    # jitted step, and apply a single averaged optimizer update. Lets the
+    # effective batch exceed the per-chip HBM sweet spot (b=16 on v5e for
+    # coco_r101_fpn — see KERNELS.md batch-scaling study) without paying
+    # remat recompute. batch_size % accum_steps == 0 and the microbatch must
+    # still divide the data-parallel mesh axis.
+    accum_steps: int = 1
     optimizer: str = "sgd"  # "sgd" | "adam"
     learning_rate: float = 1e-3
     momentum: float = 0.9

@@ -30,23 +30,74 @@ def make_train_step(
     the model — the batch arrives as raw uint8 canvases (4x cheaper
     host→device) and never round-trips."""
     tx = make_optimizer(cfg.train)
+    accum = max(1, cfg.train.accum_steps)
+    if accum > 1:
+        if cfg.train.batch_size % accum:
+            raise ValueError(
+                f"train.batch_size {cfg.train.batch_size} not divisible by "
+                f"train.accum_steps {accum}"
+            )
+        if mesh is not None and (
+            cfg.train.batch_size // accum
+        ) % mesh.shape["data"]:
+            raise ValueError(
+                f"microbatch {cfg.train.batch_size // accum} (batch_size/"
+                f"accum_steps) not divisible by the data-mesh size "
+                f"{mesh.shape['data']}"
+            )
 
-    def step_fn(state: TrainState, batch):
-        # Per-step rng: deterministic in (seed, step), independent across steps.
-        step_rng = jax.random.fold_in(state.rng, state.step)
+    def _microbatch_grads(state, batch, micro_rng):
+        """Forward/backward on one microbatch → (grads, metrics)."""
         if fused_preprocess:
             from tpudet.data.preprocess import device_preprocess
 
-            step_rng, aug_rng = jax.random.split(step_rng)
+            micro_rng, aug_rng = jax.random.split(micro_rng)
             batch = device_preprocess(cfg, batch, aug_rng, training=True)
 
         def loss_fn(params):
             variables = {"params": params, **state.constants}
-            loss, metrics = model.loss(variables, batch, step_rng)
+            loss, metrics = model.loss(variables, batch, micro_rng)
             return loss, metrics
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
+        return grads, metrics
+
+    def step_fn(state: TrainState, batch):
+        # Per-step rng: deterministic in (seed, step), independent across steps.
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        if accum == 1:
+            grads, metrics = _microbatch_grads(state, batch, step_rng)
+        else:
+            # Reshape [B, ...] -> [B/accum, accum, ...]: the sharded batch
+            # axis stays axis 0, so each device's shard remains its own
+            # contiguous rows and the reshape inserts no collective; each
+            # microbatch is a strided slice of the (i.i.d.) global batch.
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    x.shape[0] // accum, accum, *x.shape[1:]
+                ),
+                batch,
+            )
+
+            def body(gsum, a):
+                mb = jax.tree.map(lambda x: x[:, a], micro)
+                g, m = _microbatch_grads(
+                    state, mb, jax.random.fold_in(step_rng, a)
+                )
+                # Sum into the carry (one grad-sized buffer, not accum of
+                # them); scalar metrics stack and average below.
+                return jax.tree.map(jax.numpy.add, gsum, g), m
+
+            gsum, mstack = jax.lax.scan(
+                body,
+                jax.tree.map(jax.numpy.zeros_like, state.params),
+                jax.numpy.arange(accum),
+            )
+            # Microbatch losses are per-microbatch means over equal-sized
+            # slices, so the plain average reproduces the full-batch mean.
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            metrics = jax.tree.map(lambda m: m.mean(axis=0), mstack)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
