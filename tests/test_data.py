@@ -176,9 +176,29 @@ def test_loader_orientation_buckets_requires_hw():
         def get_example(self, i):
             raise AssertionError("unused")
 
-    loader = DataLoader(cfg, NoHW(), batch_size=2)
+    # The zero-plan construction guard touches the epoch plan, so the
+    # missing-example_hw error now surfaces at construction (fail fast).
     with _pytest.raises(ValueError, match="example_hw"):
-        list(loader.batches(0))
+        DataLoader(cfg, NoHW(), batch_size=2)
+
+
+def test_loader_bucketing_zero_plan_raises():
+    """Bucketing + drop_last where no bucket fills one global batch must
+    fail at construction, not hang device_stream on an empty epoch plan."""
+    from dataclasses import replace
+    import pytest as _pytest
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(data=replace(
+        cfg.data, orientation_buckets=True, canvas_short=48,
+        canvas_height=64, canvas_width=64, min_size=32, max_size=48,
+    ))
+    ds = _MixedOrientationDataset(10)  # buckets of 6 and 4, both < 8
+    with _pytest.raises(ValueError, match="zero batches"):
+        DataLoader(cfg, ds, batch_size=8, drop_last=True)
+    # drop_last=False keeps the padded remainders and stays constructible.
+    loader = DataLoader(cfg, ds, batch_size=8, drop_last=False)
+    assert len(loader) == 2
 
 
 def test_bucket_for_hw_aspect_buckets():

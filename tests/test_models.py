@@ -552,6 +552,17 @@ def test_window_pooler_canvas_guard():
         FasterRCNN(cfg)
 
 
+def test_unknown_topk_method_rejected():
+    """A typo'd rpn.topk_method must fail at model build — dispatch falls
+    through to exact on no match, so it would otherwise be silently inert."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(rpn=dataclasses.replace(cfg.rpn, topk_method="aprox"))
+    with pytest.raises(ValueError, match="topk_method"):
+        FasterRCNN(cfg)
+
+
 def test_blocked_topk_bit_identical_predictions():
     """rpn.topk_method="blocked" must leave proposal generation bit-identical
     to "exact" in both modes (ops-level parity is proven in

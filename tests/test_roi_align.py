@@ -314,3 +314,15 @@ def test_fpn_assign_levels_fit_bumping(rng):
         np.asarray(fpn_assign_levels(sq)),
         np.asarray(fpn_assign_levels(sq, fit_window=56)),
     )
+
+
+def test_fpn_assign_levels_rejects_tiny_fit_window():
+    """fit_window <= 12 makes the fit divisor non-positive (log2 -> NaN,
+    garbage levels); it must raise instead of silently mis-assigning."""
+    import pytest
+    from tpudet.ops.roi_align import fpn_assign_levels
+
+    boxes = jnp.asarray([[0.0, 0.0, 60.0, 80.0]], jnp.float32)
+    for w in (8, 12):
+        with pytest.raises(ValueError, match="fit_window"):
+            fpn_assign_levels(boxes, fit_window=w)

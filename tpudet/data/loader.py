@@ -131,6 +131,18 @@ class DataLoader:
                 f"global batch size {batch_size}; reduce batch_size or pass "
                 "drop_last=False"
             )
+        if drop_last and self._bucketed and not self._epoch_batch_indices(0):
+            # Bucketing partitions the epoch; drop_last then drops each
+            # bucket's sub-batch remainder, so a dataset can exceed the
+            # global batch size yet still plan ZERO batches (every bucket
+            # smaller than one batch) — the same silent producer hang as
+            # above. Bucket membership depends only on example H/W, never
+            # the epoch shuffle, so checking epoch 0 decides all epochs.
+            raise ValueError(
+                f"canvas bucketing with drop_last plans zero batches: no "
+                f"bucket holds a full global batch of {batch_size}; reduce "
+                "batch_size, pass drop_last=False, or coarsen the buckets"
+            )
         self.native_decode = _resolve_decoder(cfg, dataset)
         global _announced_native
         if self.native_decode and not _announced_native:

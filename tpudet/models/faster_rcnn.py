@@ -149,6 +149,14 @@ class FasterRCNN:
         self.cfg = cfg
         self.core = DetectorCore(cfg)
         self._anchors_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        if cfg.rpn.topk_method not in ("exact", "blocked", "approx"):
+            # Dispatch falls through to exact on no match, so a typo'd value
+            # would otherwise be silently inert (and "benchmarks" of it
+            # would measure exact twice).
+            raise ValueError(
+                f"rpn.topk_method={cfg.rpn.topk_method!r}: expected 'exact', "
+                "'blocked', or 'approx'"
+            )
         if cfg.roi.pooler == "roi_align_window" and cfg.backbone.use_fpn:
             max_dim = _max_canvas_dim(cfg)
             # The windowed pooler's precondition: even a canvas-sized RoI

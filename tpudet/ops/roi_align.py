@@ -313,6 +313,16 @@ def fpn_assign_levels(
     )
     k = jnp.clip(k, min_level, max_level).astype(jnp.int32)
     if fit_window:
+        if fit_window <= 12:
+            # The windowed pooler's slack budget is 12 cells (bilinear
+            # halo + origin alignment); a window at or below it makes the
+            # divisor non-positive, the log2 NaN, and every level
+            # assignment garbage. Fail here — the model-level canvas check
+            # (FasterRCNN.__init__) does not cover direct ops-layer use.
+            raise ValueError(
+                f"fit_window={fit_window} must exceed the 12-cell window "
+                "slack (use window >= 24)"
+            )
         span = jnp.maximum(
             boxes[..., 2] - boxes[..., 0], boxes[..., 3] - boxes[..., 1]
         )
