@@ -4,13 +4,27 @@
 
 Measures batched Faster R-CNN inference throughput (BASELINE config 3:
 b=32, ResNet-50, VOC-class head) on whatever accelerator is present,
-against the north-star 1500 images/sec target (v5e-8)."""
+against the north-star 1500 images/sec target (v5e-8).
+
+The measurement runs in a CHILD process with a timeout + one retry: this
+environment's axon TPU tunnel intermittently wedges (every device RPC
+blocks forever, observed recovery after killing clients and waiting), so a
+hung attempt must not turn the round's bench artifact into an empty
+timeout — a fresh process after a pause is the documented recovery
+procedure (.claude/skills/verify)."""
 
 import json
+import subprocess
 import sys
+import time
+
+# Generous first window: a fresh process through the remote-compile tunnel
+# takes ~7 min to compile the full model; steady-state iters are fast.
+ATTEMPT_TIMEOUTS_S = (12 * 60, 8 * 60)
+RETRY_PAUSE_S = 90
 
 
-def main():
+def inner():
     import dataclasses
 
     from tpudet.cli.benchmark import bench_infer
@@ -41,6 +55,46 @@ def main():
         line["nms_kernel_us_per_img"] = None  # sink the primary number
         line["nms_error"] = f"{type(e).__name__}: {e}"[:120]
     print(json.dumps(line))
+
+
+def main():
+    if "--inner" in sys.argv:
+        return inner()
+
+    last_rc = 1
+    for i, timeout_s in enumerate(ATTEMPT_TIMEOUTS_S):
+        proc = subprocess.Popen(
+            [sys.executable, __file__, "--inner"],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+            print(
+                f"bench attempt {i + 1} hung past {timeout_s}s "
+                "(wedged TPU tunnel?) — killed",
+                file=sys.stderr,
+            )
+            if i + 1 < len(ATTEMPT_TIMEOUTS_S):
+                time.sleep(RETRY_PAUSE_S)  # tunnel recovery window
+            continue
+        # Forward only the JSON line(s) the child printed; keep the
+        # one-JSON-line contract by emitting the child's stdout verbatim.
+        if proc.returncode == 0 and out.strip():
+            sys.stdout.write(out[out.rfind("{"):] if "{" in out else out)
+            return 0
+        last_rc = proc.returncode or 1
+        print(
+            f"bench attempt {i + 1} exited rc={proc.returncode} "
+            f"with output: {out.strip()[:200]!r}",
+            file=sys.stderr,
+        )
+        if i + 1 < len(ATTEMPT_TIMEOUTS_S):
+            time.sleep(RETRY_PAUSE_S)
+    return last_rc
 
 
 if __name__ == "__main__":
