@@ -326,3 +326,49 @@ def test_fpn_assign_levels_rejects_tiny_fit_window():
     for w in (8, 12):
         with pytest.raises(ValueError, match="fit_window"):
             fpn_assign_levels(boxes, fit_window=w)
+
+
+def test_roi_align_window_train_inside_scan(rng):
+    """The grad-accumulation path scans the train forward/backward over
+    microbatches — the windowed custom VJP must compose with lax.scan:
+    scanned per-microbatch grads must sum to the independently computed
+    per-microbatch grads (interpret mode stands in for Mosaic on CPU;
+    the real-chip composition is covered by the tpu tier)."""
+    from tpudet.ops.roi_align import roi_align_window_train
+
+    feats, strides = _pyramid(rng)
+    feats = tuple(feats)
+    window = 24
+    c = feats[0].shape[-1]
+
+    def make_rois_micro(seed):
+        r = np.random.default_rng(seed)
+        xy1 = r.uniform(0, 200, (6, 2)).astype(np.float32)
+        wh = r.uniform(8, 120, (6, 2)).astype(np.float32)
+        return jnp.asarray(
+            np.concatenate([xy1, np.minimum(xy1 + wh, 330.0)], -1)
+        )
+
+    micro_rois = jnp.stack([make_rois_micro(0), make_rois_micro(1)])
+    cot = jnp.asarray(rng.standard_normal((6, 7, 7, c)).astype(np.float32))
+
+    def loss(feats_t, rois_t):
+        out = roi_align_window_train(
+            feats_t, strides, rois_t, 7, 2, window=window, interpret=True
+        )
+        return jnp.sum(out * cot)
+
+    def body(gsum, rois_t):
+        g = jax.grad(loss)(feats, rois_t)
+        return jax.tree.map(jnp.add, gsum, g), None
+
+    gsum, _ = jax.lax.scan(
+        body, jax.tree.map(jnp.zeros_like, feats), micro_rois
+    )
+    g0 = jax.grad(loss)(feats, micro_rois[0])
+    g1 = jax.grad(loss)(feats, micro_rois[1])
+    for a, b in zip(gsum, jax.tree.map(jnp.add, g0, g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+    assert all(np.all(np.isfinite(np.asarray(a))) for a in gsum)

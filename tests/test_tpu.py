@@ -266,3 +266,43 @@ def test_train_step_flagship(flagship):
     metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
     assert np.isfinite(metrics["loss"]), metrics
     assert metrics["num_pos_anchors"] >= 0
+
+
+def test_train_step_fpn_windowed_accum():
+    """Gradient accumulation (lax.scan over microbatches) composed with the
+    windowed-pooler custom VJP (Pallas forward, masked-sum-transpose
+    backward), compiled through Mosaic on the real chip — the one
+    composition the CPU tier cannot see (CPU training falls through to the
+    masked sum; interpret mode is not Mosaic)."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import FasterRCNN
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = preset_config("voc_r50")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", aspect_buckets=(),
+            canvas_height=512, canvas_width=512,
+        ),
+        backbone=dataclasses.replace(
+            cfg.backbone, dtype="bfloat16", use_fpn=True
+        ),
+        roi=dataclasses.replace(
+            cfg.roi, pooler="roi_align_window", window=32
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=4, accum_steps=2, num_data_shards=1,
+            bf16=True,
+        ),
+    )
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    batch = _flagship_batch(cfg, batch_size=4)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    assert int(jax.device_get(state.step)) == 1
