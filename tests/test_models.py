@@ -589,3 +589,55 @@ def test_blocked_topk_bit_identical_predictions():
         np.testing.assert_array_equal(np.asarray(b_ex), np.asarray(b_bl))
         np.testing.assert_array_equal(np.asarray(s_ex), np.asarray(s_bl))
         np.testing.assert_array_equal(np.asarray(v_ex), np.asarray(v_bl))
+
+
+def test_vgg16_backbone_pyramid():
+    """VGG-16 (the Faster R-CNN paper's original backbone): stride/channel
+    contract c2@s4/256, c3@s8/512, c4@s16/512 (conv5_3 — the paper's RPN
+    feature), c5@s32/512 (pool5, FPN-only)."""
+    from tpudet.models.vgg import VGG
+
+    model = VGG(freeze_stem=False)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x)
+    feats = model.apply(variables, x)
+    assert feats["c2"].shape == (1, 16, 16, 256)
+    assert feats["c3"].shape == (1, 8, 8, 512)
+    assert feats["c4"].shape == (1, 4, 4, 512)
+    assert feats["c5"].shape == (1, 2, 2, 512)
+    # No norm layers: the params tree is pure convs, no constants collection.
+    assert set(variables) == {"params"}
+
+
+def test_vgg16_faster_rcnn_end_to_end():
+    """Full Faster R-CNN over the VGG-16 backbone: predict shapes + one
+    grad step finite, with conv1/conv2 frozen (zero grads) per the paper's
+    fine-tune-conv3_1-and-up practice."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(backbone=dataclasses.replace(
+        cfg.backbone, name="vgg16", freeze_stem=True))
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    batch = make_batch(cfg)
+
+    out = jax.jit(model.predict)(variables, batch)
+    assert out["boxes"].shape[0] == 2 and np.all(np.isfinite(out["boxes"]))
+
+    def loss_fn(v):
+        total, _ = model.loss(v, batch, jax.random.key(1))
+        return total
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables)
+    assert np.isfinite(float(loss))
+    bb = grads["params"]["backbone"]
+    for frozen in ("stage1", "stage2"):
+        assert all(
+            not np.any(np.asarray(leaf))
+            for leaf in jax.tree_util.tree_leaves(bb[frozen])
+        ), f"{frozen} should be frozen"
+    assert any(
+        np.any(np.asarray(leaf))
+        for leaf in jax.tree_util.tree_leaves(bb["stage5"])
+    )

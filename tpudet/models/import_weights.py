@@ -72,6 +72,28 @@ def convert_keras_resnet(
     return params, constants
 
 
+def convert_keras_vgg16(keras_model: Any) -> Tuple[Dict, Dict]:
+    """keras.applications VGG16 -> (params, constants) for models/vgg.py.
+
+    Near-direct: Keras names convs ``block{s}_conv{i}``, tpudet names them
+    ``stage{s}/conv{s}_{i}``; kernels are HWIO in both, VGG convs carry
+    biases in both, and there are no norm layers (constants is empty)."""
+    layers = {layer.name: layer for layer in keras_model.layers}
+    from tpudet.models.vgg import VGG16_STAGES
+
+    params: Dict = {}
+    for stage, (n_convs, _ch) in enumerate(VGG16_STAGES, start=1):
+        p: Dict = {}
+        for i in range(1, n_convs + 1):
+            w = layers[f"block{stage}_conv{i}"].get_weights()
+            p[f"conv{stage}_{i}"] = {
+                "kernel": np.asarray(w[0], np.float32),
+                "bias": np.asarray(w[1], np.float32),
+            }
+        params[f"stage{stage}"] = p
+    return params, {}
+
+
 def convert_torch_resnet(
     state_dict: Dict[str, Any], name: str = "resnet50"
 ) -> Tuple[Dict, Dict]:

@@ -198,10 +198,18 @@ def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
             freeze_stem=freeze_stem, s2d_stem=s2d_stem, remat=remat,
             stride_in_1x1=stride_in_1x1,
         )
+    if name == "vgg16":
+        from tpudet.models.vgg import VGG
+
+        # VGG has no norm layers and no stem variants; those knobs are
+        # inapplicable rather than configurable.
+        return VGG(dtype=dtype, freeze_stem=freeze_stem, remat=remat)
     raise ValueError(f"unknown backbone {name!r}")
 
 
 def backbone_channels(name: str, width: int = 32) -> Dict[str, int]:
     if name == "tiny":
         return {"c2": width, "c3": width, "c4": width, "c5": width}
+    if name == "vgg16":
+        return {"c2": 256, "c3": 512, "c4": 512, "c5": 512}
     return {"c2": 256, "c3": 512, "c4": 1024, "c5": 2048}
