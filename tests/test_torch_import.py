@@ -162,3 +162,53 @@ def test_torch_import_requires_v15_stride(rng):
         want = _torch_forward(sd, torch.tensor(np.transpose(x, (0, 3, 1, 2))))
     ref = np.transpose(want["c5"].numpy(), (0, 2, 3, 1))
     assert not np.allclose(np.asarray(feats["c5"]), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_torch_vgg16_parity():
+    """torchvision-layout VGG16 state dict -> tpudet VGG: a minimal
+    functional torch forward (conv2d/relu/max_pool2d at torchvision's
+    features.* indices) is the oracle; every pyramid level must match."""
+    from tpudet.models.import_weights import convert_torch_vgg16
+    from tpudet.models.vgg import VGG, VGG16_STAGES
+
+    rng = np.random.default_rng(7)
+    sd = {}
+    idx, in_ch = 0, 3
+    for n_convs, ch in VGG16_STAGES:
+        for _ in range(n_convs):
+            sd[f"features.{idx}.weight"] = torch.tensor(
+                rng.normal(0, 0.05, (ch, in_ch, 3, 3)).astype(np.float32))
+            sd[f"features.{idx}.bias"] = torch.tensor(
+                rng.normal(0, 0.1, ch).astype(np.float32))
+            in_ch = ch
+            idx += 2
+        idx += 1
+
+    x = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    # Torch oracle (NCHW), collecting the c2..c5 contract.
+    t = torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    want = {}
+    idx = 0
+    for stage, (n_convs, _ch) in enumerate(VGG16_STAGES, start=1):
+        if stage > 1:
+            t = F.max_pool2d(t, 2, 2)
+        for _ in range(n_convs):
+            t = F.relu(F.conv2d(t, sd[f"features.{idx}.weight"],
+                                sd[f"features.{idx}.bias"], padding=1))
+            idx += 2
+        idx += 1
+        if stage >= 3:
+            want[f"c{stage - 1}"] = t
+    want["c5"] = F.max_pool2d(t, 2, 2)
+
+    params, constants = convert_torch_vgg16(sd)
+    assert constants == {}
+    feats = VGG(freeze_stem=False).apply({"params": params}, jnp.asarray(x))
+    for k in ("c2", "c3", "c4", "c5"):
+        got = np.asarray(feats[k])
+        ref = np.transpose(want[k].numpy(), (0, 2, 3, 1))
+        assert got.shape == ref.shape, (k, got.shape, ref.shape)
+        # 13 stacked random convs compound activations to O(100s); torch vs
+        # XLA conv summation order then differs at ~1e-3 abs.
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-3, err_msg=k)

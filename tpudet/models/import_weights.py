@@ -151,6 +151,39 @@ def convert_torch_resnet(
     return params, constants
 
 
+def convert_torch_vgg16(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision-layout VGG16 state dict -> (params, constants) trees.
+
+    torchvision's ``vgg16().features`` is a flat Sequential whose conv
+    indices are fixed by the maxpool/ReLU interleaving: stage boundaries at
+    features.{0,2 | 5,7 | 10,12,14 | 17,19,21 | 24,26,28}. Kernels are
+    [O, I, kh, kw] -> transposed to [kh, kw, I, O]; VGG convs carry biases
+    in both layouts; no norm layers (constants is empty). Unlike ResNet
+    there is NO stride-convention caveat — all convs are 3x3/s1."""
+    from tpudet.models.vgg import VGG16_STAGES
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        return np.asarray(v, np.float32)
+
+    params: Dict = {}
+    idx = 0
+    for stage, (n_convs, _ch) in enumerate(VGG16_STAGES, start=1):
+        p: Dict = {}
+        for i in range(1, n_convs + 1):
+            p[f"conv{stage}_{i}"] = {
+                "kernel": np.transpose(
+                    arr(f"features.{idx}.weight"), (2, 3, 1, 0)
+                ),
+                "bias": arr(f"features.{idx}.bias"),
+            }
+            idx += 2  # conv + relu
+        params[f"stage{stage}"] = p
+        idx += 1  # maxpool
+    return params, {}
+
+
 def save_backbone_npz(path: str, params: Dict, constants: Dict) -> None:
     flat = {}
 
