@@ -296,3 +296,17 @@ def test_parity_cli_dry_run(tmp_path):
     ])
     assert "mAP" in summary
     assert (tmp_path / "w" / "checkpoints").exists()
+
+
+def test_voc_vgg16_preset():
+    """Paper-canonical VGG-16 preset: backbone, 4096-dim head, stride-16
+    anchors at 128/256/512 (arXiv:1506.01497 §4.1), constructible model."""
+    from tpudet.cli.common import preset_config
+    from tpudet.models import FasterRCNN
+
+    cfg = preset_config("voc_vgg16")
+    assert cfg.backbone.name == "vgg16" and not cfg.backbone.use_fpn
+    assert cfg.roi.fc_dim == 4096
+    assert cfg.anchors.scales == (128.0, 256.0, 512.0)
+    assert cfg.anchors.stride == 16
+    FasterRCNN(cfg)  # build-time validation passes

@@ -39,6 +39,18 @@ def preset_config(name: str) -> Config:
                             canvas_width=1024, aspect_buckets=_VOC_BUCKETS),
             backbone=BackboneConfig(name="resnet50"),
         )
+    if name == "voc_vgg16":
+        # Paper-canonical Faster R-CNN (arXiv:1506.01497 §4.1: VGG-16,
+        # VOC 2007, 600/1000 resize, stride-16 conv5_3 feature, anchors
+        # 128/256/512, 4096-dim fc6/fc7 head). ResNet presets remain the
+        # perf configs; this one exists for exact paper/reference parity.
+        return Config(
+            data=DataConfig(dataset="voc", num_classes=20, min_size=600,
+                            max_size=1000, canvas_height=1024,
+                            canvas_width=1024, aspect_buckets=_VOC_BUCKETS),
+            backbone=BackboneConfig(name="vgg16"),
+            roi=ROIConfig(fc_dim=4096),
+        )
     if name == "coco_r50":
         # BASELINE config 4: COCO 2017, ResNet-50, data-parallel.
         return Config(
@@ -85,7 +97,8 @@ def preset_config(name: str) -> Config:
 
 def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="voc_r50",
-                   choices=["tiny", "voc_r50", "coco_r50", "coco_r101_fpn"])
+                   choices=["tiny", "voc_r50", "voc_vgg16", "coco_r50",
+                            "coco_r101_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")
