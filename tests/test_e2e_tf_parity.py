@@ -52,6 +52,7 @@ from tpudet.models.faster_rcnn import DetectorCore  # noqa: E402
 from tpudet.models.import_weights import (  # noqa: E402
     apply_backbone_weights,
     convert_keras_resnet,
+    convert_keras_vgg16,
 )
 from tests.tf_pipeline_oracle import TFPipelineOracle  # noqa: E402
 
@@ -60,7 +61,7 @@ BATCH = 6
 NUM_CLASSES = 3
 
 
-def _parity_config() -> Config:
+def _parity_config(backbone: str = "resnet50") -> Config:
     return Config(
         data=DataConfig(
             dataset="synthetic", num_classes=NUM_CLASSES,
@@ -68,7 +69,7 @@ def _parity_config() -> Config:
             min_size=CANVAS, max_size=CANVAS, max_gt_boxes=10,
         ),
         backbone=BackboneConfig(
-            name="resnet50", norm="frozen_bn", stride_in_1x1=True,
+            name=backbone, norm="frozen_bn", stride_in_1x1=True,
             dtype="float32",
         ),
         # Small-image anchors; pre-NMS top-k >= the anchor count (8*8*9=576)
@@ -102,16 +103,28 @@ def _tree_scale(params, path, factor):
     return rebuilt
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["resnet50", "vgg16"])
+def setup(request):
+    # Both plausible reference backbones (SURVEY C5 [RECALL-MED]:
+    # keras.applications ResNet50 or VGG16) run the identical parity
+    # contract end-to-end.
+    backbone = request.param
     tf.keras.utils.set_random_seed(0)
-    keras_r50 = tf.keras.applications.ResNet50(
-        weights=None, include_top=False, input_shape=(CANVAS, CANVAS, 3)
-    )
-    cfg = _parity_config()
+    if backbone == "resnet50":
+        keras_bb = tf.keras.applications.ResNet50(
+            weights=None, include_top=False, input_shape=(CANVAS, CANVAS, 3)
+        )
+        bb_params, bb_constants = convert_keras_resnet(keras_bb, "resnet50")
+        feature_layer = "conv4_block6_out"
+    else:
+        keras_bb = tf.keras.applications.VGG16(
+            weights=None, include_top=False, input_shape=(CANVAS, CANVAS, 3)
+        )
+        bb_params, bb_constants = convert_keras_vgg16(keras_bb)
+        feature_layer = "block5_conv3"
+    cfg = _parity_config(backbone)
     model = FasterRCNN(cfg)
     variables = model.init(jax.random.key(0))
-    bb_params, bb_constants = convert_keras_resnet(keras_r50, "resnet50")
     variables = apply_backbone_weights(variables, bb_params, bb_constants)
     variables = jax.tree_util.tree_map(np.asarray, variables)
 
@@ -161,7 +174,8 @@ def setup():
     variables = jax.tree_util.tree_map(np.asarray, variables)
 
     oracle = TFPipelineOracle(
-        cfg, keras_r50, variables, np.asarray(model.anchor_boxes())
+        cfg, keras_bb, variables, np.asarray(model.anchor_boxes()),
+        feature_layer=feature_layer,
     )
     tf_out = [oracle.detect(images[i], image_hw[i]) for i in range(BATCH)]
     return cfg, model, variables, batch, images, image_hw, tf_out

@@ -71,16 +71,18 @@ class TFPipelineOracle:
     out of it as NumPy and applied with raw TF ops.
     """
 
-    def __init__(self, cfg, keras_backbone, variables, anchors):
+    def __init__(self, cfg, keras_backbone, variables, anchors,
+                 feature_layer="conv4_block6_out"):
         tf = _tf()
         self.cfg = cfg
         self.anchors = np.asarray(anchors, np.float32)
-        # Stage-4 feature extractor: identical activations to tpudet's c4
-        # (parity of the conversion is separately asserted by
-        # tests/test_import_weights.py::test_keras_parity_c4_c5).
+        # Stride-16 feature extractor: identical activations to tpudet's c4
+        # ("conv4_block6_out" for ResNet-50, "block5_conv3" for VGG-16 —
+        # conversion parity is separately asserted by
+        # tests/test_import_weights.py).
         self.c4_model = tf.keras.Model(
             keras_backbone.input,
-            keras_backbone.get_layer("conv4_block6_out").output,
+            keras_backbone.get_layer(feature_layer).output,
         )
         p = variables["params"]
         self.w = {
