@@ -641,3 +641,26 @@ def test_vgg16_faster_rcnn_end_to_end():
         np.any(np.asarray(leaf))
         for leaf in jax.tree_util.tree_leaves(bb["stage5"])
     )
+
+
+def test_resnet18_backbone_pyramid():
+    """Basic-block ResNet-18: stride/width contract c2@s4/64 .. c5@s32/512,
+    and the full detector assembles and predicts over it."""
+    import dataclasses
+
+    from tpudet.models.resnet import ResNet, STAGE_BLOCKS
+
+    m = ResNet(blocks=STAGE_BLOCKS["resnet18"], norm="frozen_bn",
+               freeze_stem=False, basic=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    feats = m.apply(m.init(jax.random.key(0), x), x)
+    assert feats["c2"].shape == (1, 16, 16, 64)
+    assert feats["c5"].shape == (1, 2, 2, 512)
+
+    cfg = tiny_test_config()
+    cfg = cfg.replace(backbone=dataclasses.replace(
+        cfg.backbone, name="resnet18", norm="gn"))
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    out = jax.jit(model.predict)(variables, make_batch(cfg, b=1))
+    assert np.all(np.isfinite(np.asarray(out["boxes"])))

@@ -212,3 +212,89 @@ def test_torch_vgg16_parity():
         # 13 stacked random convs compound activations to O(100s); torch vs
         # XLA conv summation order then differs at ~1e-3 abs.
         np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-3, err_msg=k)
+
+
+def test_torch_resnet18_basic_block_parity(rng):
+    """torchvision-layout ResNet-18 (basic blocks, layer{s}.{i}.conv{1,2})
+    -> tpudet ResNet(basic=True): every pyramid level matches a functional
+    torch oracle."""
+    from tpudet.models.resnet import STAGE_BLOCKS
+
+    blocks = STAGE_BLOCKS["resnet18"]
+    sd = {}
+
+    def conv(key, out_ch, in_ch, k):
+        sd[key + ".weight"] = torch.tensor(
+            rng.normal(0, 0.05, (out_ch, in_ch, k, k)).astype(np.float32))
+
+    def bn(key, ch):
+        sd[key + ".weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, ch).astype(np.float32))
+        sd[key + ".bias"] = torch.tensor(
+            rng.normal(0, 0.1, ch).astype(np.float32))
+        sd[key + ".running_mean"] = torch.tensor(
+            rng.normal(0, 0.1, ch).astype(np.float32))
+        sd[key + ".running_var"] = torch.tensor(
+            rng.uniform(0.5, 2.0, ch).astype(np.float32))
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    in_ch = 64
+    for s, n_blocks in enumerate(blocks):
+        out_ch = 64 * 2 ** s
+        for i in range(n_blocks):
+            t = f"layer{s + 1}.{i}"
+            if i == 0 and (out_ch != in_ch or s > 0):
+                conv(f"{t}.downsample.0", out_ch, in_ch, 1)
+                bn(f"{t}.downsample.1", out_ch)
+            conv(f"{t}.conv1", out_ch, in_ch, 3)
+            bn(f"{t}.bn1", out_ch)
+            conv(f"{t}.conv2", out_ch, out_ch, 3)
+            bn(f"{t}.bn2", out_ch)
+            in_ch = out_ch
+
+    def tbn(x, p):
+        return F.batch_norm(
+            x, sd[p + ".running_mean"], sd[p + ".running_var"],
+            sd[p + ".weight"], sd[p + ".bias"], training=False, eps=1e-5,
+        )
+
+    x_np = rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t = torch.tensor(np.transpose(x_np, (0, 3, 1, 2)))
+        t = F.relu(tbn(F.conv2d(t, sd["conv1.weight"], stride=2, padding=3),
+                       "bn1"))
+        t = F.max_pool2d(t, 3, stride=2, padding=1)
+        want = {}
+        for s, n_blocks in enumerate(blocks):
+            for i in range(n_blocks):
+                tt = f"layer{s + 1}.{i}"
+                stride = 2 if (i == 0 and s > 0) else 1
+                identity = t
+                if f"{tt}.downsample.0.weight" in sd:
+                    identity = tbn(
+                        F.conv2d(t, sd[f"{tt}.downsample.0.weight"],
+                                 stride=stride),
+                        f"{tt}.downsample.1",
+                    )
+                y = F.relu(tbn(
+                    F.conv2d(t, sd[f"{tt}.conv1.weight"], stride=stride,
+                             padding=1), f"{tt}.bn1"))
+                y = tbn(F.conv2d(y, sd[f"{tt}.conv2.weight"], padding=1),
+                        f"{tt}.bn2")
+                t = F.relu(y + identity)
+            want[f"c{s + 2}"] = t
+
+    from tpudet.models.import_weights import convert_torch_resnet
+
+    params, constants = convert_torch_resnet(sd, "resnet18")
+    model = ResNet(blocks=blocks, norm="frozen_bn", freeze_stem=False,
+                   basic=True)
+    feats = model.apply({"params": params, "constants": constants},
+                        jnp.asarray(x_np))
+    for level in ("c2", "c3", "c4", "c5"):
+        got = np.asarray(feats[level])
+        ref = np.transpose(want[level].numpy(), (0, 2, 3, 1))
+        assert got.shape == ref.shape, (level, got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3,
+                                   err_msg=level)

@@ -109,10 +109,13 @@ def convert_torch_resnet(
         [kh, kw, I, O]; torchvision ResNets have no conv biases.
       * torchvision puts the downsampling stride on the 3x3 conv ("v1.5") —
         the model MUST be built with ``BackboneConfig.stride_in_1x1=False``
-        for these weights.
+        for bottleneck weights (resnet50/101). Basic blocks (resnet18/34,
+        ``layer{s}.{i}.conv{1,2}``) have no such convention split.
       * BN: weight=gamma, bias=beta, running_mean, running_var (eps 1e-5,
         same as tpudet's FrozenBatchNorm).
     """
+    from tpudet.models.resnet import BASIC_BLOCK
+    from tpudet.models.resnet import STAGE_BLOCKS as MODEL_STAGE_BLOCKS
 
     def arr(key):
         v = state_dict[key]
@@ -133,7 +136,8 @@ def convert_torch_resnet(
     params: Dict = {"stem_conv": {"kernel": conv_w("conv1")}}
     constants: Dict = {"norm_stem": bn_w("bn1")}
 
-    for stage, n_blocks in enumerate(STAGE_BLOCKS[name]):
+    convs_per_block = (1, 2) if name in BASIC_BLOCK else (1, 2, 3)
+    for stage, n_blocks in enumerate(MODEL_STAGE_BLOCKS[name]):
         layer = f"layer{stage + 1}"
         for blk in range(n_blocks):
             t = f"{layer}.{blk}"
@@ -143,7 +147,7 @@ def convert_torch_resnet(
             if f"{t}.downsample.0.weight" in state_dict:
                 p["conv_proj"] = {"kernel": conv_w(f"{t}.downsample.0")}
                 c["norm_proj"] = bn_w(f"{t}.downsample.1")
-            for j in (1, 2, 3):
+            for j in convs_per_block:
                 p[f"conv{j}"] = {"kernel": conv_w(f"{t}.conv{j}")}
                 c[f"norm{j}"] = bn_w(f"{t}.bn{j}")
             params[our] = p

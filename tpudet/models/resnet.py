@@ -19,9 +19,13 @@ import jax.numpy as jnp
 from tpudet.models.layers import make_norm
 
 STAGE_BLOCKS = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
     "resnet50": (3, 4, 6, 3),
     "resnet101": (3, 4, 23, 3),
 }
+# Basic-block (3x3->3x3) variants; the rest are bottlenecks.
+BASIC_BLOCK = {"resnet18", "resnet34"}
 
 
 def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
@@ -103,9 +107,45 @@ class Bottleneck(nn.Module):
         return nn.relu(y + shortcut)
 
 
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (ResNet-18/34). Projection shortcut on
+    shape change; the downsampling stride sits on the first 3x3 in every
+    convention (no stride_in_1x1 question for basic blocks — the kwarg is
+    accepted and ignored so ResNet can construct either block uniformly)."""
+
+    channels: int
+    stride: int
+    norm: str
+    dtype: Any
+    stride_in_1x1: bool = True  # inapplicable; uniform ctor with Bottleneck
+
+    @nn.compact
+    def __call__(self, x):
+        norm = make_norm(self.norm, self.dtype)
+        shortcut = x
+        if x.shape[-1] != self.channels or self.stride != 1:
+            shortcut = nn.Conv(
+                self.channels, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="conv_proj",
+            )(x)
+            shortcut = norm(name="norm_proj")(shortcut)
+        y = nn.Conv(
+            self.channels, (3, 3), strides=self.stride,
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = nn.relu(norm(name="norm1")(y))
+        y = nn.Conv(
+            self.channels, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(y)
+        y = norm(name="norm2")(y)
+        return nn.relu(y + shortcut)
+
+
 class ResNet(nn.Module):
-    """ResNet-50/101. ``freeze_stem`` stops gradients through the stem and
-    first stage (Faster R-CNN §3.2 fine-tuning practice)."""
+    """ResNet-18/34/50/101. ``freeze_stem`` stops gradients through the stem
+    and first stage (Faster R-CNN §3.2 fine-tuning practice)."""
 
     blocks: Sequence[int] = (3, 4, 6, 3)
     norm: str = "frozen_bn"
@@ -128,6 +168,9 @@ class ResNet(nn.Module):
     # standard TPU trade of MXU FLOPs for HBM capacity to fit bigger
     # per-chip batches. No effect on values (tested) or on inference.
     remat: bool = False
+    # Basic (3x3->3x3, ResNet-18/34) vs bottleneck blocks; sets the stage
+    # widths too (64..512 vs 256..2048).
+    basic: bool = False
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -150,8 +193,9 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         feats = {}
-        channels = (256, 512, 1024, 2048)
-        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        channels = (64, 128, 256, 512) if self.basic else (256, 512, 1024, 2048)
+        base_cls = BasicBlock if self.basic else Bottleneck
+        block_cls = nn.remat(base_cls) if self.remat else base_cls
         for stage, (n_blocks, ch) in enumerate(zip(self.blocks, channels)):
             for i in range(n_blocks):
                 stride = 2 if (i == 0 and stage > 0) else 1
@@ -196,7 +240,7 @@ def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
         return ResNet(
             blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype,
             freeze_stem=freeze_stem, s2d_stem=s2d_stem, remat=remat,
-            stride_in_1x1=stride_in_1x1,
+            stride_in_1x1=stride_in_1x1, basic=name in BASIC_BLOCK,
         )
     if name == "vgg16":
         from tpudet.models.vgg import VGG
@@ -212,4 +256,6 @@ def backbone_channels(name: str, width: int = 32) -> Dict[str, int]:
         return {"c2": width, "c3": width, "c4": width, "c5": width}
     if name == "vgg16":
         return {"c2": 256, "c3": 512, "c4": 512, "c5": 512}
+    if name in BASIC_BLOCK:
+        return {"c2": 64, "c3": 128, "c4": 256, "c5": 512}
     return {"c2": 256, "c3": 512, "c4": 1024, "c5": 2048}
