@@ -1,0 +1,37 @@
+#!/bin/bash
+# Pending real-chip measurements (round 2; queued while the axon tunnel was
+# wedged — see SURVEY.md §9 environment note). Run from the repo root on a
+# machine with the TPU reachable. SERIALIZE: never run two TPU clients at
+# once (concurrent clients wedge this environment's tunnel for everyone).
+#
+# Each step prints one JSON line; copy results into KERNELS.md.
+set -e
+cd "$(dirname "$0")/.."
+log=${1:-/tmp/tpu_meas.log}
+run() { echo "== $*" | tee -a "$log"; timeout 580 "$@" 2>&1 | tail -4 | tee -a "$log"; }
+
+# 0. Tunnel probe (fail fast instead of hanging a full benchmark).
+timeout 120 python -c "import jax, jax.numpy as jnp; print('probe', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" | tee -a "$log"
+
+# 1. Blocked exact pre-NMS top-k vs the one-wide sort (coco_r101_fpn b=32):
+#    expectation from the roofline: up to ~6 ms/batch of per-level lax.top_k
+#    slack, P2's 129792-anchor sort dominating.
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set rpn.topk_method=blocked
+
+# 2. Windowed custom-VJP training pooling vs the dense masked sum
+#    (b=16 = the measured per-chip sweet spot; pooling was ~12% of the step
+#    at b=8 with the masked sum).
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-size 16 --iters 8
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align
+
+# 3. Gradient accumulation: effective b=32 as 2x16 microbatches (no remat)
+#    vs the b=32+remat row of the KERNELS.md batch-scaling table (71.6).
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2
+
+# 4. Flagship bench sanity (BENCH_r{N} preview) + NMS kernel us/img.
+run python bench.py
+
+# 5. On-TPU test tier (now includes the accum x windowed-VJP Mosaic test).
+echo "== tpu test tier" | tee -a "$log"
+TPUDET_TEST_TPU=1 timeout 580 python -m pytest tests/test_tpu.py -m tpu -x -q 2>&1 | tail -3 | tee -a "$log"
