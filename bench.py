@@ -81,10 +81,15 @@ def main():
             if i + 1 < len(ATTEMPT_TIMEOUTS_S):
                 time.sleep(RETRY_PAUSE_S)  # tunnel recovery window
             continue
-        # Forward only the JSON line(s) the child printed; keep the
-        # one-JSON-line contract by emitting the child's stdout verbatim.
+        # Forward the child's JSON line (the last stdout line starting with
+        # "{" — NOT rfind("{"), which would slice mid-line whenever the
+        # JSON itself contains a brace, e.g. an XLA layout string inside
+        # nms_error).
         if proc.returncode == 0 and out.strip():
-            sys.stdout.write(out[out.rfind("{"):] if "{" in out else out)
+            json_lines = [
+                ln for ln in out.splitlines() if ln.startswith("{")
+            ]
+            sys.stdout.write((json_lines[-1] if json_lines else out) + "\n")
             return 0
         last_rc = proc.returncode or 1
         print(

@@ -5,7 +5,10 @@
 # once (concurrent clients wedge this environment's tunnel for everyone).
 #
 # Each step prints one JSON line; copy results into KERNELS.md.
-set -e
+# pipefail so a timeout-killed python aborts the script instead of being
+# masked by tee's exit 0 — otherwise a wedged tunnel runs five serial
+# ~10-minute hangs producing garbage.
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 log=${1:-/tmp/tpu_meas.log}
 run() { echo "== $*" | tee -a "$log"; timeout 580 "$@" 2>&1 | tail -4 | tee -a "$log"; }
@@ -30,7 +33,12 @@ run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-s
 run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2
 
 # 4. Flagship bench sanity (BENCH_r{N} preview) + NMS kernel us/img.
-run python bench.py
+# NO outer timeout: bench.py manages its own attempt windows (12 min + 8 min
+# retry); an outer `timeout` would both make the retry unreachable and
+# orphan the inner `bench.py --inner` TPU client, leaving it to collide with
+# step 5's client — the concurrent-client wedge the header warns about.
+echo "== python bench.py" | tee -a "$log"
+python bench.py 2>&1 | tail -4 | tee -a "$log"
 
 # 5. On-TPU test tier (now includes the accum x windowed-VJP Mosaic test).
 echo "== tpu test tier" | tee -a "$log"

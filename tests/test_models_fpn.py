@@ -11,34 +11,8 @@ pytestmark = pytest.mark.slow
 
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
-from tpudet.models.resnet import ResNet, TinyBackbone
-from tpudet.models.fpn import FPN
-from tpudet.models.rpn_head import RPNHead
-from tpudet.models.det_head import FastRCNNHead
+from tests.test_models import make_batch  # shared batch synthesis
 
-
-def make_batch(cfg, b=2, seed=0):
-    rng = np.random.default_rng(seed)
-    h, w = cfg.data.canvas_height, cfg.data.canvas_width
-    g = cfg.data.max_gt_boxes
-    images = rng.normal(0, 1, (b, h, w, 3)).astype(np.float32)
-    gt_boxes = np.zeros((b, g, 4), np.float32)
-    gt_classes = np.zeros((b, g), np.int32)
-    gt_valid = np.zeros((b, g), bool)
-    for i in range(b):
-        n = 3
-        xy1 = rng.uniform(0, w * 0.5, (n, 2))
-        wh = rng.uniform(16, w * 0.4, (n, 2))
-        gt_boxes[i, :n] = np.concatenate([xy1, np.minimum(xy1 + wh, w - 1)], -1)
-        gt_classes[i, :n] = rng.integers(1, cfg.data.num_classes + 1, n)
-        gt_valid[i, :n] = True
-    return {
-        "image": jnp.asarray(images),
-        "image_hw": jnp.asarray([[h, w]] * b, jnp.float32),
-        "gt_boxes": jnp.asarray(gt_boxes),
-        "gt_classes": jnp.asarray(gt_classes),
-        "gt_valid": jnp.asarray(gt_valid),
-    }
 
 def test_fpn_packed_pooler_matches_default():
     """FPN packed-pyramid pooler (ONE einsum pair over all levels) produces

@@ -122,6 +122,7 @@ class DataLoader:
                     "sharding to assemble the global array"
                 )
         self.batch_size = batch_size // process_count
+        self._epoch0_plan = None  # memo for _epoch_batch_indices(0)
         if drop_last and len(dataset) < batch_size:
             # Every epoch would yield zero batches: batches() would return
             # instantly and device_stream's producer would spin through
@@ -184,7 +185,14 @@ class DataLoader:
         With bucketing (aspect_buckets / orientation_buckets) every batch is
         bucket-homogeneous, so the whole batch pads onto one static canvas;
         tail remainders of each bucket pad by repeating the bucket's last
-        example (rows masked via the returned valid mask)."""
+        example (rows masked via the returned valid mask).
+
+        The epoch-0 plan is memoized: it is deterministic in (seed, dataset),
+        and three callers want it (the construction-time zero-plan guard,
+        __len__, and the first epoch) — without the cache each pays the full
+        O(N) example_hw pass."""
+        if epoch == 0 and self._epoch0_plan is not None:
+            return self._epoch0_plan
         from tpudet.data.preprocess import bucket_for_hw
 
         gbs = self.global_batch_size
@@ -226,6 +234,8 @@ class DataLoader:
             if num_real < gbs:
                 valid = (np.arange(gbs) < num_real)[pi::pc]
             local.append((idx[pi::pc], valid))
+        if epoch == 0:
+            self._epoch0_plan = local
         return local
 
     def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
