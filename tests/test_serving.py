@@ -192,3 +192,24 @@ def test_export_fpn_model(tmp_path):
     got = jax.device_get(ServingModel.load(str(path))(image, hw))
     np.testing.assert_array_equal(got["valid"], want["valid"])
     np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
+
+
+def test_tpu_platform_export_from_cpu_warns_and_records():
+    """A TPU-platform export from a non-TPU host embeds the XLA fallbacks
+    (dispatch keys on the tracing host's backend): it must warn and record
+    pallas_embedded=False in the metadata so serving fleets can audit."""
+    import warnings
+
+    from tpudet.serving.export import _serving_metadata, export_model
+
+    cfg = tiny_test_config().replace(use_pallas=True)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        exported = export_model(cfg, variables, batch_size=1,
+                                platforms=("tpu",))
+    assert any("non-TPU host" in str(x.message) for x in w)
+    assert exported.platforms == ("tpu",)
+    meta = _serving_metadata(cfg, 1, ("tpu",))
+    assert meta["pallas_embedded"] is False

@@ -67,7 +67,17 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         "platforms": list(platforms) if platforms else None,
         "backbone": cfg.backbone.name,
         "use_fpn": bool(cfg.backbone.use_fpn),
+        # Whether the traced program could embed Pallas kernels (dispatch
+        # picks them only when tracing ON a TPU host with use_pallas set) —
+        # lets a serving fleet audit artifacts for the fast path.
+        "pallas_embedded": bool(cfg.use_pallas) and _tracing_on_tpu(),
     }
+
+
+def _tracing_on_tpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def export_model(
@@ -108,6 +118,21 @@ def export_model(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
+    if (platforms and "tpu" in platforms and cfg.use_pallas
+            and jax.default_backend() != "tpu"):
+        # The Pallas-vs-XLA dispatch keys on the TRACING host's backend
+        # (tpudet.kernels._on_tpu), so a TPU-platform artifact exported from
+        # a non-TPU host embeds the XLA fallbacks: correct outputs, but the
+        # NMS / windowed-pooler fast paths are absent. Export on a TPU host
+        # to bake in the Mosaic kernels.
+        import warnings
+
+        warnings.warn(
+            "exporting for 'tpu' from a non-TPU host: the artifact embeds "
+            "the XLA fallback paths, not the Pallas kernels — export on a "
+            "TPU host for peak serving throughput",
+            stacklevel=2,
+        )
     return jax_export.export(jax.jit(serve), **kwargs)(*specs)
 
 
