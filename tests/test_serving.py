@@ -194,10 +194,11 @@ def test_export_fpn_model(tmp_path):
     np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-5)
 
 
-def test_tpu_platform_export_from_cpu_warns_and_records():
-    """A TPU-platform export from a non-TPU host embeds the XLA fallbacks
-    (dispatch keys on the tracing host's backend): it must warn and record
-    pallas_embedded=False in the metadata so serving fleets can audit."""
+def test_tpu_platform_export_from_cpu_embeds_pallas():
+    """A pure-TPU-platform export from a non-TPU host traces under the
+    lowering override and embeds the REAL Mosaic kernels (visible as
+    tpu_custom_call in the StableHLO), with pallas_embedded recorded; a
+    mixed-platform export keeps the portable XLA paths and warns."""
     import warnings
 
     from tpudet.serving.export import _serving_metadata, export_model
@@ -205,11 +206,16 @@ def test_tpu_platform_export_from_cpu_warns_and_records():
     cfg = tiny_test_config().replace(use_pallas=True)
     model = FasterRCNN(cfg)
     variables = model.init(jax.random.key(0))
+    exported = export_model(cfg, variables, batch_size=1, platforms=("tpu",))
+    assert exported.platforms == ("tpu",)
+    assert "tpu_custom_call" in exported.mlir_module()
+    assert _serving_metadata(cfg, 1, ("tpu",))["pallas_embedded"] is True
+
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        exported = export_model(cfg, variables, batch_size=1,
-                                platforms=("tpu",))
-    assert any("non-TPU host" in str(x.message) for x in w)
-    assert exported.platforms == ("tpu",)
-    meta = _serving_metadata(cfg, 1, ("tpu",))
+        mixed = export_model(cfg, variables, batch_size=1,
+                             platforms=("tpu", "cpu"))
+    assert any("multi-platform" in str(x.message) for x in w)
+    assert "tpu_custom_call" not in mixed.mlir_module()
+    meta = _serving_metadata(cfg, 1, ("tpu", "cpu"))
     assert meta["pallas_embedded"] is False

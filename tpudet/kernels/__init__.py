@@ -8,13 +8,41 @@ oracle); dispatchers pick the Pallas path on TPU backends when
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 
 from tpudet.ops.nms import nms as _nms_jnp
 
+# Lowering-context override: jax.export can lower Mosaic kernels for the
+# 'tpu' platform from any host (verified — the kernel serializes into the
+# StableHLO as a custom call), but ``jax.default_backend()`` reports the
+# HOST backend, so host-keyed dispatch would wrongly bake the XLA fallbacks
+# into a cross-host export. The exporter wraps tracing in
+# ``assume_tpu_lowering`` to route dispatch by the TARGET platform.
+_FORCE_TPU_LOWERING = False
+
+
+@contextlib.contextmanager
+def assume_tpu_lowering():
+    """Treat dispatch as TPU for the duration (cross-host export tracing)."""
+    global _FORCE_TPU_LOWERING
+    prev = _FORCE_TPU_LOWERING
+    _FORCE_TPU_LOWERING = True
+    try:
+        yield
+    finally:
+        _FORCE_TPU_LOWERING = prev
+
+
+def on_tpu_lowering() -> bool:
+    """True when tracing/lowering targets TPU: either the host backend IS
+    the TPU, or an export context declared a TPU target platform."""
+    return _FORCE_TPU_LOWERING or jax.default_backend() == "tpu"
+
 
 def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+    return on_tpu_lowering()
 
 
 def nms_dispatch(boxes, scores, iou_threshold, max_outputs, valid_mask=None,

@@ -38,6 +38,7 @@ from tpudet.models.det_head import FastRCNNHead
 from tpudet.ops import boxes as box_ops
 from tpudet.ops import anchors as anchor_ops
 from tpudet.ops import selection
+from tpudet import kernels
 from tpudet.kernels import batched_nms_dispatch, nms_dispatch
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
@@ -378,7 +379,7 @@ class FasterRCNN:
         if roi.pooler == "roi_align_pallas":
             from tpudet.kernels.roi_align import roi_align_pallas
 
-            interpret = jax.default_backend() != "tpu"
+            interpret = not kernels.on_tpu_lowering()
             return roi_align_pallas(
                 feat, fboxes, roi.output_size, roi.sampling_ratio,
                 interpret=interpret,
@@ -418,7 +419,7 @@ class FasterRCNN:
                 # intermediates, so budget it as the masked-sum path.
                 dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
             elif roi_cfg.pooler == "roi_align_window":
-                if self.cfg.use_pallas and jax.default_backend() == "tpu":
+                if self.cfg.use_pallas and kernels.on_tpu_lowering():
                     # The Pallas kernel double-buffers a handful of tiles
                     # in VMEM scratch — the [R, window, window, C] stack
                     # never exists in HBM, so chunking would only
@@ -484,7 +485,7 @@ class FasterRCNN:
             # computes identical values (kernels/roi_align_window.py).
             level_feats = [feats[f"p{l}"] for l in (2, 3, 4, 5)]
             lv_strides = (4.0, 8.0, 16.0, 32.0)
-            if self.cfg.use_pallas and jax.default_backend() == "tpu":
+            if self.cfg.use_pallas and kernels.on_tpu_lowering():
                 from tpudet.kernels.roi_align_window import (
                     roi_align_window_pallas,
                 )
@@ -499,7 +500,7 @@ class FasterRCNN:
             )
         if (roi.pooler == "roi_align_window" and training
                 and self.cfg.use_pallas
-                and jax.default_backend() == "tpu"):
+                and kernels.on_tpu_lowering()):
             # Training on TPU: Pallas windowed FORWARD + masked-sum-
             # transpose BACKWARD (custom VJP in ops.roi_align) — same
             # values as the masked sum below to float tolerance, ~5x

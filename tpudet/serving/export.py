@@ -67,10 +67,13 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         "platforms": list(platforms) if platforms else None,
         "backbone": cfg.backbone.name,
         "use_fpn": bool(cfg.backbone.use_fpn),
-        # Whether the traced program could embed Pallas kernels (dispatch
-        # picks them only when tracing ON a TPU host with use_pallas set) —
+        # Whether the traced program embeds Pallas kernels (tracing on a TPU
+        # host, or a pure-TPU platform list under the lowering override) —
         # lets a serving fleet audit artifacts for the fast path.
-        "pallas_embedded": bool(cfg.use_pallas) and _tracing_on_tpu(),
+        "pallas_embedded": bool(cfg.use_pallas) and (
+            _tracing_on_tpu()
+            or (bool(platforms) and set(platforms) == {"tpu"})
+        ),
     }
 
 
@@ -118,19 +121,27 @@ def export_model(
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
+    # Kernel dispatch normally keys on the HOST backend, which would bake
+    # the XLA fallbacks into a cross-host TPU export. Mosaic kernels lower
+    # fine for the 'tpu' platform from any host (they serialize into the
+    # StableHLO as custom calls — verified), so when every target platform
+    # is TPU, trace under the lowering override and embed the real kernels.
+    # Mixed-platform exports (e.g. ("tpu", "cpu")) cannot: the Mosaic call
+    # has no CPU lowering — those keep the portable XLA paths and warn.
+    all_tpu = bool(platforms) and set(platforms) == {"tpu"}
+    if all_tpu and cfg.use_pallas:
+        from tpudet.kernels import assume_tpu_lowering
+
+        with assume_tpu_lowering():
+            return jax_export.export(jax.jit(serve), **kwargs)(*specs)
     if (platforms and "tpu" in platforms and cfg.use_pallas
             and jax.default_backend() != "tpu"):
-        # The Pallas-vs-XLA dispatch keys on the TRACING host's backend
-        # (tpudet.kernels._on_tpu), so a TPU-platform artifact exported from
-        # a non-TPU host embeds the XLA fallbacks: correct outputs, but the
-        # NMS / windowed-pooler fast paths are absent. Export on a TPU host
-        # to bake in the Mosaic kernels.
         import warnings
 
         warnings.warn(
-            "exporting for 'tpu' from a non-TPU host: the artifact embeds "
-            "the XLA fallback paths, not the Pallas kernels — export on a "
-            "TPU host for peak serving throughput",
+            "multi-platform export with use_pallas: the artifact embeds the "
+            "portable XLA paths, not the Pallas kernels — export with "
+            "platforms=('tpu',) for peak TPU serving throughput",
             stacklevel=2,
         )
     return jax_export.export(jax.jit(serve), **kwargs)(*specs)
