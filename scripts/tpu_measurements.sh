@@ -43,3 +43,27 @@ python bench.py 2>&1 | tail -4 | tee -a "$log"
 # 5. On-TPU test tier (now includes the accum x windowed-VJP Mosaic test).
 echo "== tpu test tier" | tee -a "$log"
 TPUDET_TEST_TPU=1 timeout 580 python -m pytest tests/test_tpu.py -m tpu -x -q 2>&1 | tail -3 | tee -a "$log"
+
+# 6. Cross-host artifact execution: export on CPU (lowering override embeds
+#    Mosaic custom calls), then load + run the artifact on the TPU — the one
+#    leg of the cross-host export story lowering tests cannot cover.
+echo "== cross-host artifact" | tee -a "$log"
+timeout 300 python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from tpudet.config import tiny_test_config
+from tpudet.models import FasterRCNN
+from tpudet.serving.export import save_artifact
+cfg = tiny_test_config().replace(use_pallas=True)
+m = FasterRCNN(cfg)
+save_artifact('/tmp/crosshost_tiny.tpudet', cfg, m.init(jax.random.key(0)),
+              batch_size=1, platforms=('tpu',))
+print('exported')
+" 2>&1 | tail -2 | tee -a "$log"
+timeout 580 python -c "
+import numpy as np
+from tpudet.serving import ServingModel
+m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
+dets = m.detect([np.zeros((100, 120, 3), np.uint8)])
+print('cross-host artifact ran on TPU:', type(dets), len(dets))
+" 2>&1 | tail -2 | tee -a "$log"
