@@ -44,6 +44,11 @@ import os
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="voc_r50",
+                   choices=["voc_r50", "voc_vgg16"],
+                   help="detector preset to train/eval (the reference's "
+                        "backbone is keras ResNet-50 or VGG-16 — run the "
+                        "one matching the checkpoint being compared)")
     p.add_argument("--data-dir", default="",
                    help="VOC2007 root (contains JPEGImages/, Annotations/, "
                         "ImageSets/)")
@@ -80,7 +85,7 @@ def main(argv=None):
     else:
         if not args.data_dir:
             p.error("--data-dir is required (or pass --dry-run)")
-        preset = ["--preset", "voc_r50", "--dataset", "voc"]
+        preset = ["--preset", args.preset, "--dataset", "voc"]
         steps = args.steps
         data = ["--data-dir", args.data_dir]
         splits_tr = ["--set", f"data.split={args.train_split!r}"]
