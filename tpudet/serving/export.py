@@ -71,16 +71,19 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         # host, or a pure-TPU platform list under the lowering override) —
         # lets a serving fleet audit artifacts for the fast path.
         "pallas_embedded": bool(cfg.use_pallas) and (
-            _tracing_on_tpu()
-            or (bool(platforms) and set(platforms) == {"tpu"})
+            _on_tpu_host() or _all_tpu(platforms)
         ),
     }
 
 
-def _tracing_on_tpu() -> bool:
-    import jax
+def _all_tpu(platforms) -> bool:
+    return bool(platforms) and set(platforms) == {"tpu"}
 
-    return jax.default_backend() == "tpu"
+
+def _on_tpu_host() -> bool:
+    from tpudet.kernels import on_tpu_lowering
+
+    return on_tpu_lowering()
 
 
 def export_model(
@@ -128,8 +131,7 @@ def export_model(
     # is TPU, trace under the lowering override and embed the real kernels.
     # Mixed-platform exports (e.g. ("tpu", "cpu")) cannot: the Mosaic call
     # has no CPU lowering — those keep the portable XLA paths and warn.
-    all_tpu = bool(platforms) and set(platforms) == {"tpu"}
-    if all_tpu and cfg.use_pallas:
+    if _all_tpu(platforms) and cfg.use_pallas:
         from tpudet.kernels import assume_tpu_lowering
 
         with assume_tpu_lowering():
