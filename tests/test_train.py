@@ -276,3 +276,27 @@ def test_grad_accum_divisibility_errors():
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, accum_steps=4))
     with pytest.raises(ValueError, match="data-mesh"):
         make_train_step(FasterRCNN(cfg), cfg, mesh=make_mesh(num_data=8))
+
+
+def test_training_determinism_bitwise():
+    """Two fresh runs with the same seed must produce bit-identical params
+    after several steps — the loader order, sampler rng, and fused-augment
+    rng are all seed-derived, and XLA-CPU is deterministic. Guards the
+    production reproducibility contract (a resumed/re-run job must be
+    auditable against the original)."""
+    def run():
+        cfg = small_cfg(batch_size=2)
+        model = FasterRCNN(cfg)
+        state = create_train_state(model, cfg.train, jax.random.key(7))
+        step = make_train_step(model, cfg)
+        raw = make_train_batch(cfg, b=2)
+        batch = device_preprocess(cfg, raw, jax.random.key(3), training=True)
+        for _ in range(5):
+            state, _ = step(state, batch)
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    a, b = run(), run()
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(x, y)
