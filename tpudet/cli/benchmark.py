@@ -286,9 +286,22 @@ def main(argv=None):
                    choices=["infer", "infer_stream", "train", "nms", "host"])
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--trace-dir", default="",
+                   help="capture a jax.profiler trace of the measured "
+                        "iterations into this logdir (TensorBoard/Perfetto)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
+    import contextlib
+
+    from tpudet.utils.profiling import trace
+
+    ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
+    with ctx:
+        return _run_mode(args, cfg)
+
+
+def _run_mode(args, cfg):
     if args.mode == "infer":
         result = bench_infer(cfg, args.batch_size, args.iters)
     elif args.mode == "infer_stream":
