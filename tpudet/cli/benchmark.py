@@ -143,6 +143,14 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
 
 
 def bench_train(cfg, batch_size: int, iters: int) -> dict:
+    import dataclasses
+
+    # Sync the config's batch size to the one actually benchmarked so
+    # make_train_step's divisibility validation (accum_steps, mesh) checks
+    # the real batch, not the preset default.
+    cfg = cfg.replace(
+        train=dataclasses.replace(cfg.train, batch_size=batch_size)
+    )
     model = FasterRCNN(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     step_fn = make_train_step(model, cfg, fused_preprocess=True)
