@@ -37,9 +37,18 @@ a single MXU matmul against the tile viewed as [window*window, C]; that
 view only merges LEADING dims, which is layout-free in Mosaic (a trailing
 merge like [win, win*C] would relayout).
 
-Weights/origins come from ``ops.roi_align.window_pool_setup_nopack`` — the
-same axis math as the XLA windowed path, so the two backends are
-value-comparable and both inherit the masked-sum equivalence tests.
+v3 (in-kernel weights): v1/v2 precomputed the separable weight rows in XLA
+([N, s, window] per axis, built through [N, s*r, window] intermediates) —
+~6 ms/batch of pooler setup in the b=32 COCO roofline, all of it VPU-scale
+work buried in HBM round-trips and XLA fusion overhead. Now XLA ships only
+the per-RoI sample-line SCALARS ([N, 6] f32: start/scale/size per axis,
+from ``ops.roi_align.window_pool_params_nopack`` — the SAME
+``_window_axis_params`` origin math as the XLA windowed path, so the
+in-bounds proof and the masked-sum equivalence tests carry over) and the
+kernel rebuilds each RoI's [s, window] rows on the VPU while the tile DMA
+is in flight: bilinear hat weights from a 2-D iota against the prefetched
+origin, the r sub-samples unrolled and averaged exactly like the dense
+builder (same op order, float tolerance is ulp-level).
 """
 
 from __future__ import annotations
@@ -52,7 +61,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpudet.ops.roi_align import window_pool_setup_nopack
+from tpudet.ops.roi_align import window_pool_params_nopack
 
 
 def _expansion_constants(window: int, dtype):
@@ -69,18 +78,42 @@ def _expansion_constants(window: int, dtype):
     return jnp.asarray(e, dtype), jnp.asarray(t, dtype)
 
 
+def _axis_weights(params_ref, j, col, origin, s, r, window, dtype):
+    """One RoI's [s, window] folded bin-weight rows, built on the VPU from
+    the three sample-line scalars at ``params_ref[j, col:col+3]`` — the
+    exact op-order of ``ops.roi_align._window_axis_weights``'s dense build
+    (sample position -> validity -> clip -> hat weight -> mean over r), so
+    the two builders agree to ulps."""
+    start = params_ref[j, col]
+    scale = params_ref[j, col + 1]
+    size = params_ref[j, col + 2]
+    bins = jax.lax.broadcasted_iota(jnp.float32, (s, window), 0)
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (s, window), 1) + origin
+    ).astype(jnp.float32)
+    acc = jnp.zeros((s, window), jnp.float32)
+    for rr in range(r):
+        grid = bins + (rr + 0.5) / r
+        pos = start + grid * scale
+        valid = (pos >= -1.0) & (pos <= size)
+        posc = jnp.clip(pos, 0.0, size - 1.0)
+        w = jnp.maximum(1.0 - jnp.abs(posc - idx), 0.0)
+        acc = acc + jnp.where(valid, w, 0.0)
+    return (acc / r).astype(dtype)
+
+
 def _kernel(
     n_steps: int,
     k_per_step: int,
     n_levels: int,
     s: int,
+    r: int,
     window: int,
     c: int,
     *refs,
 ):
     (origins_ref,   # SMEM [N_pad, 3] int32 (oy, ox, level) — scalar prefetch
-     wy_ref,        # VMEM block [K, s, window]
-     wx_ref,        # VMEM block [K, s, window]
+     params_ref,    # SMEM [N_pad, 6] f32 (start, scale, size) per axis
      e_ref,         # VMEM [window, window*window] constant
      t_ref,         # VMEM [window, window*window] constant
      *rest) = refs
@@ -131,9 +164,19 @@ def _kernel(
                 tile_start(1 - slot, i + 1, k)
 
         for k in range(kk):
+            j = i * kk + k
             tile_wait(slot, i, k)
-            wy = wy_ref[k]  # [s, window]
-            wx = wx_ref[k]
+            # Rebuild this RoI's separable weight rows on the VPU (the DMA
+            # engine is moving the NEXT step's tiles meanwhile) — [s, window]
+            # per axis from six SMEM scalars instead of two HBM operands.
+            wy = _axis_weights(
+                params_ref, j, 0, origins_ref[j, 0], s, r, window,
+                out_ref.dtype,
+            )
+            wx = _axis_weights(
+                params_ref, j, 3, origins_ref[j, 1], s, r, window,
+                out_ref.dtype,
+            )
             # f32 inputs get full-precision MXU passes to match the XLA
             # paths (which use Precision.HIGHEST); bf16 stays on the fast
             # single pass.
@@ -189,15 +232,16 @@ def roi_align_window_pallas(
     dtype = features[0].dtype
     n = boxes.shape[0]
 
-    padded, wy, wx, oy, ox = window_pool_setup_nopack(
+    padded, params, oy, ox = window_pool_params_nopack(
         features, strides, boxes, levels, output_size, sampling_ratio,
         aligned, window,
     )
     kk = min(rois_per_step, n)
     pad = (-n) % kk
     if pad:
-        wy = jnp.concatenate([wy, jnp.zeros((pad,) + wy.shape[1:], wy.dtype)])
-        wx = jnp.concatenate([wx, jnp.zeros((pad,) + wx.shape[1:], wx.dtype)])
+        params = jnp.concatenate(
+            [params, jnp.zeros((pad, params.shape[1]), params.dtype)]
+        )
         oy = jnp.concatenate([oy, jnp.zeros((pad,), oy.dtype)])
         ox = jnp.concatenate([ox, jnp.zeros((pad,), ox.dtype)])
         levels = jnp.concatenate([levels, jnp.zeros((pad,), levels.dtype)])
@@ -210,20 +254,13 @@ def roi_align_window_pallas(
     )  # [N_pad, 3] int32
 
     kernel = functools.partial(
-        _kernel, n_steps, kk, len(padded), s, window, c
+        _kernel, n_steps, kk, len(padded), s, sampling_ratio, window, c
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(
-                (kk, s, window), lambda i, og: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (kk, s, window), lambda i, og: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params [N_pad, 6] f32
             pl.BlockSpec(memory_space=pltpu.VMEM),  # E
             pl.BlockSpec(memory_space=pltpu.VMEM),  # T
         ] + [
@@ -248,5 +285,5 @@ def roi_align_window_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
-    )(origins, wy.astype(dtype), wx.astype(dtype), e_const, t_const, *padded)
+    )(origins, params, e_const, t_const, *padded)
     return out[:n].reshape(n, s, s, c)

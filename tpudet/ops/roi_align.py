@@ -333,47 +333,71 @@ def fpn_assign_levels(
     return k
 
 
-def _window_axis_weights(vals2, sizes, s, r, offset, window, max_origin,
-                         align=1):
-    """One axis of windowed RoI-Align: per-RoI window origin + folded
-    window-local bin-weight rows.
+def _window_axis_params(vals2, sizes, s, r, offset, max_origin, align=1):
+    """One axis of windowed RoI-Align, SCALAR part: per-RoI sample-line
+    parameters + window origin. The weight rows are a pure function of the
+    returned (start, scale) and ``sizes`` — built dense by
+    :func:`_window_axis_weights` (XLA paths/tests) or per-RoI on the VPU by
+    ``kernels.roi_align_window`` (which only ships these [N]-length scalars
+    to the chip instead of [N, s, window] weight tensors).
 
     vals2 [N, 2]: (lo, hi) box coords in the RoI's own level's feature
     cells; sizes [N]: that level's extent along this axis; ``max_origin``
-    the largest slice start keeping the window inside the packed tensor
-    (the clamp must happen HERE, before the weights are built, so weights
-    and slice share one origin). Returns (weights [N, s, window] f32,
-    origin [N] int32) with every nonzero weight column inside
-    [origin, origin + window) — guaranteed by the ``fit_window`` level
-    assignment + the in-bounds proof in :func:`roi_align_window`."""
-    n = vals2.shape[0]
+    the largest slice start keeping the window inside the padded tensor
+    (the clamp must happen HERE, before any weights are built, so weights
+    and slice share one origin). Sample m in [0, s*r) sits at
+    ``start + (m//r + ((m%r)+0.5)/r) * scale``. Returns
+    (start [N] f32, scale [N] f32, origin [N] int32)."""
     min_extent = 1e-6 if offset else 1.0
     start = vals2[:, 0] - offset
     extent = jnp.maximum(vals2[:, 1] - vals2[:, 0], min_extent)
-    grid = (
-        jnp.arange(s, dtype=vals2.dtype)[:, None]
-        + (jnp.arange(r, dtype=vals2.dtype)[None, :] + 0.5) / r
-    ).reshape(-1)  # [s*r], increasing
-    pos = start[:, None] + grid[None, :] * (extent / s)[:, None]
-    valid = (pos >= -1.0) & (pos <= sizes[:, None])
-    posc = jnp.clip(pos, 0.0, sizes[:, None] - 1.0)
-    # Grid is increasing, so posc[:, 0] is the smallest sample; the origin
-    # stays low enough that floor(pos_max) + 1 < origin + window (span <=
-    # window - 2) and the slice stays in-bounds (see callers' packing).
+    scale = extent / s
+    # First (smallest) sample of the increasing grid: m = 0.
+    grid0 = (jnp.asarray(0.5, vals2.dtype)) / r
+    posc0 = jnp.clip(start + grid0 * scale, 0.0, sizes - 1.0)
+    # The origin stays low enough that floor(pos_max) + 1 < origin + window
+    # (span <= window - 2) and the slice stays in-bounds (see callers'
+    # packing proofs).
     origin = jnp.clip(
-        jnp.floor(posc[:, 0]), 0.0,
-        jnp.asarray(max_origin, posc.dtype),  # scalar or per-RoI [N]
+        jnp.floor(posc0), 0.0,
+        jnp.asarray(max_origin, posc0.dtype),  # scalar or per-RoI [N]
     )
     if align > 1:
         # The TPU DMA source slice needs align-divisible offsets on the
         # sublane (second-minor) dim; rounding down costs up to align-1
         # columns of the window (priced into the fit_window slack).
         origin = jnp.floor(origin / align) * align
-    idx = origin[:, None] + jnp.arange(window, dtype=vals2.dtype)[None, :]
+    return start, scale, origin.astype(jnp.int32)
+
+
+def _window_axis_weights(vals2, sizes, s, r, offset, window, max_origin,
+                         align=1):
+    """One axis of windowed RoI-Align: per-RoI window origin + folded
+    window-local bin-weight rows (the dense materialization of
+    :func:`_window_axis_params` — XLA windowed path and the oracle the
+    Pallas in-kernel build is tested against).
+
+    Returns (weights [N, s, window] f32, origin [N] int32) with every
+    nonzero weight column inside [origin, origin + window) — guaranteed by
+    the ``fit_window`` level assignment + the in-bounds proof in
+    :func:`roi_align_window`."""
+    n = vals2.shape[0]
+    start, scale, origin = _window_axis_params(
+        vals2, sizes, s, r, offset, max_origin, align=align
+    )
+    grid = (
+        jnp.arange(s, dtype=vals2.dtype)[:, None]
+        + (jnp.arange(r, dtype=vals2.dtype)[None, :] + 0.5) / r
+    ).reshape(-1)  # [s*r], increasing
+    pos = start[:, None] + grid[None, :] * scale[:, None]
+    valid = (pos >= -1.0) & (pos <= sizes[:, None])
+    posc = jnp.clip(pos, 0.0, sizes[:, None] - 1.0)
+    idx = (origin.astype(vals2.dtype)[:, None]
+           + jnp.arange(window, dtype=vals2.dtype)[None, :])
     w = jnp.maximum(1.0 - jnp.abs(posc[:, :, None] - idx[:, None, :]), 0.0)
     w = w * valid[:, :, None]
     w = w.reshape(n, s, r, window).mean(axis=2)
-    return w, origin.astype(jnp.int32)
+    return w, origin
 
 
 def roi_align_window(
@@ -581,6 +605,21 @@ def window_pool_setup_nopack(
     ox [N] int32) with LEVEL-LOCAL origins."""
     s, r = output_size, sampling_ratio
     offset = 0.5 if aligned else 0.0
+    padded, geom = _nopack_geometry(features, strides, boxes, levels, window)
+    fboxes, sizes_y, sizes_x, max_oy, max_ox = geom
+    wy, oy = _window_axis_weights(
+        fboxes[:, (1, 3)], sizes_y, s, r, offset, window, max_origin=max_oy,
+    )
+    wx, ox = _window_axis_weights(
+        fboxes[:, (0, 2)], sizes_x, s, r, offset, window, max_origin=max_ox,
+        align=8,
+    )
+    return padded, wy, wx, oy, ox
+
+
+def _nopack_geometry(features, strides, boxes, levels, window):
+    """Shared v2 (no-pack) windowed-pooler geometry: level pads + the
+    per-RoI level-local box coords / axis extents / origin clamps."""
     if window % 8:
         raise ValueError(f"window must be a multiple of 8, got {window}")
     padded = []
@@ -605,12 +644,36 @@ def window_pool_setup_nopack(
 
     st = stride_arr[levels][:, None]
     fboxes = boxes / st
-    wy, oy = _window_axis_weights(
-        fboxes[:, (1, 3)], h_arr[levels], s, r, offset, window,
-        max_origin=max_oy[levels],
+    return padded, (
+        fboxes, h_arr[levels], w_arr[levels], max_oy[levels], max_ox[levels]
     )
-    wx, ox = _window_axis_weights(
-        fboxes[:, (0, 2)], w_arr[levels], s, r, offset, window,
-        max_origin=max_ox[levels], align=8,
+
+
+def window_pool_params_nopack(
+    features, strides, boxes, levels, output_size, sampling_ratio,
+    aligned, window,
+):
+    """Scalar-only setup for the Pallas windowed pooler: identical geometry
+    to :func:`window_pool_setup_nopack` (same ``_window_axis_params`` origin
+    math, so the in-bounds proof carries over verbatim) but ships only the
+    per-RoI sample-line scalars — the kernel rebuilds each RoI's [s, window]
+    weight rows on the VPU, so the [N, s, window] weight tensors (and their
+    [N, s*r, window] build intermediates) never exist in HBM.
+
+    Returns (padded_features, params [N, 6] f32
+    (start_y, scale_y, size_y, start_x, scale_x, size_x),
+    oy [N] int32, ox [N] int32) with LEVEL-LOCAL origins."""
+    s, r = output_size, sampling_ratio
+    offset = 0.5 if aligned else 0.0
+    padded, geom = _nopack_geometry(features, strides, boxes, levels, window)
+    fboxes, sizes_y, sizes_x, max_oy, max_ox = geom
+    start_y, scale_y, oy = _window_axis_params(
+        fboxes[:, (1, 3)], sizes_y, s, r, offset, max_origin=max_oy,
     )
-    return padded, wy, wx, oy, ox
+    start_x, scale_x, ox = _window_axis_params(
+        fboxes[:, (0, 2)], sizes_x, s, r, offset, max_origin=max_ox, align=8,
+    )
+    params = jnp.stack(
+        [start_y, scale_y, sizes_y, start_x, scale_x, sizes_x], axis=-1
+    ).astype(jnp.float32)
+    return padded, params, oy, ox
