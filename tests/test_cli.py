@@ -46,6 +46,29 @@ def test_train_cli_rpn_only(capsys):
     assert "det_cls_loss" not in out
 
 
+def test_train_cli_alternating_stages(tmp_path, capsys):
+    """Paper §3.2 alternating schedule as CLI stages: RPN-only train →
+    det-only fine-tune warm-started from the stage-1 checkpoint with
+    backbone+RPN frozen (--init-from carries params, fresh optimizer)."""
+    from tpudet.cli import train as train_cli
+
+    train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "2",
+        "--no-mesh", "--rpn-only",
+        "--checkpoint-dir", str(tmp_path / "stage1"),
+    ])
+    state = train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "2",
+        "--no-mesh", "--det-only", "--freeze", "backbone",
+        "--init-from", str(tmp_path / "stage1"),
+    ])
+    assert int(state.step) == 2  # fresh step counter, not stage 1's
+    out = capsys.readouterr().out
+    assert "warm-started params" in out
+    assert "det_cls_loss" in out
+    assert "rpn_cls_loss" not in out.split("warm-started params")[1]
+
+
 def test_eval_cli_synthetic(capsys):
     from tpudet.cli import eval as eval_cli
 

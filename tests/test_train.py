@@ -123,6 +123,108 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_freeze_subtrees_bit_identical():
+    """train.freeze pins the named subtrees exactly: nonzero weight decay +
+    momentum must not move a frozen param by even one ulp (the paper's
+    alternating-training stage freezes, SURVEY.md C18)."""
+    cfg = small_cfg(freeze=("backbone",), weight_decay=1e-2)
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    init_params = jax.device_get(state.params)
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw, jax.random.key(42), training=False)
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    final = jax.device_get(state.params)
+
+    def flat(t):
+        import flax.traverse_util as tu
+        return tu.flatten_dict(t, sep="/")
+
+    fi, ff = flat(init_params), flat(final)
+    moved = {k for k in fi if not np.array_equal(fi[k], ff[k])}
+    assert not any(k.startswith("backbone/") for k in moved), moved
+    # ... while the unfrozen heads actually trained.
+    assert any(k.startswith("rpn_head/") for k in moved)
+    assert any(k.startswith("det_head/") for k in moved)
+
+
+def test_freeze_unknown_prefix_raises():
+    cfg = small_cfg(freeze=("backbone", "not_a_module"))
+    model = FasterRCNN(cfg)
+    with pytest.raises(ValueError, match="not_a_module"):
+        create_train_state(model, cfg.train, jax.random.key(0))
+
+
+def test_det_only_trains_detection_branch():
+    """det_only: RPN supplies proposals but is frozen; only detection losses
+    drive the update (alternating-schedule steps 2/4)."""
+    cfg = small_cfg(freeze=("rpn_head",)).replace(det_only=True)
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    init_params = jax.device_get(state.params)
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw, jax.random.key(42), training=False)
+    for _ in range(5):
+        state, metrics = step(state, batch)
+    assert set(metrics) >= {"loss", "det_cls_loss", "det_box_loss"}
+    assert "rpn_cls_loss" not in metrics
+    assert np.isfinite(float(metrics["loss"]))
+
+    import flax.traverse_util as tu
+    fi = tu.flatten_dict(init_params, sep="/")
+    ff = tu.flatten_dict(jax.device_get(state.params), sep="/")
+    moved = {k for k in fi if not np.array_equal(fi[k], ff[k])}
+    assert not any(k.startswith("rpn_head/") for k in moved), moved
+    assert any(k.startswith("det_head/") for k in moved)
+
+
+def test_det_only_requires_rpn_freeze():
+    cfg = small_cfg().replace(det_only=True)
+    model = FasterRCNN(cfg)
+    with pytest.raises(ValueError, match="rpn_head"):
+        make_train_step(model, cfg)
+
+
+def test_rpn_only_det_only_mutually_exclusive():
+    cfg = small_cfg().replace(det_only=True, rpn_only=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        FasterRCNN(cfg)
+
+
+def test_restore_params_warm_start(tmp_path):
+    """The alternating-schedule stage transition: params carry over, the
+    optimizer/step are fresh — even when the stages' freeze sets (and hence
+    opt_state pytrees) differ."""
+    from tpudet.train.checkpoint import CheckpointManager
+
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw)
+    state, _ = step(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "stage1"), keep=1)
+    assert mgr.save(state, force=True)
+    mgr.wait()
+
+    cfg2 = small_cfg(freeze=("backbone", "rpn_head")).replace(det_only=True)
+    fresh = create_train_state(FasterRCNN(cfg2), cfg2.train, jax.random.key(9))
+    warm = mgr.restore_params(fresh)
+    mgr.close()
+    assert int(warm.step) == 0
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(warm.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the warm-started stage actually steps
+    step2 = make_train_step(FasterRCNN(cfg2), cfg2)
+    warm, metrics = step2(warm, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_train_step_tensor_parallel_mesh():
     """dp=4 x tp=2 over 8 fake devices: det-head MLP sharded over 'model'."""
     from tpudet.parallel.sharding_rules import shard_train_state

@@ -4,7 +4,9 @@ Example:
   python -m tpudet.cli.train --preset tiny --dataset synthetic --steps 200
   python -m tpudet.cli.train --preset voc_r50 --data-dir /data/voc \
       --steps 80000 --batch-size 16 --checkpoint-dir /ckpt
-Supports RPN-only training (3e) via --rpn-only.
+Supports RPN-only training (3e) via --rpn-only, and the other stages of the
+paper's §3.2 alternating schedule via --det-only / --freeze / --init-from
+(see README "Training modes").
 """
 
 from __future__ import annotations
@@ -36,6 +38,19 @@ def parse_args(argv=None):
     p.add_argument("--logdir", default="")
     p.add_argument("--rpn-only", action="store_true",
                    help="train only the RPN branch (reference 3e mode)")
+    p.add_argument("--det-only", action="store_true",
+                   help="train only the detection branch over frozen-RPN "
+                        "proposals (alternating-training steps 2/4; implies "
+                        "freezing rpn_head)")
+    p.add_argument("--freeze", default="",
+                   help="comma-separated param-subtree prefixes to freeze, "
+                        "e.g. 'backbone' or 'backbone,rpn_head' "
+                        "(alternating-training steps 3/4)")
+    p.add_argument("--init-from", default="",
+                   help="checkpoint dir to warm-start params/constants from "
+                        "(fresh optimizer/step — the alternating-schedule "
+                        "stage transition); unlike --checkpoint-dir restore, "
+                        "this does NOT resume opt_state or the step counter")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device step (no mesh sharding)")
     p.add_argument("--log-images-every", type=int, default=0,
@@ -68,10 +83,17 @@ def main(argv=None):
         overrides["seed"] = args.seed
     if args.checkpoint_dir:
         overrides["checkpoint_dir"] = args.checkpoint_dir
+    freeze = tuple(s for s in args.freeze.split(",") if s)
+    if args.det_only and "rpn_head" not in freeze:
+        freeze = freeze + ("rpn_head",)
+    if freeze:
+        overrides["freeze"] = freeze
     if overrides:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train, **overrides))
     if args.rpn_only:
         cfg = cfg.replace(rpn_only=True)
+    if args.det_only:
+        cfg = cfg.replace(det_only=True)
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -112,6 +134,14 @@ def main(argv=None):
         from tpudet.parallel.sharding_rules import shard_train_state
 
         state = shard_train_state(mesh, state)
+
+    if args.init_from:
+        # Stage transition of the alternating schedule: previous stage's
+        # params, THIS stage's fresh optimizer/step.
+        warm = CheckpointManager(args.init_from, keep=1)
+        state = warm.restore_params(state)
+        warm.close()
+        print(f"warm-started params from {args.init_from}")
 
     ckpt = None
     if cfg.train.checkpoint_dir:

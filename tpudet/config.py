@@ -297,6 +297,15 @@ class TrainConfig:
     num_model_shards: int = 1
     # Mixed precision for the forward/backward compute path.
     bf16: bool = False
+    # Param-subtree freezing (Faster R-CNN §3.2 alternating training):
+    # slash-joined param-tree prefixes excluded from optimization — e.g.
+    # ("backbone",) for the stage-3 RPN fine-tune, ("backbone", "rpn_head")
+    # for the stage-4 detector fine-tune. Frozen leaves' gradients are
+    # zeroed at the optimizer entry (XLA then dead-code-eliminates their
+    # backward cone) and their updates are re-zeroed after weight decay, so
+    # frozen params stay bit-identical across steps. Unknown prefixes raise
+    # at optimizer init.
+    freeze: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,6 +333,13 @@ class Config:
     # Train/evaluate only the RPN branch (the reference's standalone RPN mode,
     # SURVEY.md 3e — the RPN as a class-agnostic detector).
     rpn_only: bool = False
+    # Train only the detection branch over proposals from a fixed RPN (the
+    # Fast R-CNN stage of the paper's §3.2 alternating schedule — steps 2/4;
+    # step 4 additionally freezes the backbone). Requires "rpn_head" in
+    # train.freeze: the RPN receives no loss gradient in this mode, so
+    # leaving it unfrozen would only expose it to weight decay (enforced at
+    # make_train_step). Mutually exclusive with rpn_only.
+    det_only: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

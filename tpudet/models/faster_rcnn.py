@@ -158,6 +158,10 @@ class FasterRCNN:
                 f"rpn.topk_method={cfg.rpn.topk_method!r}: expected 'exact', "
                 "'blocked', or 'approx'"
             )
+        if cfg.rpn_only and cfg.det_only:
+            raise ValueError(
+                "rpn_only and det_only are mutually exclusive training modes"
+            )
         if cfg.roi.pooler == "roi_align_window" and cfg.backbone.use_fpn:
             max_dim = _max_canvas_dim(cfg)
             # The windowed pooler's precondition: even a canvas-sized RoI
@@ -605,19 +609,28 @@ class FasterRCNN:
 
         # --- RPN targets + losses (per image, vmapped) ---
         rng_rpn, rng_roi = jax.random.split(rng)
-        rpn_keys = jax.random.split(rng_rpn, b)
-        idx, is_pos, valid, tgt_deltas = jax.vmap(
-            functools.partial(self._rpn_targets_single, anchors)
-        )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"], rpn_keys)
+        if cfg.det_only:
+            # Fast R-CNN stage of the alternating schedule (paper §3.2 steps
+            # 2/4): the RPN only SUPPLIES proposals (its params are frozen —
+            # enforced at make_train_step); no RPN targets or losses, so the
+            # whole assignment/sampling cone is never built.
+            rpn_cls = rpn_box = None
+        else:
+            rpn_keys = jax.random.split(rng_rpn, b)
+            idx, is_pos, valid, tgt_deltas = jax.vmap(
+                functools.partial(self._rpn_targets_single, anchors)
+            )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"], rpn_keys)
 
-        sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
-        sampled_deltas = jnp.take_along_axis(
-            rpn_deltas, idx[..., None], axis=1
-        )
-        rpn_cls, rpn_box = jax.vmap(
-            functools.partial(L.rpn_losses, box_weight=cfg.rpn.loss_weight_box)
-        )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
-        rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
+            sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
+            sampled_deltas = jnp.take_along_axis(
+                rpn_deltas, idx[..., None], axis=1
+            )
+            rpn_cls, rpn_box = jax.vmap(
+                functools.partial(
+                    L.rpn_losses, box_weight=cfg.rpn.loss_weight_box
+                )
+            )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
+            rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
 
         if cfg.rpn_only:
             # Standalone RPN training (reference 3e): detection branch off.
@@ -659,6 +672,17 @@ class FasterRCNN:
             cls_logits, det_deltas, tgt_cls, tgt_box, is_fg, roi_valid
         )
         det_cls, det_box = jnp.mean(det_cls), jnp.mean(det_box)
+
+        if cfg.det_only:
+            total = det_cls + det_box
+            return total, {
+                "loss": total,
+                "det_cls_loss": det_cls,
+                "det_box_loss": det_box,
+                "num_fg_rois": jnp.mean(
+                    jnp.sum(is_fg & roi_valid, axis=1).astype(jnp.float32)
+                ),
+            }
 
         total = rpn_cls + rpn_box + det_cls + det_box
         metrics = {

@@ -36,6 +36,28 @@ class CheckpointManager:
             return state
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state))
 
+    def restore_params(
+        self, state: TrainState, step: Optional[int] = None
+    ) -> TrainState:
+        """Warm-start: load ONLY params + constants from a checkpoint, keep
+        the fresh step/opt_state/rng of ``state`` — the stage transition of
+        the paper's §3.2 alternating schedule (each stage re-inits its
+        optimizer; the previous stage may have used a different freeze set,
+        so its opt_state pytree need not even match this one's). Restores
+        the raw saved tree (no template), so it works across optimizer
+        configurations; shardings are re-established by the first jitted
+        step."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise ValueError(
+                "restore_params: no checkpoint found to warm-start from"
+            )
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        return state.replace(
+            params=raw["params"], constants=raw["constants"]
+        )
+
     @property
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

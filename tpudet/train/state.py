@@ -48,12 +48,49 @@ def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     return schedule
 
 
+def freeze_mask(params, prefixes):
+    """Bool pytree matching ``params``: True where the leaf's slash-joined
+    path starts with one of ``prefixes`` (cfg.train.freeze — the paper's
+    alternating-training stage freezes). Raises on a prefix that matches no
+    leaf, so a typo fails at optimizer init instead of silently training
+    everything."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params)
+
+    def frozen(path):
+        joined = "/".join(str(p) for p in path)
+        return any(
+            joined == p or joined.startswith(p + "/") for p in prefixes
+        )
+
+    mask = {k: frozen(k) for k in flat}
+    for p in prefixes:
+        if not any(
+            "/".join(str(s) for s in k) == p
+            or "/".join(str(s) for s in k).startswith(p + "/")
+            for k in flat
+        ):
+            raise ValueError(
+                f"train.freeze prefix {p!r} matches no parameter; top-level "
+                f"subtrees: {sorted({k[0] for k in flat})}"
+            )
+    return traverse_util.unflatten_dict(mask)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = lr_schedule(cfg)
     decay_mask = lambda params: jax.tree_util.tree_map(
         lambda p: p.ndim >= 2, params
     )
     parts = []
+    frozen = None
+    if cfg.freeze:
+        frozen = lambda params: freeze_mask(params, cfg.freeze)
+        # Zero frozen grads FIRST: global-norm clipping then measures only
+        # the trainable leaves, momentum/Adam moments stay exactly zero, and
+        # the frozen backward cone becomes dead code XLA eliminates.
+        parts.append(optax.masked(optax.set_to_zero(), frozen))
     if cfg.grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     if cfg.weight_decay > 0:
@@ -66,6 +103,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         parts += [optax.adam(schedule)]
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if frozen is not None:
+        # ... and zero frozen UPDATES last, so weight decay (which adds
+        # wd * p regardless of the gradient) cannot move a frozen param:
+        # frozen leaves are bit-identical across steps.
+        parts.append(optax.masked(optax.set_to_zero(), frozen))
     return optax.chain(*parts)
 
 

@@ -29,6 +29,14 @@ def make_train_step(
     (uint8→float normalize + random flip) runs inside the same XLA program as
     the model — the batch arrives as raw uint8 canvases (4x cheaper
     host→device) and never round-trips."""
+    if cfg.det_only and "rpn_head" not in cfg.train.freeze:
+        # det_only gives the RPN zero loss gradient, so an unfrozen RPN
+        # would only be eroded by weight decay — require the freeze so the
+        # proposal distribution the detector trains against stays fixed.
+        raise ValueError(
+            "det_only training requires 'rpn_head' in train.freeze "
+            "(the RPN supplies proposals but receives no gradient)"
+        )
     tx = make_optimizer(cfg.train)
     accum = max(1, cfg.train.accum_steps)
     if accum > 1:
