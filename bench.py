@@ -99,6 +99,16 @@ def main():
         )
         if i + 1 < len(ATTEMPT_TIMEOUTS_S):
             time.sleep(RETRY_PAUSE_S)
+    # Total failure (e.g. the TPU tunnel wedged through every attempt):
+    # still emit the one JSON line so the round's bench artifact records
+    # WHY there is no number instead of being empty.
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": None,
+        "unit": "img/s",
+        "vs_baseline": None,
+        "error": "all bench attempts failed or hung (wedged TPU tunnel?)",
+    }))
     return last_rc
 
 

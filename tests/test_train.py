@@ -251,6 +251,63 @@ def test_train_step_tensor_parallel_mesh():
     assert stem.sharding.is_fully_replicated
 
 
+def test_checkpoint_roundtrip_sharded_mesh(tmp_path):
+    """Pod-scale resume (SURVEY A3): save a dp=4 x tp=2 SHARDED TrainState,
+    restore into a fresh sharded template — params equal, TP layout
+    preserved, and the restored state steps. Then restore the same
+    checkpoint into a DIFFERENT mesh shape (dp=8, no TP): orbax reshards to
+    the template's shardings, which is the elastic-recovery story for a
+    changed slice topology."""
+    from tpudet.parallel.sharding_rules import shard_train_state
+    from tpudet.train.checkpoint import CheckpointManager
+
+    cfg = small_cfg(batch_size=4)
+    model = FasterRCNN(cfg)
+    mesh = make_mesh(num_data=4, num_model=2)
+    state = shard_train_state(
+        mesh, create_train_state(model, cfg.train, jax.random.key(0))
+    )
+    step = make_train_step(model, cfg, mesh=mesh, state_example=state)
+    raw = make_train_batch(cfg, b=4)
+    batch = device_preprocess(cfg, raw, jax.random.key(0), training=False)
+    batch = shard_batch(mesh, batch)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+    assert mgr.save(state, force=True)
+    mgr.wait()
+
+    fresh = shard_train_state(
+        mesh, create_train_state(model, cfg.train, jax.random.key(7))
+    )
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 1
+    fi = jax.device_get(state.params)
+    fr = jax.device_get(restored.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fi), jax.tree_util.tree_leaves(fr)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fc1 = restored.params["det_head"]["fc1"]["kernel"]
+    assert not fc1.sharding.is_fully_replicated  # TP layout survived restore
+    restored, metrics = step(restored, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Elastic: same checkpoint into a dp=8 (TP-free) template.
+    mesh8 = make_mesh(num_data=8, num_model=1)
+    fresh8 = shard_train_state(
+        mesh8, create_train_state(model, cfg.train, jax.random.key(11))
+    )
+    restored8 = mgr.restore(fresh8)
+    mgr.close()
+    assert int(restored8.step) == 1
+    a = jax.tree_util.tree_leaves(fi)[0]
+    b = jax.tree_util.tree_leaves(jax.device_get(restored8.params))[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fc1 = restored8.params["det_head"]["fc1"]["kernel"]
+    assert fc1.sharding.is_fully_replicated  # resharded to the new template
+
+
 def test_train_step_bf16_backbone():
     """bf16 compute tier (BASELINE config 5) trains stably."""
     import dataclasses
