@@ -46,6 +46,22 @@ def test_train_cli_rpn_only(capsys):
     assert "det_cls_loss" not in out
 
 
+def test_eval_cli_proposal_recall(capsys):
+    """--metric proposal-recall: the RPN-analysis table over synthetic data
+    (forces rpn_only predict, raises post-NMS k to fill the top-k cells)."""
+    from tpudet.cli import eval as eval_cli
+
+    summary = eval_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic",
+        "--metric", "proposal-recall", "--max-images", "4", "--no-mesh",
+    ])
+    assert "recall@300_iou0.5" in summary
+    for k, v in summary.items():
+        if k.startswith("recall@"):
+            assert 0.0 <= v <= 1.0
+    assert summary["num_gt"] > 0
+
+
 def test_train_cli_alternating_stages(tmp_path, capsys):
     """Paper §3.2 alternating schedule as CLI stages: RPN-only train →
     det-only fine-tune warm-started from the stage-1 checkpoint with

@@ -370,3 +370,42 @@ def test_prepare_example_carries_gt_area():
     # Absent area -> all sentinel.
     out = prepare_example(cfg, img, boxes, classes)
     assert np.all(out["gt_area"] == -1.0)
+
+
+def test_proposal_recall_hand_built():
+    """Hand-built scene with known recall at each (k, IoU) cell."""
+    from tpudet.eval.metrics import ProposalRecallEvaluator
+
+    ev = ProposalRecallEvaluator(iou_thresholds=(0.5, 0.7), topk=(2, 10))
+    gt = np.array([[0, 0, 10, 10], [100, 100, 120, 120]], np.float32)
+    # Rank 1: exact hit on GT1. Rank 2: junk. Rank 3 (outside top-2): a
+    # ~0.57-IoU hit on GT2 ([100,100,120,113.33] vs the 20x20 GT).
+    props = np.array([
+        [0, 0, 10, 10],
+        [500, 500, 510, 510],
+        [100, 100, 120, 113.34],
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    ev.add_image(props, scores, None, gt, None)
+    s = ev.summarize()
+    assert s["recall@2_iou0.5"] == pytest.approx(0.5)
+    assert s["recall@10_iou0.5"] == pytest.approx(1.0)
+    assert s["recall@10_iou0.7"] == pytest.approx(0.5)  # 0.57 < 0.7
+    assert s["num_gt"] == 2.0
+    assert s["avg_proposals_per_image"] == pytest.approx(3.0)
+
+
+def test_proposal_recall_ignores_difficult_and_crowd():
+    from tpudet.eval.metrics import ProposalRecallEvaluator
+
+    ev = ProposalRecallEvaluator(iou_thresholds=(0.5,), topk=(5,))
+    gt = np.array([[0, 0, 10, 10], [50, 50, 60, 60], [90, 90, 95, 95]],
+                  np.float32)
+    props = np.array([[0, 0, 10, 10]], np.float32)
+    ev.add_image(props, np.array([1.0]), None, gt, None,
+                 gt_difficult=np.array([False, True, False]),
+                 gt_crowd=np.array([False, False, True]))
+    s = ev.summarize()
+    # Only GT1 counts; it is hit -> recall 1.0 with denominator 1.
+    assert s["num_gt"] == 1.0
+    assert s["recall@5_iou0.5"] == pytest.approx(1.0)

@@ -54,7 +54,13 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 f"size {mesh.shape['data']}"
             )
         sharding = batch_sharding(mesh)
-    if metric_style == "coco":
+    if metric_style == "proposal_recall":
+        # RPN analysis (paper §4): caller should evaluate with
+        # cfg.rpn_only=True so predict() emits class-agnostic proposals.
+        from tpudet.eval.metrics import ProposalRecallEvaluator
+
+        evaluator = ProposalRecallEvaluator()
+    elif metric_style == "coco":
         evaluator = CocoStyleEvaluator(cfg.data.num_classes,
                                        class_names=class_names)
     else:
@@ -174,8 +180,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--max-images", type=int, default=-1)
-    p.add_argument("--metric", default="", choices=["", "voc", "coco"],
-                   help="default: coco for COCO datasets, voc otherwise")
+    p.add_argument("--metric", default="",
+                   choices=["", "voc", "coco", "proposal-recall"],
+                   help="default: coco for COCO datasets, voc otherwise. "
+                        "proposal-recall runs the RPN-analysis table "
+                        "(recall of GT at IoU 0.5/0.7 by top-k proposals; "
+                        "forces rpn_only predict)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device eval (no data-parallel sharding)")
     p.add_argument("--save-json", default="",
@@ -222,6 +232,21 @@ def main(argv=None):
     metric = args.metric or (
         "coco" if cfg.data.dataset in ("coco", "nuimages") else "voc"
     )
+    if metric == "proposal-recall":
+        # Proposal analysis needs the RPN's class-agnostic outputs, with
+        # enough survivors to fill the top-k table (paper-canonical 300
+        # test proposals would truncate recall@1000).
+        metric = "proposal_recall"
+        import dataclasses
+
+        cfg = cfg.replace(
+            rpn_only=True,
+            rpn=dataclasses.replace(
+                cfg.rpn,
+                post_nms_topk_test=max(cfg.rpn.post_nms_topk_test, 1000),
+            ),
+        )
+        model = FasterRCNN(cfg)
     mesh = None
     # Mesh eval is single-controller only: each process evaluates the full
     # split independently (see evaluate()), so a cross-host mesh would both

@@ -3,6 +3,7 @@
 from tpudet.eval.metrics import (  # noqa: F401
     CocoStyleEvaluator,
     DetectionEvaluator,
+    ProposalRecallEvaluator,
     average_precision,
 )
 from tpudet.eval.visualize import draw_detections  # noqa: F401

@@ -398,3 +398,64 @@ class CocoStyleEvaluator:
                     else f"class_{c + 1}")
             out[f"AP/{name}"] = float(ap50[c])
         return out
+
+
+class ProposalRecallEvaluator:
+    """RPN proposal-recall analysis (Faster R-CNN §4's recall-vs-IoU /
+    recall-vs-#proposals tables): fraction of GT boxes covered by a top-k
+    (by score) proposal at IoU >= t, class-agnostic, host-side NumPy like
+    the mAP referee. Difficult/crowd GT are excluded from the denominator
+    (they are ignore-regions in both VOC and COCO protocols, so "missing"
+    them is not a miss)."""
+
+    def __init__(self, iou_thresholds=(0.5, 0.7), topk=(100, 300, 1000)):
+        self.iou_thresholds = tuple(iou_thresholds)
+        self.topk = tuple(sorted(topk))
+        self._n_gt = 0
+        self._n_images = 0
+        self._n_proposals = 0
+        self._hits = {(k, t): 0 for k in self.topk
+                      for t in self.iou_thresholds}
+
+    def add_image(self, boxes, scores, classes=None, gt_boxes=None,
+                  gt_classes=None, gt_difficult=None, gt_crowd=None, **_):
+        """Signature-compatible with the mAP evaluators (drop-in for the
+        eval CLI's accumulation loop); classes are ignored — proposals are
+        class-agnostic."""
+        del classes, gt_classes
+        boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+        scores = np.asarray(scores, np.float64).reshape(-1)
+        gt_boxes = np.asarray(gt_boxes, np.float64).reshape(-1, 4)
+        keep = np.ones(len(gt_boxes), bool)
+        if gt_difficult is not None:
+            keep &= ~np.asarray(gt_difficult, bool)
+        if gt_crowd is not None:
+            keep &= ~np.asarray(gt_crowd, bool)
+        gt_boxes = gt_boxes[keep]
+        self._n_images += 1
+        self._n_proposals += len(boxes)
+        self._n_gt += len(gt_boxes)
+        if not len(gt_boxes):
+            return
+        order = np.argsort(-scores, kind="stable")
+        boxes = boxes[order]
+        iou = _iou_matrix(boxes, gt_boxes) if len(boxes) else np.zeros(
+            (0, len(gt_boxes))
+        )
+        for k in self.topk:
+            sub = iou[:k]
+            best = sub.max(axis=0) if len(sub) else np.zeros(len(gt_boxes))
+            for t in self.iou_thresholds:
+                self._hits[(k, t)] += int((best >= t).sum())
+
+    def summarize(self) -> Dict[str, float]:
+        out = {}
+        denom = max(self._n_gt, 1)
+        for k in self.topk:
+            for t in self.iou_thresholds:
+                out[f"recall@{k}_iou{t:g}"] = self._hits[(k, t)] / denom
+        out["num_gt"] = float(self._n_gt)
+        out["avg_proposals_per_image"] = (
+            self._n_proposals / max(self._n_images, 1)
+        )
+        return out
