@@ -222,15 +222,29 @@ def test_config_overrides():
         assert c.data.num_classes in (20, 80)
 
 
-def test_train_cli_eval_during_training(capsys):
+def test_train_cli_eval_during_training(tmp_path, capsys):
     from tpudet.cli import train as train_cli
 
+    ckpt_dir = tmp_path / "ckpt"
     train_cli.main([
         "--preset", "tiny", "--dataset", "synthetic", "--steps", "4",
         "--no-mesh", "--eval-every", "4", "--eval-max-images", "4",
+        "--checkpoint-dir", str(ckpt_dir),
     ])
     out = capsys.readouterr().out
     assert "[eval step 4] mAP=" in out
+    # Reproducibility record: the fully-resolved config next to checkpoints.
+    cfg_json = json.loads((ckpt_dir / "config.json").read_text())
+    assert cfg_json["data"]["dataset"] == "synthetic"
+    assert cfg_json["train"]["total_steps"] == 4
+    # Best-by-eval-mAP checkpoint written under best/.
+    assert "-> checkpointed to best/" in out
+    assert (ckpt_dir / "best").is_dir()
+    from tpudet.train.checkpoint import CheckpointManager
+
+    best = CheckpointManager(str(ckpt_dir / "best"), keep=1)
+    assert best.latest_step == 4
+    best.close()
 
 
 def test_training_deterministic_same_seed():

@@ -149,6 +149,15 @@ def main(argv=None):
         state = ckpt.restore(state)
         if ckpt.latest_step is not None:
             print(f"restored checkpoint at step {ckpt.latest_step}")
+        # Reproducibility record: the fully-resolved config (preset +
+        # every CLI/--set override applied) next to the checkpoints.
+        import json
+        import os
+
+        os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(cfg.train.checkpoint_dir,
+                               "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, sort_keys=True)
 
     dataset = build_dataset(cfg, split="train")
     print(f"dataset: {cfg.data.dataset}, {len(dataset)} examples")
@@ -163,6 +172,8 @@ def main(argv=None):
     start = int(jax.device_get(state.step))
     eval_dataset = None
     eval_step_fn = None
+    best_ckpt = None
+    best_map = float("-inf")
     stream = iter(loader)
     for step in range(start, cfg.train.total_steps):
         batch = next(stream)
@@ -204,6 +215,25 @@ def main(argv=None):
                 eval_step=eval_step_fn,
             )
             logger.log(step + 1, {"mAP": summary["mAP"]}, prefix="eval")
+            if ckpt and summary["mAP"] > best_map:
+                # Best-by-eval-mAP tracking: one checkpoint under
+                # <checkpoint_dir>/best, overwritten whenever in-training
+                # eval improves (the deploy artifact; `latest` remains the
+                # resume artifact).
+                best_map = summary["mAP"]
+                if best_ckpt is None:
+                    import os
+
+                    best_ckpt = CheckpointManager(
+                        os.path.join(cfg.train.checkpoint_dir, "best"),
+                        keep=1,
+                    )
+                best_ckpt.save(state, force=True)
+                print(f"new best mAP {best_map:.4f} at step {step + 1} "
+                      "-> checkpointed to best/")
+    if best_ckpt:
+        best_ckpt.wait()
+        best_ckpt.close()
     if ckpt:
         ckpt.save(state, force=True)
         ckpt.wait()
