@@ -32,6 +32,18 @@ run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-s
 #    vs the b=32+remat row of the KERNELS.md batch-scaling table (71.6).
 run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2
 
+# 3b. Windowed-pooler v3 (in-kernel weight build) referee: same command as
+#     step 1's first run — compare against the 251.8 img/s v2 number in
+#     KERNELS.md (expectation: recovers part of the ~6 ms setup slice).
+#     Covered by step 1 already; listed so the KERNELS.md update remembers
+#     to attribute the delta to v3 + blocked-topk separately (step 1 run 1 =
+#     v3 alone, run 2 = v3 + blocked).
+
+# 3c. Profile capture for the unexplained ~7.7 ms "vmap/overhead" slice of
+#     the proposals stage (KERNELS.md roofline): a Perfetto/TensorBoard
+#     trace of 4 measured iterations to decompose offline.
+run python -m tpudet.cli.benchmark --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals
+
 # 4. Flagship bench sanity (BENCH_r{N} preview) + NMS kernel us/img.
 # NO outer timeout: bench.py manages its own attempt windows (12 min + 8 min
 # retry); an outer `timeout` would both make the retry unreachable and
