@@ -60,6 +60,11 @@ def test_eval_cli_proposal_recall(capsys):
         if k.startswith("recall@"):
             assert 0.0 <= v <= 1.0
     assert summary["num_gt"] > 0
+    # Regression: the CLI must lift roi.max_detections alongside
+    # post_nms_topk_test — rpn_only predict truncates to max_detections
+    # (default 100), which would silently collapse recall@300/@1000 to
+    # recall@100 (observed 192.5 proposals/img on this fixture once lifted).
+    assert summary["avg_proposals_per_image"] > 100
 
 
 def test_train_cli_alternating_stages(tmp_path, capsys):
@@ -191,6 +196,24 @@ def test_benchmark_cli_nms(capsys):
     assert parsed["metric"] == "nms_kernel_us_per_img"
 
 
+def test_benchmark_cli_trace_dir(tmp_path, capsys):
+    """--trace-dir wraps only the first MEASURED span (post-compile,
+    post-warmup) — not model build/compilation, which through a
+    remote-compile tunnel would bury the iterations the trace is for."""
+    from tpudet.cli import benchmark as bench_cli
+
+    d = tmp_path / "trace"
+    result = bench_cli.main([
+        "--preset", "tiny", "--mode", "nms", "--iters", "2",
+        "--trace-dir", str(d),
+    ])
+    assert result["value"] > 0
+    assert any(d.rglob("*"))  # a trace was written
+    # The span guard resets per main() call and fires at most once.
+    assert bench_cli._TRACED is True
+    capsys.readouterr()
+
+
 def test_benchmark_cli_infer_stream(capsys):
     from tpudet.cli import benchmark as bench_cli
 
@@ -245,6 +268,22 @@ def test_train_cli_eval_during_training(tmp_path, capsys):
     best = CheckpointManager(str(ckpt_dir / "best"), keep=1)
     assert best.latest_step == 4
     best.close()
+    # Best tracking is resume-safe: best_map.json persists the high-water
+    # mark, so a restarted job cannot overwrite a better best/ artifact
+    # with its first post-resume eval (which compares against -inf
+    # otherwise). Plant an unbeatable stored best and resume.
+    record = ckpt_dir / "best" / "best_map.json"
+    assert json.loads(record.read_text())["step"] == 4
+    record.write_text(json.dumps({"mAP": 2.0, "step": 4}))
+    train_cli.main([
+        "--preset", "tiny", "--dataset", "synthetic", "--steps", "8",
+        "--no-mesh", "--eval-every", "4", "--eval-max-images", "4",
+        "--checkpoint-dir", str(ckpt_dir),
+    ])
+    out = capsys.readouterr().out
+    assert "resumed best-mAP tracker: 2.0000" in out
+    assert "-> checkpointed to best/" not in out
+    assert json.loads(record.read_text())["mAP"] == 2.0
 
 
 def test_training_deterministic_same_seed():

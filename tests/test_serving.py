@@ -219,3 +219,26 @@ def test_tpu_platform_export_from_cpu_embeds_pallas():
     assert "tpu_custom_call" not in mixed.mlir_module()
     meta = _serving_metadata(cfg, 1, ("tpu", "cpu"))
     assert meta["pallas_embedded"] is False
+
+
+def test_mixed_platform_export_from_tpu_host_keeps_xla_paths():
+    """A mixed-platform export traced ON a TPU host must also carry the
+    portable XLA paths: host-keyed dispatch would embed Mosaic custom calls
+    that have no CPU lowering, breaking the artifact's cpu leg. Simulated by
+    tracing under assume_tpu_lowering (the same dispatch state a real TPU
+    host produces); assume_xla_lowering must take precedence."""
+    import warnings
+
+    from tpudet.kernels import assume_tpu_lowering
+    from tpudet.serving.export import export_model
+
+    cfg = tiny_test_config().replace(use_pallas=True)
+    model = FasterRCNN(cfg)
+    variables = model.init(jax.random.key(0))
+    with assume_tpu_lowering():
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            mixed = export_model(cfg, variables, batch_size=1,
+                                 platforms=("tpu", "cpu"))
+    assert any("multi-platform" in str(x.message) for x in w)
+    assert "tpu_custom_call" not in mixed.mlir_module()

@@ -148,6 +148,19 @@ def test_freeze_subtrees_bit_identical():
     # ... while the unfrozen heads actually trained.
     assert any(k.startswith("rpn_head/") for k in moved)
     assert any(k.startswith("det_head/") for k in moved)
+    # The reported grad_norm must measure the TRAINABLE leaves only (what
+    # clip_by_global_norm sees) — a raw-grad global_norm would both report
+    # a different number and keep the frozen backward cone live in XLA.
+    unfrozen_cfg = small_cfg(weight_decay=1e-2)
+    ustate = create_train_state(model, unfrozen_cfg.train, jax.random.key(0))
+    ustep = make_train_step(model, unfrozen_cfg)
+    _, umetrics = ustep(ustate, batch)
+    # Same params, same batch: the frozen run's grad_norm differs from the
+    # unfrozen run's (backbone grads excluded), and is strictly smaller.
+    frozen_state = create_train_state(model, cfg.train, jax.random.key(0))
+    _, fmetrics = step(frozen_state, batch)
+    assert float(fmetrics["grad_norm"]) < float(umetrics["grad_norm"])
+    assert float(fmetrics["grad_norm"]) > 0.0
 
 
 def test_freeze_unknown_prefix_raises():

@@ -44,8 +44,35 @@ def _make_batch(cfg, batch_size: int):
 
 # Canonical timing harness (one implementation: the axon-tunnel sync
 # workaround lives in tpudet/utils/profiling.py).
-from tpudet.utils.profiling import device_timeit as _timeit  # noqa: E402
+from tpudet.utils.profiling import device_timeit as _device_timeit  # noqa: E402
 from tpudet.utils.profiling import sync as _sync  # noqa: E402
+
+# --trace-dir plumbing: the profiler must wrap ONLY a measured span (the
+# first one per process), never config/model build, XLA compilation, or
+# warmup — through a remote-compile tunnel those take minutes and would
+# bury (or overflow right past) the handful of iterations the trace is for.
+_TRACE_DIR = ""
+_TRACED = False
+
+
+def _measured_span():
+    global _TRACED
+    if _TRACE_DIR and not _TRACED:
+        _TRACED = True
+        from tpudet.utils.profiling import trace
+
+        return trace(_TRACE_DIR)
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
+def _timeit(fn, iters: int) -> float:
+    # device_timeit's 2 internal warmup iters land inside the trace, but
+    # every bench compiles before its first _timeit span, so they are
+    # steady-state iterations, not compilation.
+    with _measured_span():
+        return _device_timeit(fn, iters)
 
 
 def _timeit_pipelined(fn, iters: int, warmup: int = 2) -> float:
@@ -58,12 +85,13 @@ def _timeit_pipelined(fn, iters: int, warmup: int = 2) -> float:
     pipeline sees, and the one reported as throughput."""
     for _ in range(warmup):
         _sync(fn())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+    with _measured_span():
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        _sync(out)
+        return (time.perf_counter() - t0) / iters
 
 
 def bench_infer(cfg, batch_size: int, iters: int) -> dict:
@@ -119,14 +147,15 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
     _sync(step(variables, next(stream)))  # compile + warm the pipeline
 
     in_flight = []
-    t0 = time.perf_counter()
-    for _ in range(num_batches):
-        in_flight.append(step(variables, next(stream)))
-        if len(in_flight) > 4:  # bound the device queue
-            _sync(in_flight.pop(0))
-    for out in in_flight:
-        _sync(out)
-    sec = (time.perf_counter() - t0) / num_batches
+    with _measured_span():
+        t0 = time.perf_counter()
+        for _ in range(num_batches):
+            in_flight.append(step(variables, next(stream)))
+            if len(in_flight) > 4:  # bound the device queue
+                _sync(in_flight.pop(0))
+        for out in in_flight:
+            _sync(out)
+        sec = (time.perf_counter() - t0) / num_batches
     ips = batch_size / sec
     per_chip = ips  # mesh-less single-chip step; see bench_infer
     return {
@@ -300,13 +329,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
-    import contextlib
-
-    from tpudet.utils.profiling import trace
-
-    ctx = trace(args.trace_dir) if args.trace_dir else contextlib.nullcontext()
-    with ctx:
-        return _run_mode(args, cfg)
+    global _TRACE_DIR, _TRACED
+    _TRACE_DIR, _TRACED = args.trace_dir, False
+    return _run_mode(args, cfg)
 
 
 def _run_mode(args, cfg):

@@ -245,6 +245,13 @@ def main(argv=None):
                 cfg.rpn,
                 post_nms_topk_test=max(cfg.rpn.post_nms_topk_test, 1000),
             ),
+            # rpn_only predict truncates its output to roi.max_detections;
+            # lift it too or recall@300/@1000 silently collapse to
+            # recall@max_detections (default 100).
+            roi=dataclasses.replace(
+                cfg.roi,
+                max_detections=max(cfg.roi.max_detections, 1000),
+            ),
         )
         model = FasterRCNN(cfg)
     mesh = None

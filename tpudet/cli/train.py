@@ -174,6 +174,19 @@ def main(argv=None):
     eval_step_fn = None
     best_ckpt = None
     best_map = float("-inf")
+    best_record = None
+    if ckpt:
+        import json
+        import os
+
+        # Resume-safe best tracking: without this, a restarted job's first
+        # post-resume eval (> -inf) would overwrite a better best/ artifact.
+        best_record = os.path.join(cfg.train.checkpoint_dir, "best",
+                                   "best_map.json")
+        if os.path.exists(best_record):
+            with open(best_record) as f:
+                best_map = float(json.load(f)["mAP"])
+            print(f"resumed best-mAP tracker: {best_map:.4f}")
     stream = iter(loader)
     for step in range(start, cfg.train.total_steps):
         batch = next(stream)
@@ -229,6 +242,10 @@ def main(argv=None):
                         keep=1,
                     )
                 best_ckpt.save(state, force=True)
+                import json
+
+                with open(best_record, "w") as f:
+                    json.dump({"mAP": best_map, "step": step + 1}, f)
                 print(f"new best mAP {best_map:.4f} at step {step + 1} "
                       "-> checkpointed to best/")
     if best_ckpt:

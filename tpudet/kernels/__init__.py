@@ -21,6 +21,7 @@ from tpudet.ops.nms import nms as _nms_jnp
 # into a cross-host export. The exporter wraps tracing in
 # ``assume_tpu_lowering`` to route dispatch by the TARGET platform.
 _FORCE_TPU_LOWERING = False
+_FORCE_XLA_LOWERING = False
 
 
 @contextlib.contextmanager
@@ -35,9 +36,27 @@ def assume_tpu_lowering():
         _FORCE_TPU_LOWERING = prev
 
 
+@contextlib.contextmanager
+def assume_xla_lowering():
+    """Force the portable XLA fallbacks for the duration. Used for
+    mixed-platform exports traced ON a TPU host: a Mosaic custom call has
+    no CPU/CUDA lowering, so a ('tpu','cpu') artifact must carry the XLA
+    paths even though the host backend is TPU. Takes precedence over
+    ``assume_tpu_lowering`` and the host backend."""
+    global _FORCE_XLA_LOWERING
+    prev = _FORCE_XLA_LOWERING
+    _FORCE_XLA_LOWERING = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA_LOWERING = prev
+
+
 def on_tpu_lowering() -> bool:
     """True when tracing/lowering targets TPU: either the host backend IS
     the TPU, or an export context declared a TPU target platform."""
+    if _FORCE_XLA_LOWERING:
+        return False
     return _FORCE_TPU_LOWERING or jax.default_backend() == "tpu"
 
 

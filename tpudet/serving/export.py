@@ -67,11 +67,14 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         "platforms": list(platforms) if platforms else None,
         "backbone": cfg.backbone.name,
         "use_fpn": bool(cfg.backbone.use_fpn),
-        # Whether the traced program embeds Pallas kernels (tracing on a TPU
-        # host, or a pure-TPU platform list under the lowering override) —
-        # lets a serving fleet audit artifacts for the fast path.
+        # Whether the traced program embeds Pallas kernels — lets a serving
+        # fleet audit artifacts for the fast path. True only for a pure-TPU
+        # platform list (lowering override) or a default-platform export
+        # from a TPU host; mixed-platform exports are forced onto the
+        # portable XLA paths even on a TPU host (a Mosaic call has no
+        # CPU/CUDA lowering), so they never embed.
         "pallas_embedded": bool(cfg.use_pallas) and (
-            _on_tpu_host() or _all_tpu(platforms)
+            _all_tpu(platforms) or (not platforms and _on_tpu_host())
         ),
     }
 
@@ -136,8 +139,7 @@ def export_model(
 
         with assume_tpu_lowering():
             return jax_export.export(jax.jit(serve), **kwargs)(*specs)
-    if (platforms and "tpu" in platforms and cfg.use_pallas
-            and jax.default_backend() != "tpu"):
+    if platforms and "tpu" in platforms and cfg.use_pallas:
         import warnings
 
         warnings.warn(
@@ -146,6 +148,18 @@ def export_model(
             "platforms=('tpu',) for peak TPU serving throughput",
             stacklevel=2,
         )
+    if len(platforms or ()) > 1 or (
+        platforms and jax.default_backend() not in platforms
+    ):
+        # A mixed-platform (or other-platform) artifact must carry the
+        # portable XLA paths on EVERY platform — but kernel dispatch keys on
+        # the host backend, so tracing on a TPU host would embed Mosaic
+        # custom calls that have no CPU/CUDA lowering. Force the XLA paths
+        # regardless of host.
+        from tpudet.kernels import assume_xla_lowering
+
+        with assume_xla_lowering():
+            return jax_export.export(jax.jit(serve), **kwargs)(*specs)
     return jax_export.export(jax.jit(serve), **kwargs)(*specs)
 
 

@@ -69,6 +69,19 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
+        if cfg.train.freeze:
+            # Zero frozen grads HERE, not only inside the optimizer chain:
+            # every later consumer (grad_norm metric, accum sum, tx.update)
+            # then sees zeros, so the frozen backward cone really is dead
+            # code XLA eliminates — a single raw-grad use (e.g. the
+            # grad_norm metric) would otherwise keep the whole frozen
+            # backward pass live and report a norm the clipper never sees.
+            from tpudet.train.state import freeze_mask
+
+            mask = freeze_mask(state.params, cfg.train.freeze)
+            grads = jax.tree.map(
+                lambda g, m: jax.numpy.zeros_like(g) if m else g, grads, mask
+            )
         return grads, metrics
 
     def step_fn(state: TrainState, batch):
