@@ -23,7 +23,7 @@ import numpy as np
 
 from tpudet.cli.common import add_common_args, config_from_args
 from tpudet.data import SyntheticDataset, DataLoader
-from tpudet.models import FasterRCNN
+from tpudet.models import build_model
 from tpudet.train.state import create_train_state
 from tpudet.train.step import make_eval_step, make_train_step
 
@@ -95,7 +95,7 @@ def _timeit_pipelined(fn, iters: int, warmup: int = 2) -> float:
 
 
 def bench_infer(cfg, batch_size: int, iters: int) -> dict:
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     step = make_eval_step(model, cfg, fused_preprocess=True)
     batch = _make_batch(cfg, batch_size)
@@ -108,7 +108,7 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
     # device_count() would under-report by 8x on a v5e-8 host).
     per_chip = ips
     return {
-        "metric": "faster_rcnn_infer_images_per_sec_per_chip",
+        "metric": f"{cfg.model}_infer_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
@@ -132,7 +132,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
     environment (~31 img/s), not the framework: host prep is ~11 ms/img
     serial (PIL resize dominated) and needs ~6 of a real TPU host's ~180
     vCPUs to saturate the 548 img/s device rate."""
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     step = make_eval_step(model, cfg, fused_preprocess=True)
     variables = state.variables
@@ -159,7 +159,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
     ips = batch_size / sec
     per_chip = ips  # mesh-less single-chip step; see bench_infer
     return {
-        "metric": "faster_rcnn_infer_stream_images_per_sec_per_chip",
+        "metric": f"{cfg.model}_infer_stream_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4),
@@ -180,7 +180,7 @@ def bench_train(cfg, batch_size: int, iters: int) -> dict:
     cfg = cfg.replace(
         train=dataclasses.replace(cfg.train, batch_size=batch_size)
     )
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     step_fn = make_train_step(model, cfg, fused_preprocess=True)
     batch = _make_batch(cfg, batch_size)
@@ -195,7 +195,7 @@ def bench_train(cfg, batch_size: int, iters: int) -> dict:
     sec = _timeit(run, iters)
     ips = batch_size / sec
     return {
-        "metric": "faster_rcnn_train_images_per_sec",
+        "metric": f"{cfg.model}_train_images_per_sec",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": 0.0,

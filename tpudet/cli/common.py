@@ -92,13 +92,37 @@ def preset_config(name: str) -> Config:
             roi=ROIConfig(pooler="roi_align_window", window=56),
         )
         return cfg
+    if name == "retinanet_tiny":
+        from tpudet.config import tiny_retinanet_config
+
+        return tiny_retinanet_config()
+    if name == "coco_retinanet_r50":
+        # Single-stage RetinaNet-R50-FPN on COCO (paper arXiv:1708.02002 §5
+        # canonical settings: P3-P7, sizes 32..512 x {2^0, 2^1/3, 2^2/3}
+        # sub-octaves x 3 ratios, 4-conv 256ch shared towers, focal
+        # alpha=0.25 gamma=2). Shares the COCO data pipeline with the
+        # Faster R-CNN presets.
+        return Config(
+            model="retinanet",
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344,
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS),
+            backbone=BackboneConfig(name="resnet50", use_fpn=True,
+                                    dtype="bfloat16"),
+            anchors=AnchorConfig(
+                fpn_strides=(8, 16, 32, 64, 128),
+                fpn_scales=(32.0, 64.0, 128.0, 256.0, 512.0),
+                fpn_octave_scales=(1.0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0)),
+            ),
+        )
     raise ValueError(f"unknown preset {name!r}")
 
 
 def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="voc_r50",
                    choices=["tiny", "voc_r50", "voc_vgg16", "coco_r50",
-                            "coco_r101_fpn"])
+                            "coco_r101_fpn", "retinanet_tiny",
+                            "coco_retinanet_r50"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

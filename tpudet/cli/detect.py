@@ -19,7 +19,7 @@ from tpudet.cli.eval import rescale_to_original
 from tpudet.data.preprocess import prepare_example
 from tpudet.data.voc import VOC_CLASSES
 from tpudet.eval.visualize import draw_detections
-from tpudet.models import FasterRCNN
+from tpudet.models import build_model
 from tpudet.train.checkpoint import CheckpointManager
 from tpudet.train.state import create_train_state
 from tpudet.train.step import make_eval_step
@@ -56,7 +56,7 @@ def main(argv=None):
     from PIL import Image
 
     image = np.asarray(Image.open(args.image).convert("RGB"))
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)

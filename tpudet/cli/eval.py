@@ -16,7 +16,7 @@ from tpudet.cli.common import add_common_args, config_from_args
 from tpudet.data import DataLoader, build_dataset
 from tpudet.data.voc import VOC_CLASSES
 from tpudet.eval.metrics import CocoStyleEvaluator, DetectionEvaluator
-from tpudet.models import FasterRCNN
+from tpudet.models import build_model
 from tpudet.train.checkpoint import CheckpointManager
 from tpudet.train.state import create_train_state
 from tpudet.train.step import make_eval_step
@@ -216,7 +216,7 @@ def main(argv=None):
             rpn=dataclasses.replace(cfg.rpn, topk_method="exact")
         )
 
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
@@ -236,6 +236,11 @@ def main(argv=None):
         # Proposal analysis needs the RPN's class-agnostic outputs, with
         # enough survivors to fill the top-k table (paper-canonical 300
         # test proposals would truncate recall@1000).
+        if cfg.model != "faster_rcnn":
+            raise SystemExit(
+                "--metric proposal-recall analyses the RPN's proposals; "
+                f"model={cfg.model!r} has no proposal stage"
+            )
         metric = "proposal_recall"
         import dataclasses
 
@@ -253,7 +258,7 @@ def main(argv=None):
                 max_detections=max(cfg.roi.max_detections, 1000),
             ),
         )
-        model = FasterRCNN(cfg)
+        model = build_model(cfg)
     mesh = None
     # Mesh eval is single-controller only: each process evaluates the full
     # split independently (see evaluate()), so a cross-host mesh would both

@@ -14,7 +14,7 @@ import jax
 import numpy as np
 
 from tpudet.cli.common import add_common_args, config_from_args
-from tpudet.models import FasterRCNN
+from tpudet.models import build_model
 from tpudet.serving import ServingModel, save_artifact
 from tpudet.train.checkpoint import CheckpointManager
 from tpudet.train.state import create_train_state
@@ -38,7 +38,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(cfg.train.seed))
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)

@@ -19,7 +19,7 @@ import numpy as np
 
 from tpudet.cli.common import add_common_args, config_from_args
 from tpudet.data import DataLoader, build_dataset
-from tpudet.models import FasterRCNN
+from tpudet.models import build_model
 from tpudet.parallel import batch_sharding, make_mesh
 from tpudet.train.checkpoint import CheckpointManager
 from tpudet.train.state import create_train_state
@@ -113,7 +113,7 @@ def main(argv=None):
         print(f"mesh: {mesh.shape}")
     print(f"devices: {devices}")
 
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
     rng = jax.random.key(cfg.train.seed)
     state = create_train_state(model, cfg.train, rng)
     if args.backbone_weights:

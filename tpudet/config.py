@@ -120,6 +120,10 @@ class AnchorConfig:
     # per-level base scale multipliers.
     fpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     fpn_scales: Tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)
+    # Per-level octave multipliers applied to each fpn_scale (RetinaNet's
+    # {2^0, 2^(1/3), 2^(2/3)} sub-octave anchors, arXiv:1708.02002 §4).
+    # The Faster R-CNN FPN protocol keeps the single (1.0,) octave.
+    fpn_octave_scales: Tuple[float, ...] = (1.0,)
 
     @property
     def num_anchors_per_cell(self) -> int:
@@ -127,7 +131,7 @@ class AnchorConfig:
 
     @property
     def num_fpn_anchors_per_cell(self) -> int:
-        return len(self.aspect_ratios)
+        return len(self.fpn_octave_scales) * len(self.aspect_ratios)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -309,6 +313,45 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RetinaNetConfig:
+    """Single-stage RetinaNet branch (Lin et al., arXiv:1708.02002 — a build
+    extra beyond the two-stage reference, demonstrating the framework's
+    components compose into other detector families): FPN P3–P7, conv heads
+    shared across levels, sigmoid focal loss over ALL anchors (no sampling —
+    the loss handles the fg/bg imbalance, which also removes the only
+    data-dependent-shape stage of two-stage training)."""
+
+    # Head towers (paper §4: four 3x3 convs at 256ch per tower, shared
+    # across pyramid levels).
+    num_convs: int = 4
+    head_channels: int = 256
+    # Classification bias init: every anchor starts predicting foreground
+    # probability prior_prob, keeping the focal loss finite at step 0 over
+    # ~100k mostly-background anchors (paper §3.3, "prior" π = 0.01).
+    prior_prob: float = 0.01
+    # Focal loss FL(p_t) = -α_t (1 − p_t)^γ log(p_t) (paper Eq. 4–5).
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # Target assignment (paper §4): fg at IoU >= 0.5, bg below 0.4, the
+    # band in between ignored; every GT also claims its best anchor
+    # (low-quality matches), same argmax rule as the RPN matcher.
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh: float = 0.4
+    # Box regression: smooth-L1 on positive anchors, normalized by the
+    # positive count like the classification term.
+    smooth_l1_beta: float = 0.11
+    loss_weight_box: float = 1.0
+    box_reg_weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # Inference (paper §4): per level, keep the top-k (anchor, class)
+    # candidates above score_thresh, decode those, then one class-aware NMS
+    # over the union of levels.
+    pre_nms_topk: int = 1000
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
 class EvalConfig:
     """mAP evaluation (SURVEY.md C20)."""
 
@@ -320,11 +363,17 @@ class EvalConfig:
 
 @dataclasses.dataclass(frozen=True)
 class Config:
+    # Detector family: "faster_rcnn" (the reference's two-stage pipeline) or
+    # "retinanet" (single-stage, FPN P3-P7 + focal loss). The rpn/roi groups
+    # configure the former, the retinanet group the latter; data/backbone/
+    # anchors/train/eval are shared.
+    model: str = "faster_rcnn"
     data: DataConfig = DataConfig()
     backbone: BackboneConfig = BackboneConfig()
     anchors: AnchorConfig = AnchorConfig()
     rpn: RPNConfig = RPNConfig()
     roi: ROIConfig = ROIConfig()
+    retinanet: RetinaNetConfig = RetinaNetConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
     # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
@@ -375,6 +424,28 @@ def tiny_test_config(
         roi=ROIConfig(fc_dim=64, batch_size_per_image=32, max_detections=20),
         train=TrainConfig(batch_size=2, checkpoint_every=10**9),
         use_pallas=False,
+    )
+
+
+def tiny_retinanet_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small RetinaNet config for unit tests / CPU: tiny backbone (c3..c5 at
+    strides 8/16/32, same as ResNet), P6/P7 grown from c5 by stride-2 convs
+    exactly like the paper's ResNet variant."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="retinanet",
+        backbone=dataclasses.replace(base.backbone, use_fpn=True),
+        anchors=AnchorConfig(
+            aspect_ratios=(0.5, 1.0, 2.0),
+            # RetinaNet levels P3..P7 on the tiny backbone's strides.
+            fpn_strides=(8, 16, 32, 64, 128),
+            fpn_scales=(16.0, 32.0, 64.0, 96.0, 128.0),
+            fpn_octave_scales=(1.0, 1.26),
+        ),
+        retinanet=RetinaNetConfig(
+            num_convs=1, head_channels=32, pre_nms_topk=64,
+            max_detections=20,
+        ),
     )
 
 

@@ -2,7 +2,22 @@
 modules in NHWC layout (TPU conv-optimal), bf16-capable compute, params f32."""
 
 from tpudet.models.resnet import ResNet, TinyBackbone, build_backbone  # noqa: F401
-from tpudet.models.fpn import FPN  # noqa: F401
+from tpudet.models.fpn import FPN, RetinaNetFPN  # noqa: F401
 from tpudet.models.rpn_head import RPNHead  # noqa: F401
 from tpudet.models.det_head import FastRCNNHead  # noqa: F401
 from tpudet.models.faster_rcnn import FasterRCNN  # noqa: F401
+from tpudet.models.retinanet import RetinaNet  # noqa: F401
+
+
+def build_model(cfg):
+    """Detector factory keyed on ``cfg.model`` — both families share the
+    ``init`` / ``loss`` / ``predict`` surface and the batch/detection dict
+    contracts, so every consumer (trainer, evaluator, serving exporter,
+    CLIs) is model-agnostic through this one switch."""
+    if cfg.model == "faster_rcnn":
+        return FasterRCNN(cfg)
+    if cfg.model == "retinanet":
+        return RetinaNet(cfg)
+    raise ValueError(
+        f"unknown model {cfg.model!r}: expected 'faster_rcnn' or 'retinanet'"
+    )

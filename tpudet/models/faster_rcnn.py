@@ -205,7 +205,10 @@ class FasterRCNN:
             if self.cfg.backbone.use_fpn:
                 shapes = [(ceil(h, s), ceil(w, s)) for s in a.fpn_strides]
                 per_level = [
-                    anchor_ops.generate_anchors_np(fh, fw, s, [sc], a.aspect_ratios)
+                    anchor_ops.generate_anchors_np(
+                        fh, fw, s, [sc * o for o in a.fpn_octave_scales],
+                        a.aspect_ratios,
+                    )
                     for (fh, fw), s, sc in zip(shapes, a.fpn_strides, a.fpn_scales)
                 ]
                 self._anchors_cache[(h, w)] = np.concatenate(per_level, axis=0)
@@ -296,7 +299,7 @@ class FasterRCNN:
             canvas_hw = (self.cfg.data.canvas_height, self.cfg.data.canvas_width)
         h, w = int(canvas_hw[0]), int(canvas_hw[1])
         a = self.cfg.anchors
-        per_cell = len(a.aspect_ratios)
+        per_cell = a.num_fpn_anchors_per_cell
         return [(-(-h // s)) * (-(-w // s)) * per_cell for s in a.fpn_strides]
 
     def _generate_proposals_single_fpn(

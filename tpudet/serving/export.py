@@ -53,8 +53,12 @@ def _canvas_buckets(cfg) -> Tuple[Tuple[int, int], ...]:
 def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
     d = cfg.data
     buckets = _canvas_buckets(cfg)
+    # Postprocess knobs live in the family-specific config group.
+    pp = cfg.retinanet if getattr(cfg, "model", "faster_rcnn") == "retinanet" \
+        else cfg.roi
     return {
         "artifact_version": ARTIFACT_VERSION,
+        "model": getattr(cfg, "model", "faster_rcnn"),
         "batch_size": int(batch_size),
         "canvas_height": buckets[0][0],
         "canvas_width": buckets[0][1],
@@ -62,8 +66,8 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         "min_size": int(d.min_size),
         "max_size": int(d.max_size),
         "num_classes": int(d.num_classes),
-        "max_detections": int(cfg.roi.max_detections),
-        "score_thresh": float(cfg.roi.score_thresh),
+        "max_detections": int(pp.max_detections),
+        "score_thresh": float(pp.score_thresh),
         "platforms": list(platforms) if platforms else None,
         "backbone": cfg.backbone.name,
         "use_fpn": bool(cfg.backbone.use_fpn),
@@ -109,9 +113,9 @@ def export_model(
     from jax import export as jax_export
 
     from tpudet.data.preprocess import device_preprocess
-    from tpudet.models import FasterRCNN
+    from tpudet.models import build_model
 
-    model = FasterRCNN(cfg)
+    model = build_model(cfg)
 
     def serve(image, image_hw):
         batch = device_preprocess(

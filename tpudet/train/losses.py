@@ -60,6 +60,51 @@ def rpn_losses(
     return cls_loss, box_weight * box_loss
 
 
+def retinanet_losses(
+    cls_logits: jnp.ndarray,      # [N, C] per-anchor per-class logits
+    deltas: jnp.ndarray,          # [N, 4] predicted deltas
+    target_classes: jnp.ndarray,  # [N] int32, 0 = background, 1..C fg
+    target_deltas: jnp.ndarray,   # [N, 4] encoded GT (valid on positives)
+    labels: jnp.ndarray,          # [N] int32 — 1 fg, 0 bg, -1 ignored
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    box_weight: float = 1.0,
+    beta: float = 0.11,
+):
+    """RetinaNet losses (arXiv:1708.02002 Eq. 4–5): sigmoid focal loss over
+    ALL non-ignored anchors + smooth-L1 on the positives' deltas, both
+    normalized by the positive count (the paper's normalization — the focal
+    term already downweights the ~100k easy negatives, so no sampling).
+
+    Stable focal form: per-class BCE-with-logits x α_t (1 − p_t)^γ, with
+    p_t = p on the target-class element and 1 − p elsewhere. Safe for
+    zero-positive images (normalizer clamped to 1, box term 0)."""
+    n, num_classes = cls_logits.shape
+    use = (labels >= 0).astype(jnp.float32)  # ignored anchors drop out
+    pos = (labels == 1).astype(jnp.float32)
+    num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+
+    # One-hot fg targets: background rows are all-zeros (pure negatives).
+    onehot = (
+        jax.nn.one_hot(target_classes - 1, num_classes, dtype=jnp.float32)
+        * pos[:, None]
+    )
+    bce = (
+        jnp.maximum(cls_logits, 0)
+        - cls_logits * onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    )
+    p = jax.nn.sigmoid(cls_logits)
+    p_t = p * onehot + (1.0 - p) * (1.0 - onehot)
+    alpha_t = alpha * onehot + (1.0 - alpha) * (1.0 - onehot)
+    focal = alpha_t * jnp.power(1.0 - p_t, gamma) * bce  # [N, C]
+    cls_loss = jnp.sum(focal * use[:, None]) / num_pos
+
+    box_per = jnp.sum(smooth_l1(deltas, target_deltas, beta), axis=-1)
+    box_loss = jnp.sum(box_per * pos) / num_pos
+    return cls_loss, box_weight * box_loss
+
+
 def detection_losses(
     cls_logits: jnp.ndarray,     # [R, C+1]
     deltas: jnp.ndarray,         # [R, C_box, 4] (C_box = C or 1 if agnostic)
