@@ -79,3 +79,10 @@ m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
 dets = m.detect([np.zeros((100, 120, 3), np.uint8)])
 print('cross-host artifact ran on TPU:', type(dets), len(dets))
 " 2>&1 | tail -2 | tee -a "$log"
+
+# 7. RetinaNet family on the real chip: first measured numbers for the
+#    single-stage path (R50-FPN COCO preset, bf16). Infer b=32 + train b=8;
+#    the interesting comparison is vs coco_r101_fpn's 251.8 infer (smaller
+#    backbone, no RoI stage, but 9 anchors/cell heads on P3's 168x168 grid).
+run python -m tpudet.cli.benchmark --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8

@@ -160,6 +160,30 @@ def test_loss_decreases_and_trains():
 
 
 @pytest.mark.slow
+def test_train_step_data_parallel_mesh():
+    """The new family composes with the shared mesh machinery: 8 fake CPU
+    devices, batch sharded on 'data', params replicated, XLA grad psum."""
+    from tpudet.parallel import make_mesh, shard_batch
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = tiny_retinanet_config()
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, batch_size=8))
+    model = build_model(cfg)
+    mesh = make_mesh(num_data=8)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg, mesh=mesh)
+    batch = shard_batch(mesh, make_batch(cfg, batch_size=8))
+    state = jax.device_put(state, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec()))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
 def test_train_and_eval_cli_smoke(capsys):
     from tpudet.cli import eval as eval_cli
     from tpudet.cli import train as train_cli

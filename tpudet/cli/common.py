@@ -13,6 +13,7 @@ from tpudet.config import (
     DataConfig,
     ROIConfig,
     RPNConfig,
+    TrainConfig,
     apply_overrides,
     tiny_test_config,
 )
@@ -114,6 +115,10 @@ def preset_config(name: str) -> Config:
                 fpn_scales=(32.0, 64.0, 128.0, 256.0, 512.0),
                 fpn_octave_scales=(1.0, 2 ** (1.0 / 3.0), 2 ** (2.0 / 3.0)),
             ),
+            # Focal-loss training needs grad clipping (see
+            # tiny_retinanet_config: sparse-positive batches spike the
+            # 1/num_pos-normalized gradient into divergence unclipped).
+            train=TrainConfig(grad_clip_norm=10.0),
         )
     raise ValueError(f"unknown preset {name!r}")
 

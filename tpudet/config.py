@@ -442,10 +442,19 @@ def tiny_retinanet_config(canvas: int = 128, num_classes: int = 3) -> Config:
             fpn_scales=(16.0, 32.0, 64.0, 96.0, 128.0),
             fpn_octave_scales=(1.0, 1.26),
         ),
+        # 2x64 towers: the 1x32 head optimizes fine on a fixed batch but
+        # generalizes an order of magnitude slower from scratch (CPU study:
+        # mAP 0.0001 vs 0.164 at 3000 steps, same budget otherwise).
         retinanet=RetinaNetConfig(
-            num_convs=1, head_channels=32, pre_nms_topk=64,
+            num_convs=2, head_channels=64, pre_nms_topk=64,
             max_detections=20,
         ),
+        # Focal-loss training needs clipping: the per-image 1/num_pos
+        # normalizer amplifies sparse-positive batches into grad spikes
+        # (observed: norm 5 -> 118 -> 1.3e4 -> NaN within 20 steps on this
+        # config unclipped — the TF OD API ships RetinaNet with clip 10 for
+        # the same reason).
+        train=dataclasses.replace(base.train, grad_clip_norm=10.0),
     )
 
 

@@ -62,15 +62,20 @@ class RetinaNetHead(nn.Module):
     def __call__(self, feat: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cls = feat
         box = feat
+        # Tower convs keep the default (variance-preserving) init — the
+        # classic all-σ=0.01 init shrinks activations ~O(σ·sqrt(fan_in)) per
+        # layer, which starves the weight gradients and leaves predictions
+        # spatially uniform for hundreds of steps (measured on the tiny
+        # config: p stuck within 0.005 of the prior after 400 steps). Only
+        # the OUTPUT convs use σ=0.01 + the prior bias, same pattern as
+        # RPNHead.
         for i in range(self.num_convs):
             cls = nn.relu(nn.Conv(
                 self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-                kernel_init=nn.initializers.normal(0.01),
                 name=f"cls_conv{i}",
             )(cls))
             box = nn.relu(nn.Conv(
                 self.channels, (3, 3), padding="SAME", dtype=self.dtype,
-                kernel_init=nn.initializers.normal(0.01),
                 name=f"box_conv{i}",
             )(box))
         # -log((1-pi)/pi) puts every anchor's initial fg probability at
