@@ -37,6 +37,7 @@ from tpudet.models.fpn import RetinaNetFPN
 from tpudet.models.resnet import build_backbone
 from tpudet.ops import anchors as anchor_ops
 from tpudet.ops import boxes as box_ops
+from tpudet.ops import selection
 from tpudet.ops.matchers import match_boxes
 from tpudet.train import losses as L
 
@@ -279,7 +280,13 @@ class RetinaNet:
             # Static slice: level sizes are trace-time Python ints.
             lvl_logits = cls_logits[offset:offset + n].reshape(-1)  # [n*C]
             k = min(r.pre_nms_topk, lvl_logits.shape[0])
-            top_logits, flat_idx = jax.lax.top_k(lvl_logits, k)
+            # The flattened (anchor, class) vector is huge at COCO scale
+            # (P3 at 1344px: 254k anchors x 80 classes = 20.3M entries) —
+            # one lax.top_k sort of that width is the worst case the
+            # blocked exact selector was built for (bit-identical to
+            # lax.top_k incl. tie order; falls back when blocking can't
+            # win, e.g. the tiny test configs).
+            top_logits, flat_idx = selection.blocked_top_k(lvl_logits, k)
             anchor_idx = offset + flat_idx // num_classes
             cls_idx = (flat_idx % num_classes).astype(jnp.int32)
             scores = jax.nn.sigmoid(top_logits)
