@@ -93,6 +93,22 @@ def preset_config(name: str) -> Config:
             roi=ROIConfig(pooler="roi_align_window", window=56),
         )
         return cfg
+    if name == "coco_maskrcnn_r50_fpn":
+        # Mask R-CNN (arXiv:1703.06870 §4.1 canonical: R50-FPN, 14²-pooled
+        # mask branch, 4-conv 256ch FCN + deconv to 28² per-class masks):
+        # the coco FPN pipeline + mask loading + the mask group's defaults.
+        import dataclasses as _dc
+
+        base = preset_config("coco_r101_fpn")
+        return base.replace(
+            model="mask_rcnn",
+            backbone=_dc.replace(base.backbone, name="resnet50"),
+            data=_dc.replace(base.data, load_masks=True),
+        )
+    if name == "maskrcnn_tiny":
+        from tpudet.config import tiny_maskrcnn_config
+
+        return tiny_maskrcnn_config()
     if name == "retinanet_tiny":
         from tpudet.config import tiny_retinanet_config
 
@@ -127,7 +143,8 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default="voc_r50",
                    choices=["tiny", "voc_r50", "voc_vgg16", "coco_r50",
                             "coco_r101_fpn", "retinanet_tiny",
-                            "coco_retinanet_r50"])
+                            "coco_retinanet_r50", "maskrcnn_tiny",
+                            "coco_maskrcnn_r50_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

@@ -40,7 +40,10 @@ def detect_image(cfg, model, variables, image: np.ndarray):
     boxes = rescale_to_original(
         out["boxes"][0][valid], ex["image_scale"], ex["orig_hw"]
     )
-    return boxes, out["scores"][0][valid], out["classes"][0][valid]
+    # Box-frame mask probabilities (Mask R-CNN): rescaling to original
+    # coordinates is carried entirely by the boxes.
+    masks = out["masks"][0][valid] if "masks" in out else None
+    return boxes, out["scores"][0][valid], out["classes"][0][valid], masks
 
 
 def main(argv=None):
@@ -61,11 +64,16 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)
 
-    boxes, scores, classes = detect_image(cfg, model, state.variables, image)
+    boxes, scores, classes, masks = detect_image(
+        cfg, model, state.variables, image
+    )
     keep = scores >= args.score_thresh
     boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
+    if masks is not None:
+        masks = masks[keep]
     names = VOC_CLASSES if cfg.data.dataset == "voc" else None
-    annotated = draw_detections(image, boxes, classes, scores, names)
+    annotated = draw_detections(image, boxes, classes, scores, names,
+                                masks=masks)
 
     Image.fromarray(annotated).save(args.output)
     print(f"{len(boxes)} detections -> {args.output}")

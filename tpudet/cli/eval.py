@@ -68,6 +68,26 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
             cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
             interpolation=cfg.eval.ap_interpolation, class_names=class_names,
         )
+    # Instance segmentation (Mask R-CNN): a second evaluator of the same
+    # protocol matching on pasted-mask IoU; its metrics land under "segm/"
+    # (the box metrics keep their plain names — they are the parity
+    # referee's). Needs data.load_masks so GT crops ride in the batch.
+    segm_evaluator = None
+    if cfg.model == "mask_rcnn" and metric_style in ("voc", "coco"):
+        if not cfg.data.load_masks:
+            print("eval: model emits masks but data.load_masks=False — "
+                  "skipping segm mAP (no GT masks in the batch)")
+        elif metric_style == "coco":
+            segm_evaluator = CocoStyleEvaluator(
+                cfg.data.num_classes, class_names=class_names,
+                iou_type="segm",
+            )
+        else:
+            segm_evaluator = DetectionEvaluator(
+                cfg.data.num_classes, iou_thresh=cfg.eval.iou_thresh,
+                interpolation=cfg.eval.ap_interpolation,
+                class_names=class_names, iou_type="segm",
+            )
     # Explicitly unsharded: every process evaluates the FULL split (the
     # evaluator has no cross-process aggregation; identical full-split
     # numbers on each host beat silently-partial per-host numbers).
@@ -147,15 +167,28 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 # rescaled-to-original boxes used here.
                 extra["gt_area"] = (None if gt_area is None
                                     else gt_area[i][gt_valid])
-            evaluator.add_image(
-                boxes, out["scores"][i][valid], out["classes"][i][valid],
-                gt_boxes, batch["gt_classes"][i][gt_valid],
+            common = dict(
                 gt_difficult=None if gt_difficult is None
                 else gt_difficult[i][gt_valid],
                 gt_crowd=None if gt_crowd is None
                 else gt_crowd[i][gt_valid],
-                **extra,
             )
+            evaluator.add_image(
+                boxes, out["scores"][i][valid], out["classes"][i][valid],
+                gt_boxes, batch["gt_classes"][i][gt_valid],
+                **common, **extra,
+            )
+            if segm_evaluator is not None:
+                # Masks are box-frame, so the original-coordinate rescale is
+                # carried entirely by the boxes; the crops paste unchanged.
+                segm_evaluator.add_image(
+                    boxes, out["scores"][i][valid],
+                    out["classes"][i][valid],
+                    gt_boxes, batch["gt_classes"][i][gt_valid],
+                    pred_masks=out["masks"][i][valid],
+                    gt_masks=batch["gt_masks"][i][gt_valid],
+                    **common, **extra,
+                )
         if 0 <= max_images <= seen:
             break
     del pending, stream
@@ -167,6 +200,10 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
         if verbose:
             print(f"wrote {len(results)} detections to {save_json}")
     summary = evaluator.summarize()
+    if segm_evaluator is not None:
+        summary.update({
+            f"segm/{k}": v for k, v in segm_evaluator.summarize().items()
+        })
     if verbose:
         for k, v in sorted(summary.items()):
             print(f"{k}: {v:.4f}")

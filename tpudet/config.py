@@ -68,6 +68,13 @@ class DataConfig:
     # bit-stable cross-machine eval comparisons set this False or
     # decoder="pil".
     fast_jpeg_scale: bool = True
+    # Instance masks (Mask R-CNN branch): when True the loader emits
+    # ``gt_masks`` [max_gt_boxes, gt_mask_size, gt_mask_size] uint8 —
+    # each GT's mask rasterized in its own box frame (resize-invariant,
+    # ~12 KB/instance instead of O(canvas) full-image masks; see
+    # tpudet/data/masks.py). Datasets without mask annotations emit zeros.
+    load_masks: bool = False
+    gt_mask_size: int = 112
 
 
 @dataclasses.dataclass(frozen=True)
@@ -352,6 +359,35 @@ class RetinaNetConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MaskConfig:
+    """Mask R-CNN instance-segmentation branch (He et al., arXiv:1703.06870
+    — a build extra beyond the box-only reference, demonstrating the RoI
+    machinery extends to per-pixel prediction): a small FCN over RoI features
+    predicting one m x m sigmoid mask per class, trained with per-pixel BCE
+    on the matched class only (§3, "decoupled mask and class prediction").
+
+    TPU-first formulation: mask targets are computed ON DEVICE from the
+    loader's box-frame GT crops with a separable bilinear einsum
+    (ops/masks.py) — no dynamic shapes anywhere; the head runs on exactly
+    the foreground-capable prefix of the RoI sample (the balanced sampler
+    emits positives first), a static count."""
+
+    # FCN tower (paper §3 / Detectron: four 3x3 convs at 256ch + 2x deconv).
+    num_convs: int = 4
+    conv_channels: int = 256
+    # RoI features pooled at this resolution for the mask branch (paper: 14,
+    # vs 7 for the box head); the deconv doubles it, so predicted masks are
+    # [2 * roi_output_size]² per class (28² canonically).
+    roi_output_size: int = 14
+    loss_weight: float = 1.0
+    # Class-agnostic masks (one mask instead of one per class): nearly as
+    # accurate per the paper (§4.3) and C× cheaper in head FLOPs/params.
+    class_agnostic: bool = False
+    # Binarization threshold when pasting predicted masks (eval/visualize).
+    binarize_thresh: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
 class EvalConfig:
     """mAP evaluation (SURVEY.md C20)."""
 
@@ -363,10 +399,11 @@ class EvalConfig:
 
 @dataclasses.dataclass(frozen=True)
 class Config:
-    # Detector family: "faster_rcnn" (the reference's two-stage pipeline) or
-    # "retinanet" (single-stage, FPN P3-P7 + focal loss). The rpn/roi groups
-    # configure the former, the retinanet group the latter; data/backbone/
-    # anchors/train/eval are shared.
+    # Detector family: "faster_rcnn" (the reference's two-stage pipeline),
+    # "mask_rcnn" (two-stage + instance-mask FCN branch), or "retinanet"
+    # (single-stage, FPN P3-P7 + focal loss). The rpn/roi groups configure
+    # the two-stage families (mask adds the mask group), the retinanet group
+    # the single-stage one; data/backbone/anchors/train/eval are shared.
     model: str = "faster_rcnn"
     data: DataConfig = DataConfig()
     backbone: BackboneConfig = BackboneConfig()
@@ -374,6 +411,7 @@ class Config:
     rpn: RPNConfig = RPNConfig()
     roi: ROIConfig = ROIConfig()
     retinanet: RetinaNetConfig = RetinaNetConfig()
+    mask: MaskConfig = MaskConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
     # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
@@ -455,6 +493,17 @@ def tiny_retinanet_config(canvas: int = 128, num_classes: int = 3) -> Config:
         # config unclipped — the TF OD API ships RetinaNet with clip 10 for
         # the same reason).
         train=dataclasses.replace(base.train, grad_clip_norm=10.0),
+    )
+
+
+def tiny_maskrcnn_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small Mask R-CNN config for unit tests / CPU: the tiny two-stage
+    config + mask loading and a narrow mask FCN."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="mask_rcnn",
+        data=dataclasses.replace(base.data, load_masks=True, gt_mask_size=28),
+        mask=MaskConfig(num_convs=2, conv_channels=32, roi_output_size=7),
     )
 
 

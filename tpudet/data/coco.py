@@ -84,7 +84,7 @@ class CocoDataset:
         return im["height"], im["width"]
 
     def _annotations(self, anns):
-        boxes, classes, crowd, areas = [], [], [], []
+        boxes, classes, crowd, areas, masks = [], [], [], [], []
         for ann in anns:
             x, y, w, h = ann["bbox"]
             boxes.append([x, y, x + w, y + h])
@@ -95,11 +95,17 @@ class CocoDataset:
             # objects) — carry it through for protocol-exact size-stratified
             # metrics. Box area is the fallback for malformed annotations.
             areas.append(float(ann.get("area", w * h)))
+            # Instance mask rep (Mask R-CNN branch): polygon list or RLE
+            # dict, consumed lazily by data/masks.py only when
+            # cfg.data.load_masks — carrying the raw rep costs nothing
+            # (it's already parsed in the annotation blob).
+            masks.append(ann.get("segmentation") or None)
         return (
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32),
             np.asarray(crowd, bool),
             np.asarray(areas, np.float32),
+            masks,
         )
 
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
@@ -109,7 +115,7 @@ class CocoDataset:
         img = Image.open(
             os.path.join(self.image_dir, im["file_name"])
         ).convert("RGB")
-        boxes, classes, crowd, areas = self._annotations(anns)
+        boxes, classes, crowd, areas, masks = self._annotations(anns)
         return {
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
@@ -119,6 +125,7 @@ class CocoDataset:
             "difficult": crowd,
             "crowd": crowd,
             "area": areas,
+            "masks": masks,
             "id": im["id"],
         }
 
@@ -128,7 +135,7 @@ class CocoDataset:
         im, anns = self.examples[index]
         with open(os.path.join(self.image_dir, im["file_name"]), "rb") as f:
             jpeg = f.read()
-        boxes, classes, crowd, areas = self._annotations(anns)
+        boxes, classes, crowd, areas, masks = self._annotations(anns)
         return {"jpeg": jpeg, "boxes": boxes, "classes": classes,
                 "difficult": crowd, "crowd": crowd, "area": areas,
-                "id": im["id"]}
+                "masks": masks, "id": im["id"]}

@@ -250,6 +250,7 @@ class DataLoader:
                         difficult=ex.get("difficult"),
                         crowd=ex.get("crowd"),
                         area=ex.get("area"),
+                        masks=ex.get("masks"),
                     )
                 except NativeDecodeError:
                     # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
@@ -270,6 +271,7 @@ class DataLoader:
                 difficult=ex.get("difficult"),
                 crowd=ex.get("crowd"),
                 area=ex.get("area"),
+                masks=ex.get("masks"),
             )
         examples = list(pool.map(one, indices))
         shapes = {tuple(ex["image"].shape) for ex in examples}

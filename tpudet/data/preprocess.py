@@ -80,6 +80,7 @@ def _finalize_example(
     difficult: np.ndarray | None,
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
+    masks=None,
 ) -> Dict[str, np.ndarray]:
     """Shared tail of the host front-end: pack GT to fixed shapes + scale
     boxes by the exact per-axis resize factors (rounding differs per axis).
@@ -88,7 +89,13 @@ def _finalize_example(
     (COCO's segmentation area — usually smaller than the box area for
     thin/diagonal objects); the COCO evaluator bins GT by it, exactly as
     pycocotools does. -1 marks "no annotation area" (VOC) and the evaluator
-    falls back to box area."""
+    falls back to box area.
+
+    ``masks`` (only consulted when ``cfg.load_masks``) is a per-instance
+    list of mask reps in ORIGINAL-image coordinates (full ndarray / COCO
+    polygons / RLE dict / None — see ``tpudet.data.masks``); each is
+    rasterized into its ORIGINAL box's frame at ``cfg.gt_mask_size`` — the
+    crop is box-frame normalized, so the resize-to-canvas never touches it."""
     g = cfg.max_gt_boxes
     gt_boxes = np.zeros((g, 4), np.float32)
     gt_classes = np.zeros((g,), np.int32)
@@ -127,6 +134,21 @@ def _finalize_example(
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
 
+    if getattr(cfg, "load_masks", False):
+        from tpudet.data.masks import crop_instances
+
+        m = cfg.gt_mask_size
+        gt_masks = np.zeros((g, m, m), np.uint8)
+        if n:
+            # Crops are rasterized against the ORIGINAL-coordinate boxes:
+            # box-frame normalization makes them resize-invariant.
+            gt_masks[:n] = crop_instances(
+                None if masks is None else masks[:n], boxes[:n], m
+            )
+        out_masks = gt_masks
+    else:
+        out_masks = None
+
     return {
         "image": canvas,
         "image_hw": np.asarray([nh, nw], np.float32),
@@ -138,6 +160,7 @@ def _finalize_example(
         "gt_difficult": gt_difficult,
         "gt_crowd": gt_crowd,
         "gt_area": gt_area,
+        **({"gt_masks": out_masks} if out_masks is not None else {}),
     }
 
 
@@ -149,6 +172,7 @@ def prepare_example(
     difficult: np.ndarray | None = None,
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
+    masks=None,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
 
@@ -167,7 +191,8 @@ def prepare_example(
     canvas = np.zeros((ch, cw, 3), np.uint8)
     canvas[:nh, :nw] = image
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
+        masks=masks,
     )
 
 
@@ -179,6 +204,7 @@ def prepare_example_jpeg(
     difficult: np.ndarray | None = None,
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
+    masks=None,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
     JPEG decode (DCT-scaled when ``fast_jpeg_scale``), resize, and canvas pad
@@ -195,7 +221,8 @@ def prepare_example_jpeg(
         fast_dct_scale=cfg.fast_jpeg_scale,
     )
     return _finalize_example(
-        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area
+        cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
+        masks=masks,
     )
 
 
@@ -243,8 +270,22 @@ def device_preprocess(
         )
         image = jnp.where(do_flip[:, None, None, None], f_img, image)
         gt_boxes = jnp.where(do_flip[:, None, None], f_boxes, gt_boxes)
+        if "gt_masks" in batch:
+            # Box-frame crops are resize-invariant but NOT flip-invariant:
+            # mirroring the image mirrors each instance within its own
+            # (mirrored) box, so the crop flips left-right.
+            gm = batch["gt_masks"]
+            out_masks = jnp.where(
+                do_flip[:, None, None, None], gm[:, :, :, ::-1], gm
+            )
+        else:
+            out_masks = None
+    else:
+        out_masks = None
 
     out = dict(batch)
+    if out_masks is not None:
+        out["gt_masks"] = out_masks
     normalized = (image - mean) / std
     # Emit the image directly in the backbone's compute dtype: the backbone
     # casts on entry anyway, and writing/re-reading the [B, H, W, 3] canvas

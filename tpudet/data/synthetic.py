@@ -34,12 +34,21 @@ class SyntheticDataset:
         image_size: int = 256,
         max_objects: int = 4,
         seed: int = 0,
+        with_masks: bool = False,
     ):
+        """``with_masks`` draws objects as filled ELLIPSES inscribed in their
+        boxes (instead of full rectangles) and emits per-instance full-image
+        binary masks — so the instance-segmentation branch has pixel-accurate
+        GT that genuinely differs from the box fill (a mask head that just
+        predicts the box scores ~(pi/4)² IoU against an ellipse). The rng
+        draw order is identical to the rectangle mode, so boxes/classes per
+        (seed, index) are unchanged."""
         self.num_classes = num_classes
         self.num_examples = num_examples
         self.image_size = image_size
         self.max_objects = max_objects
         self.seed = seed
+        self.with_masks = with_masks
 
     def __len__(self) -> int:
         return self.num_examples
@@ -54,7 +63,7 @@ class SyntheticDataset:
         image = rng.integers(90, 130, (s, s, 3)).astype(np.uint8)
 
         n = int(rng.integers(1, self.max_objects + 1))
-        boxes, classes = [], []
+        boxes, classes, masks = [], [], []
         for _ in range(n):
             w = int(rng.integers(s // 8, s // 2))
             h = int(rng.integers(s // 8, s // 2))
@@ -63,14 +72,30 @@ class SyntheticDataset:
             c = int(rng.integers(1, self.num_classes + 1))
             color = _COLORS[(c - 1) % len(_COLORS)]
             jitter = rng.integers(-15, 16, 3)
-            image[y1 : y1 + h, x1 : x1 + w] = np.clip(
-                color.astype(int) + jitter, 0, 255
-            ).astype(np.uint8)
+            fill = np.clip(color.astype(int) + jitter, 0, 255).astype(np.uint8)
+            if self.with_masks:
+                # Filled ellipse inscribed in the box (pixel-center test).
+                yy, xx = np.mgrid[y1 : y1 + h, x1 : x1 + w]
+                cy, cx = y1 + h / 2.0, x1 + w / 2.0
+                inside = (
+                    ((xx + 0.5 - cx) / (w / 2.0)) ** 2
+                    + ((yy + 0.5 - cy) / (h / 2.0)) ** 2
+                ) <= 1.0
+                region = image[y1 : y1 + h, x1 : x1 + w]
+                region[inside] = fill
+                mask = np.zeros((s, s), np.uint8)
+                mask[y1 : y1 + h, x1 : x1 + w] = inside
+                masks.append(mask)
+            else:
+                image[y1 : y1 + h, x1 : x1 + w] = fill
             boxes.append([x1, y1, x1 + w, y1 + h])
             classes.append(c)
 
-        return {
+        out = {
             "image": image,
             "boxes": np.asarray(boxes, np.float32),
             "classes": np.asarray(classes, np.int32),
         }
+        if self.with_masks:
+            out["masks"] = masks
+        return out

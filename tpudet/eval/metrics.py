@@ -46,6 +46,42 @@ def _iou_matrix(
                      where=union > 0)
 
 
+def _paste_for_segm(pred_boxes, pred_masks, gt_boxes, gt_masks):
+    """Paste box-frame masks once per image for segm-IoU evaluation.
+
+    Returns (pasted_dets, pasted_gts, det_areas, gt_areas) — areas are mask
+    pixel counts (pycocotools computes segm areas from the mask RLE, not the
+    box). Deviation note: GT here is the loader's fixed-resolution box-frame
+    crop, so areas/IoUs are those of the re-pasted crop rather than the
+    original full-resolution polygon — at gt_mask_size=112 the discrepancy
+    is sub-pixel for typical objects."""
+    from tpudet.data.masks import paste_mask, pasted_area
+
+    if pred_masks is None or gt_masks is None:
+        raise ValueError(
+            "iou_type='segm' needs pred_masks and gt_masks in add_image"
+        )
+    pd = [paste_mask(m, b) for m, b in zip(pred_masks, pred_boxes)]
+    pg = [paste_mask(m, b) for m, b in zip(gt_masks, gt_boxes)]
+    d_areas = np.asarray([pasted_area(p) for p in pd])
+    g_areas = np.asarray([pasted_area(p) for p in pg])
+    return pd, pg, d_areas, g_areas
+
+
+def _segm_iou(pasted_d, pasted_g, det_mask, order, gt_mask, g_crowd):
+    """Per-class segm-IoU matrix from the image's pre-pasted masks:
+    subset detections (score-ordered) and GT of this class."""
+    from tpudet.data.masks import pasted_iou_matrix
+
+    d_idx = np.flatnonzero(det_mask)[order]
+    g_idx = np.flatnonzero(gt_mask)
+    return pasted_iou_matrix(
+        [pasted_d[i] for i in d_idx],
+        [pasted_g[j] for j in g_idx],
+        g_crowd,
+    )
+
+
 def _match_dets(
     iou: Optional[np.ndarray],   # [D, G] for this class (score-sorted rows)
     g_ignore: np.ndarray,        # [G]
@@ -173,18 +209,27 @@ class DetectionEvaluator:
         class_names: Optional[Sequence[str]] = None,
         mode: str = "voc",
         area_range: Optional[tuple] = None,
+        iou_type: str = "bbox",
     ):
         """``mode="voc"`` (default) is the reference parity protocol;
         ``mode="coco"`` follows pycocotools matching — see module docstring.
         ``area_range=(lo, hi)`` marks GT with box area outside the range as
         ignored (COCO's AP_small/medium/large) and, in COCO mode, ignores
-        unmatched out-of-range detections instead of counting them as FPs."""
+        unmatched out-of-range detections instead of counting them as FPs.
+        ``iou_type="segm"`` matches on MASK IoU (Mask R-CNN instance
+        segmentation): ``add_image`` then requires ``pred_masks``/
+        ``gt_masks`` box-frame crops, pasted once per image
+        (data/masks.py) with intersections computed only over window
+        overlaps — matching semantics are otherwise identical."""
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(f"iou_type must be 'bbox' or 'segm', got {iou_type!r}")
         self.num_classes = num_classes
         self.iou_thresh = iou_thresh
         self.interpolation = interpolation
         self.class_names = class_names
         self.mode = mode
         self.area_range = area_range
+        self.iou_type = iou_type
         # Per class: score list, tp list (parallel), and positive-GT count.
         self._scores: List[List[float]] = [[] for _ in range(num_classes)]
         self._tps: List[List[bool]] = [[] for _ in range(num_classes)]
@@ -199,16 +244,23 @@ class DetectionEvaluator:
         gt_classes: np.ndarray,     # [G] in 1..C
         gt_difficult: Optional[np.ndarray] = None,  # [G] bool
         gt_crowd: Optional[np.ndarray] = None,      # [G] bool (COCO iscrowd)
+        pred_masks=None,   # [D, m, m] box-frame probs (iou_type="segm")
+        gt_masks=None,     # [G, M, M] box-frame crops (iou_type="segm")
     ):
         difficult, crowd = _normalize_flags(gt_boxes, gt_difficult, gt_crowd)
         gt_ignore = difficult | crowd
         det_oor = np.zeros(len(pred_boxes), bool)
+        pasted_d = pasted_g = None
+        d_areas_all = _box_areas(pred_boxes)
+        g_areas_all = _box_areas(gt_boxes)
+        if self.iou_type == "segm":
+            pasted_d, pasted_g, d_areas_all, g_areas_all = _paste_for_segm(
+                pred_boxes, pred_masks, gt_boxes, gt_masks
+            )
         if self.area_range is not None:
             lo, hi = self.area_range
-            ga = _box_areas(gt_boxes)
-            gt_ignore |= (ga < lo) | (ga >= hi)
-            da = _box_areas(pred_boxes)
-            det_oor = (da < lo) | (da >= hi)
+            gt_ignore |= (g_areas_all < lo) | (g_areas_all >= hi)
+            det_oor = (d_areas_all < lo) | (d_areas_all >= hi)
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c
             gt_mask = gt_classes == c
@@ -224,8 +276,13 @@ class DetectionEvaluator:
             g_boxes = gt_boxes[gt_mask]
             g_ignore = gt_ignore[gt_mask]
             g_crowd = crowd[gt_mask]
-            iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
-                   if len(g_boxes) else None)
+            if self.iou_type == "segm":
+                iou = (_segm_iou(pasted_d, pasted_g, det_mask, order,
+                                 gt_mask, g_crowd)
+                       if len(g_boxes) else None)
+            else:
+                iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
+                       if len(g_boxes) else None)
             codes = _match_dets(
                 iou, g_ignore, g_crowd, d_oor, self.iou_thresh, self.mode
             )
@@ -277,9 +334,17 @@ class CocoStyleEvaluator:
         "large": (96.0 ** 2, 1e10),
     }
 
-    def __init__(self, num_classes: int, class_names=None):
+    def __init__(self, num_classes: int, class_names=None,
+                 iou_type: str = "bbox"):
+        """``iou_type="segm"`` scores instance segmentation: matching runs
+        on pasted-mask IoU, detection areas are mask pixel counts, and GT
+        areas prefer the annotation's own 'area' field (exactly
+        pycocotools' segm protocol)."""
+        if iou_type not in ("bbox", "segm"):
+            raise ValueError(f"iou_type must be 'bbox' or 'segm', got {iou_type!r}")
         self.num_classes = num_classes
         self.class_names = class_names
+        self.iou_type = iou_type
         C = num_classes
         self._keys = [(t, a) for t in self.THRESHOLDS for a in self.AREA_RANGES]
         self._scores = {k: [[] for _ in range(C)] for k in self._keys}
@@ -297,20 +362,29 @@ class CocoStyleEvaluator:
         gt_difficult: Optional[np.ndarray] = None,
         gt_crowd: Optional[np.ndarray] = None,
         gt_area: Optional[np.ndarray] = None,
+        pred_masks=None,   # [D, m, m] box-frame probs (iou_type="segm")
+        gt_masks=None,     # [G, M, M] box-frame crops (iou_type="segm")
     ):
         """``gt_area``: the annotation's own area field (COCO segmentation
         area) per GT, in the same coordinate space as the boxes; entries < 0
-        (or ``None``) fall back to box area. pycocotools bins GT by
-        ``ann['area']`` while detections always use box area — using box
-        area for GT too systematically shifts mAP_small/medium/large on
-        real COCO (thin/diagonal objects have segment area << box area)."""
+        (or ``None``) fall back to box area (bbox) / pasted-mask area
+        (segm). pycocotools bins GT by ``ann['area']`` while detections use
+        box area (bbox) or mask RLE area (segm) — using box area for GT too
+        systematically shifts mAP_small/medium/large on real COCO
+        (thin/diagonal objects have segment area << box area)."""
         difficult, crowd = _normalize_flags(gt_boxes, gt_difficult, gt_crowd)
         base_ignore = difficult | crowd
-        gt_areas = _box_areas(gt_boxes)
+        pasted_d = pasted_g = None
+        if self.iou_type == "segm":
+            pasted_d, pasted_g, det_areas, gt_areas = _paste_for_segm(
+                pred_boxes, pred_masks, gt_boxes, gt_masks
+            )
+        else:
+            gt_areas = _box_areas(gt_boxes)
+            det_areas = _box_areas(pred_boxes)
         if gt_area is not None:
             gt_area = np.asarray(gt_area, np.float64)
             gt_areas = np.where(gt_area >= 0, gt_area, gt_areas)
-        det_areas = _box_areas(pred_boxes)
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c
             gt_mask = gt_classes == c
@@ -325,8 +399,13 @@ class CocoStyleEvaluator:
             g_base_ignore = base_ignore[gt_mask]
             g_crowd = crowd[gt_mask]
             g_areas = gt_areas[gt_mask]
-            iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
-                   if len(g_boxes) else None)
+            if self.iou_type == "segm":
+                iou = (_segm_iou(pasted_d, pasted_g, det_mask, order,
+                                 gt_mask, g_crowd)
+                       if len(g_boxes) else None)
+            else:
+                iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)
+                       if len(g_boxes) else None)
             for a, (lo, hi) in self.AREA_RANGES.items():
                 g_ignore = g_base_ignore | (g_areas < lo) | (g_areas >= hi)
                 d_oor = (d_areas < lo) | (d_areas >= hi)

@@ -20,11 +20,38 @@ def draw_detections(
     scores: Optional[np.ndarray] = None,
     class_names: Optional[Sequence[str]] = None,
     color_by_class: bool = True,
+    masks: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """[h,w,3] uint8 + [N,4]/[N] -> annotated uint8 image."""
+    """[h,w,3] uint8 + [N,4]/[N] -> annotated uint8 image.
+
+    ``masks`` (optional, [N, m, m] box-frame probabilities — the Mask R-CNN
+    predict output) overlays each instance's pasted mask as a translucent
+    class-colored fill under the box outlines."""
     from PIL import Image, ImageDraw
 
     img = Image.fromarray(image.astype(np.uint8)).convert("RGB")
+    if masks is not None and len(boxes):
+        from tpudet.data.masks import paste_mask
+
+        overlay = np.asarray(img).astype(np.float32)
+        h, w = overlay.shape[:2]
+        for i in range(len(boxes)):
+            c = int(classes[i])
+            color = np.asarray(
+                _PALETTE[(c - 1) % len(_PALETTE)] if color_by_class
+                else (255, 40, 40), np.float32,
+            )
+            y0, x0, bm = paste_mask(masks[i], boxes[i])
+            # Clip the pasted window to the image.
+            ys, xs = max(y0, 0), max(x0, 0)
+            ye = min(y0 + bm.shape[0], h)
+            xe = min(x0 + bm.shape[1], w)
+            if ye <= ys or xe <= xs:
+                continue
+            sub = bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+            region = overlay[ys:ye, xs:xe]
+            region[sub] = 0.5 * region[sub] + 0.5 * color
+        img = Image.fromarray(overlay.astype(np.uint8))
     draw = ImageDraw.Draw(img)
     for i in range(len(boxes)):
         c = int(classes[i])

@@ -6,18 +6,23 @@ from tpudet.models.fpn import FPN, RetinaNetFPN  # noqa: F401
 from tpudet.models.rpn_head import RPNHead  # noqa: F401
 from tpudet.models.det_head import FastRCNNHead  # noqa: F401
 from tpudet.models.faster_rcnn import FasterRCNN  # noqa: F401
+from tpudet.models.mask_head import MaskHead  # noqa: F401
+from tpudet.models.mask_rcnn import MaskRCNN  # noqa: F401
 from tpudet.models.retinanet import RetinaNet  # noqa: F401
 
 
 def build_model(cfg):
-    """Detector factory keyed on ``cfg.model`` — both families share the
+    """Detector factory keyed on ``cfg.model`` — all families share the
     ``init`` / ``loss`` / ``predict`` surface and the batch/detection dict
     contracts, so every consumer (trainer, evaluator, serving exporter,
     CLIs) is model-agnostic through this one switch."""
     if cfg.model == "faster_rcnn":
         return FasterRCNN(cfg)
+    if cfg.model == "mask_rcnn":
+        return MaskRCNN(cfg)
     if cfg.model == "retinanet":
         return RetinaNet(cfg)
     raise ValueError(
-        f"unknown model {cfg.model!r}: expected 'faster_rcnn' or 'retinanet'"
+        f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
+        "or 'retinanet'"
     )

@@ -111,6 +111,17 @@ class DetectorCore(nn.Module):
             class_agnostic=self.cfg.roi.class_agnostic_bbox,
             dtype=dtype,
         )
+        if self.cfg.model == "mask_rcnn":
+            from tpudet.models.mask_head import MaskHead
+
+            m = self.cfg.mask
+            self.mask_head = MaskHead(
+                num_classes=1 if m.class_agnostic
+                else self.cfg.data.num_classes,
+                num_convs=m.num_convs,
+                channels=m.conv_channels,
+                dtype=dtype,
+            )
 
     def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = self.backbone(images)
@@ -134,12 +145,21 @@ class DetectorCore(nn.Module):
     def roi_head(self, pooled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         return self.det_head(pooled)
 
+    def masks(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Mask FCN over [N, s_m, s_m, C_feat] -> [N, 2*s_m, 2*s_m, C]."""
+        return self.mask_head(pooled)
+
     def __call__(self, images):  # used for parameter init only
         feats = self.features(images)
         logits, deltas = self.rpn(feats)
         any_feat = next(iter(feats.values()))
         s = self.cfg.roi.output_size
         dummy = jnp.zeros((1, s, s, any_feat.shape[-1]), any_feat.dtype)
+        if self.cfg.model == "mask_rcnn":
+            sm = self.cfg.mask.roi_output_size
+            self.masks(
+                jnp.zeros((1, sm, sm, any_feat.shape[-1]), any_feat.dtype)
+            )
         return self.roi_head(dummy)
 
 
@@ -376,27 +396,28 @@ class FasterRCNN:
         return boxes, scores, valid
 
     # ------------------------------------------------------------- pooling
-    def _pool_one_level(self, feat, fboxes):
-        """One level's RoI features via the configured backend (C12)."""
+    def _pool_one_level(self, feat, fboxes, out_size=None):
+        """One level's RoI features via the configured backend (C12).
+
+        ``out_size`` overrides ``roi.output_size`` (the mask branch pools the
+        same features at a finer resolution — Mask R-CNN §3)."""
         roi = self.cfg.roi
+        s = out_size or roi.output_size
         if roi.pooler == "crop_and_resize":
-            return crop_and_resize(feat, fboxes, roi.output_size)
+            return crop_and_resize(feat, fboxes, s)
         if roi.pooler == "roi_align_gather":
-            return roi_align(feat, fboxes, roi.output_size, roi.sampling_ratio)
+            return roi_align(feat, fboxes, s, roi.sampling_ratio)
         if roi.pooler == "roi_align_pallas":
             from tpudet.kernels.roi_align import roi_align_pallas
 
             interpret = not kernels.on_tpu_lowering()
             return roi_align_pallas(
-                feat, fboxes, roi.output_size, roi.sampling_ratio,
-                interpret=interpret,
+                feat, fboxes, s, roi.sampling_ratio, interpret=interpret,
             )
-        return roi_align_mxu(
-            feat, fboxes, roi.output_size, roi.sampling_ratio
-        )
+        return roi_align_mxu(feat, fboxes, s, roi.sampling_ratio)
 
     def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray,
-                     training: bool = False):
+                     training: bool = False, out_size: int | None = None):
         """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
         bilinear-gather workspace (the jnp RoI-Align fallback would otherwise
         materialize [R, S*r, S*r, C] corner tensors for all R at once).
@@ -409,6 +430,7 @@ class FasterRCNN:
         exceed ``roi.mxu_chunk_budget_mb`` per image — 1000 FPN proposals on
         an 832² P2 map would otherwise materialize ~24 GB batched."""
         roi_cfg = self.cfg.roi
+        pooled_size = out_size or roi_cfg.output_size
         chunk = roi_cfg.pooler_chunk
         r = rois.shape[0]
         needs_bounding = roi_cfg.pooler == "roi_align_gather"
@@ -431,7 +453,9 @@ class FasterRCNN:
                     # in VMEM scratch — the [R, window, window, C] stack
                     # never exists in HBM, so chunking would only
                     # serialize it.
-                    return self._pool_single_impl(feats, rois)
+                    return self._pool_single_impl(
+                        feats, rois, out_size=out_size
+                    )
                 # XLA fallback materializes the [R, window, window, C]
                 # tile stack.
                 per_roi = roi_cfg.window * roi_cfg.window * ch * itemsize
@@ -449,23 +473,24 @@ class FasterRCNN:
                 # Per-level masked-sum: the largest level dominates.
                 dim = max(min(f.shape[0], f.shape[1]) for f in feats.values())
             if dim is not None:
-                per_roi = roi_cfg.output_size * dim * ch * itemsize
+                per_roi = pooled_size * dim * ch * itemsize
             budget = roi_cfg.mxu_chunk_budget_mb * (1 << 20)
             if r * per_roi > budget:
                 needs_bounding = True
                 chunk = max(32, budget // per_roi)
         if not needs_bounding or chunk <= 0 or r <= chunk:
-            return self._pool_single_impl(feats, rois, training)
+            return self._pool_single_impl(feats, rois, training, out_size)
         pad = (-r) % chunk
         padded = jnp.concatenate([rois, jnp.zeros((pad, 4), rois.dtype)], 0)
         out = jax.lax.map(
-            lambda rc: self._pool_single_impl(feats, rc, training),
+            lambda rc: self._pool_single_impl(feats, rc, training, out_size),
             padded.reshape(-1, chunk, 4),
         )
         return out.reshape((-1,) + out.shape[2:])[:r]
 
     def _pool_single_impl(self, feats: Dict[str, jnp.ndarray],
-                          rois: jnp.ndarray, training: bool = False):
+                          rois: jnp.ndarray, training: bool = False,
+                          out_size: int | None = None):
         """Per-image C12: extract fixed-size RoI features.
 
         Single-scale: one roi_align on c4. FPN: FPN-paper level assignment
@@ -474,10 +499,11 @@ class FasterRCNN:
         — levels p2..p5 only, p6 is proposal-only per the paper).
         """
         roi = self.cfg.roi
+        s_out = out_size or roi.output_size
         if not self.cfg.backbone.use_fpn:
             stride = float(self.cfg.anchors.stride)
             fboxes = rois / stride
-            return self._pool_one_level(feats["c4"], fboxes)
+            return self._pool_one_level(feats["c4"], fboxes, s_out)
 
         fit = roi.window if roi.pooler == "roi_align_window" else 0
         k = fpn_assign_levels(rois, fit_window=fit)  # [R] in 2..5
@@ -499,11 +525,11 @@ class FasterRCNN:
 
                 return roi_align_window_pallas(
                     level_feats, lv_strides, rois, k - 2,
-                    roi.output_size, roi.sampling_ratio, window=roi.window,
+                    s_out, roi.sampling_ratio, window=roi.window,
                 )
             return roi_align_window(
                 level_feats, lv_strides, rois, k - 2,
-                roi.output_size, roi.sampling_ratio, window=roi.window,
+                s_out, roi.sampling_ratio, window=roi.window,
             )
         if (roi.pooler == "roi_align_window" and training
                 and self.cfg.use_pallas
@@ -515,7 +541,7 @@ class FasterRCNN:
             return roi_align_window_train(
                 [feats[f"p{l}"] for l in (2, 3, 4, 5)],
                 (4.0, 8.0, 16.0, 32.0),
-                rois, roi.output_size, roi.sampling_ratio,
+                rois, s_out, roi.sampling_ratio,
                 window=roi.window,
             )
         # pooler == "roi_align_window" in TRAINING otherwise falls through
@@ -535,13 +561,13 @@ class FasterRCNN:
             return multi_level_roi_align_mxu(
                 [feats[f"p{l}"] for l in (2, 3, 4, 5)],
                 (4.0, 8.0, 16.0, 32.0),
-                rois, k - 2, roi.output_size, roi.sampling_ratio,
+                rois, k - 2, s_out, roi.sampling_ratio,
             )
         pooled = 0.0
         for level, stride in zip((2, 3, 4, 5), (4.0, 8.0, 16.0, 32.0)):
             feat = feats[f"p{level}"]
             fboxes = rois / stride
-            p = self._pool_one_level(feat, fboxes)
+            p = self._pool_one_level(feat, fboxes, s_out)
             pooled = pooled + p * (k == level)[:, None, None, None]
         return pooled
 
@@ -594,7 +620,10 @@ class FasterRCNN:
         target_classes = jnp.where(
             is_fg & valid, gt_classes[mgt], 0
         ).astype(jnp.int32)
-        return boxes, target_classes, target_deltas, is_fg, valid
+        # mgt (each sampled RoI's matched-GT index) rides along for branch
+        # extensions (the mask head resamples the matched GT's mask crop);
+        # it is only meaningful where is_fg & valid.
+        return boxes, target_classes, target_deltas, is_fg, valid, mgt
 
     def loss(
         self, variables, batch: Dict[str, jnp.ndarray], rng: jax.Array
@@ -653,7 +682,7 @@ class FasterRCNN:
             canvas_hw=images.shape[1:3],
         )
         roi_keys = jax.random.split(rng_roi, b)
-        roi_boxes, tgt_cls, tgt_box, is_fg, roi_valid = jax.vmap(
+        roi_boxes, tgt_cls, tgt_box, is_fg, roi_valid, mgt = jax.vmap(
             self._roi_targets_single
         )(
             prop_boxes, prop_valid, batch["gt_boxes"], batch["gt_classes"],
@@ -689,7 +718,6 @@ class FasterRCNN:
 
         total = rpn_cls + rpn_box + det_cls + det_box
         metrics = {
-            "loss": total,
             "rpn_cls_loss": rpn_cls,
             "rpn_box_loss": rpn_box,
             "det_cls_loss": det_cls,
@@ -697,7 +725,34 @@ class FasterRCNN:
             "num_pos_anchors": jnp.mean(jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)),
             "num_fg_rois": jnp.mean(jnp.sum(is_fg & roi_valid, axis=1).astype(jnp.float32)),
         }
+        # Family extension point (Mask R-CNN adds its mask BCE here); base
+        # detector contributes nothing.
+        for name, value in self._extra_losses(
+            variables, feats, roi_boxes, tgt_cls, is_fg, roi_valid, mgt, batch
+        ).items():
+            total = total + value
+            metrics[name] = value
+        metrics["loss"] = total
         return total, metrics
+
+    # --------------------------------------------------- family extensions
+    def _extra_losses(
+        self, variables, feats, roi_boxes, tgt_cls, is_fg, roi_valid, mgt,
+        batch,
+    ) -> Dict[str, jnp.ndarray]:
+        """Additional loss terms from subclassing families (name -> scalar).
+
+        Inputs are the shared second-stage state: FPN/C4 features, the
+        sampled RoIs [B, K, 4] with their target classes / fg / validity
+        masks, and each RoI's matched-GT index ``mgt`` [B, K]."""
+        del variables, feats, roi_boxes, tgt_cls, is_fg, roi_valid, mgt, batch
+        return {}
+
+    def _predict_extras(self, variables, feats, out, batch):
+        """Augment the detection dict with family-specific outputs (Mask
+        R-CNN adds per-detection masks). Base: identity."""
+        del variables, feats, batch
+        return out
 
     # ----------------------------------------------------------- inference
     def _postprocess_single(
@@ -795,10 +850,11 @@ class FasterRCNN:
         boxes, scores, classes, valid = jax.vmap(self._postprocess_single)(
             prop_boxes, prop_valid, cls_logits, det_deltas, batch["image_hw"]
         )
-        return {
+        out = {
             "boxes": boxes,
             "scores": scores,
             "classes": classes,
             "valid": valid,
             "num_detections": jnp.sum(valid, axis=1).astype(jnp.int32),
         }
+        return self._predict_extras(variables, feats, out, batch)

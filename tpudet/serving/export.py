@@ -312,4 +312,11 @@ class ServingModel:
                         "scores": out["scores"][k][keep],
                         "classes": out["classes"][k][keep],
                     }
+                    if "masks" in out:
+                        # Box-frame mask probabilities ride through
+                        # unchanged — the original-coordinate rescale is
+                        # carried entirely by the boxes (paste with
+                        # data/masks.py::paste_mask against results[i]
+                        # ["boxes"] to get image-space masks).
+                        results[i]["masks"] = out["masks"][k][keep]
         return results  # type: ignore[return-value]

@@ -24,6 +24,11 @@ class CheckpointManager:
 
     def save(self, state: TrainState, force: bool = False) -> bool:
         step = int(jax.device_get(state.step))
+        if step == self._mgr.latest_step():
+            # Already saved (e.g. the end-of-training force-save landing on
+            # a step the every-N save just wrote — orbax raises
+            # StepAlreadyExistsError even under force).
+            return False
         return self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )

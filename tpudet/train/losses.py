@@ -105,6 +105,34 @@ def retinanet_losses(
     return cls_loss, box_weight * box_loss
 
 
+def mask_loss(
+    mask_logits: jnp.ndarray,     # [R, m, m, C] per-class mask logits
+    targets: jnp.ndarray,         # [R, m, m] binary targets (fg rows valid)
+    target_classes: jnp.ndarray,  # [R] int32 matched class (1..C)
+    fg_valid: jnp.ndarray,        # [R] bool — foreground AND valid sample
+) -> jnp.ndarray:
+    """Mask R-CNN mask loss (arXiv:1703.06870 §3, L_mask): per-pixel sigmoid
+    BCE on the MATCHED class's mask only — per-class sigmoid decouples mask
+    and class prediction (no cross-class competition, unlike per-pixel
+    softmax). Averaged over pixels within each RoI, then over the foreground
+    RoIs; background/invalid rows contribute nothing. Safe for zero-fg
+    images (returns 0)."""
+    if mask_logits.shape[-1] == 1:
+        logits = mask_logits[..., 0]  # class-agnostic head
+    else:
+        slot = jnp.clip(target_classes - 1, 0, mask_logits.shape[-1] - 1)
+        logits = jnp.take_along_axis(
+            mask_logits, slot[:, None, None, None], axis=-1
+        )[..., 0]
+    bce = (
+        jnp.maximum(logits, 0)
+        - logits * targets
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )  # [R, m, m]
+    per_roi = jnp.mean(bce, axis=(1, 2))
+    return _safe_mean(per_roi, fg_valid.astype(jnp.float32))
+
+
 def detection_losses(
     cls_logits: jnp.ndarray,     # [R, C+1]
     deltas: jnp.ndarray,         # [R, C_box, 4] (C_box = C or 1 if agnostic)
