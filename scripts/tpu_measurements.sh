@@ -86,3 +86,11 @@ print('cross-host artifact ran on TPU:', type(dets), len(dets))
 #    backbone, no RoI stage, but 9 anchors/cell heads on P3's 168x168 grid).
 run python -m tpudet.cli.benchmark --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8
+
+# 8. Mask R-CNN family on the real chip: R50-FPN COCO preset. Infer b=16
+#    (the mask branch pools ALL 100 post-NMS detections at 14^2 — ~2x the
+#    box head's RoI pixels) + train b=8 (mask FCN on the 128-RoI fg prefix
+#    per image). Comparison anchor: coco_r101_fpn infer 251.8 / train 71.7
+#    (bigger backbone, no mask branch).
+run python -m tpudet.cli.benchmark --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8

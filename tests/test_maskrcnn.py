@@ -94,6 +94,29 @@ def test_rle_string_roundtrip():
         np.testing.assert_array_equal(dec, flat.reshape(w, h).T)
 
 
+def test_rle_encode_roundtrip_and_paste():
+    """Library encoder against the (independently proven) decoder, plus the
+    detection-export path: box-frame probs -> full-image RLE."""
+    from tpudet.data.masks import mask_to_rle, rle_encode
+
+    rng = np.random.default_rng(2)
+    for _ in range(10):
+        h, w = int(rng.integers(2, 50)), int(rng.integers(2, 50))
+        m = (rng.random((h, w)) < 0.4).astype(np.uint8)
+        np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+    # Leading-foreground pixel forces the zero-length background run.
+    m = np.ones((3, 3), np.uint8)
+    np.testing.assert_array_equal(rle_decode(rle_encode(m)), m)
+
+    rle = mask_to_rle(np.ones((8, 8), np.float32), [2.0, 1.0, 6.0, 5.0],
+                      (10, 12))
+    full = rle_decode(rle)
+    assert full.shape == (10, 12)
+    want = np.zeros((10, 12), np.uint8)
+    want[1:5, 2:6] = 1
+    np.testing.assert_array_equal(full, want)
+
+
 # ------------------------------------------------------------ crop / paste
 def test_crop_paste_roundtrip():
     """Full mask -> box-frame crop -> paste recovers the original blob."""
@@ -376,11 +399,19 @@ def test_train_and_eval_cli_smoke(capsys):
     ])
     assert "mask_loss" in capsys.readouterr().out
 
+    import json
+
     summary = eval_cli.main([
         "--preset", "maskrcnn_tiny", "--dataset", "synthetic",
         "--max-images", "4", "--no-mesh",
+        "--save-json", "/tmp/mrcnn_results.json",
     ])
     assert "mAP" in summary and "segm/mAP" in summary
+    with open("/tmp/mrcnn_results.json") as f:
+        results = json.load(f)
+    if results:  # untrained model may emit zero detections
+        seg = results[0]["segmentation"]
+        assert isinstance(seg["counts"], str) and len(seg["size"]) == 2
 
 
 @pytest.mark.slow

@@ -36,6 +36,7 @@ def _make_batch(cfg, batch_size: int):
     ds = SyntheticDataset(
         num_classes=cfg.data.num_classes, num_examples=batch_size,
         image_size=min(cfg.data.canvas_height, 512),
+        with_masks=cfg.data.load_masks,
     )
     loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=8)
     raw = next(iter(loader.batches(0)))
@@ -141,6 +142,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
         num_classes=cfg.data.num_classes,
         num_examples=batch_size * (num_batches + 2),
         image_size=min(cfg.data.canvas_height, 512),
+        with_masks=cfg.data.load_masks,
     )
     loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=8)
     stream = loader.device_stream()

@@ -149,14 +149,25 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 img_id = get_image_id(int(batch["example_index"][i]))
                 scores_i = out["scores"][i][valid]
                 classes_i = out["classes"][i][valid]
-                for b, s, c in zip(boxes, scores_i, classes_i):
-                    results.append({
+                masks_i = (out["masks"][i][valid]
+                           if "masks" in out else [None] * len(boxes))
+                for b, s, c, mk in zip(boxes, scores_i, classes_i, masks_i):
+                    rec = {
                         "image_id": img_id,
                         "category_id": get_cat_id(int(c)),
                         "bbox": [float(b[0]), float(b[1]),
                                  float(b[2] - b[0]), float(b[3] - b[1])],
                         "score": float(s),
-                    })
+                    }
+                    if mk is not None:
+                        # pycocotools-consumable compressed RLE in
+                        # ORIGINAL-image pixels (boxes already rescaled).
+                        from tpudet.data.masks import mask_to_rle
+
+                        rec["segmentation"] = mask_to_rle(
+                            mk, b, batch["orig_hw"][i]
+                        )
+                    results.append(rec)
             gt_difficult = batch.get("gt_difficult")
             gt_crowd = batch.get("gt_crowd")
             gt_area = batch.get("gt_area")

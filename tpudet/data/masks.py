@@ -94,6 +94,60 @@ def rle_decode(rle: dict) -> np.ndarray:
     return flat.reshape(w, h).T  # column-major -> [h, w]
 
 
+def rle_string_from_counts(counts: Sequence[int]) -> str:
+    """Encode run counts as pycocotools' compressed string (the exact
+    inverse of ``rle_counts_from_string``): delta-code each count from the
+    third on against the count two back, then emit signed 5-bit varints
+    offset by 48 with 0x20 continuation."""
+    out = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x = x - counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def rle_encode(mask: np.ndarray) -> dict:
+    """Full-image binary mask [h, w] -> COCO compressed RLE dict
+    (column-major runs + string counts), the results-json segmentation
+    format pycocotools' ``COCOeval`` consumes directly."""
+    m = np.asarray(mask) > 0
+    h, w = m.shape
+    flat = m.T.reshape(-1)  # column-major per the COCO spec
+    # Run boundaries, with a leading background run (possibly length 0).
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0]:
+        counts = [0] + counts
+    elif not flat.size:
+        counts = []
+    return {"size": [int(h), int(w)], "counts": rle_string_from_counts(counts)}
+
+
+def mask_to_rle(
+    mask: np.ndarray, box: Sequence[float], image_hw: Sequence[int],
+    threshold: float = 0.5,
+) -> dict:
+    """Box-frame mask probabilities -> full-image COCO RLE: paste onto the
+    image grid (clipped) and run-length encode."""
+    h, w = int(image_hw[0]), int(image_hw[1])
+    full = np.zeros((h, w), bool)
+    y0, x0, bm = paste_mask(mask, box, threshold)
+    ys, xs = max(y0, 0), max(x0, 0)
+    ye, xe = min(y0 + bm.shape[0], h), min(x0 + bm.shape[1], w)
+    if ye > ys and xe > xs:
+        full[ys:ye, xs:xe] = bm[ys - y0 : ye - y0, xs - x0 : xe - x0]
+    return rle_encode(full)
+
+
 def crop_from_full(mask: np.ndarray, box: Sequence[float], m: int) -> np.ndarray:
     """Resample a full-image binary mask into its box frame: [m, m] uint8.
 
