@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -633,3 +634,71 @@ def test_build_dataset_nuimages_and_loader(tmp_path):
 
     with _pytest.raises(ValueError, match="3 classes.*num_classes.*80"):
         build_dataset(cfg_bad, "val")
+
+
+def test_scale_jitter_applied_and_deterministic():
+    """data.scale_jitter: train-only multi-scale — the resize scale is
+    multiplied by a deterministic per-(seed, epoch, index) factor; the
+    canvas (static shape) is untouched."""
+    import dataclasses
+
+    cfg = tiny_test_config()  # canvas 128, min/max 128 -> unjittered scale 1
+    cfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, scale_jitter=(0.5, 0.5)))
+    ds = SyntheticDataset(num_classes=3, num_examples=8, image_size=128)
+
+    aug = DataLoader(cfg, ds, batch_size=4, num_workers=2, seed=3,
+                     shuffle=False, augment=True)
+    b = next(iter(aug.batches(0)))
+    assert b["image"].shape == (4, 128, 128, 3)  # canvas unchanged
+    np.testing.assert_allclose(b["image_scale"], 0.5)  # 128 -> 64
+    np.testing.assert_allclose(b["image_hw"], 64.0)
+    # GT boxes scaled by the jittered factor: compare vs the eval loader.
+    ev = DataLoader(cfg, ds, batch_size=4, num_workers=2, seed=3,
+                    shuffle=False)  # augment=False default
+    e = next(iter(ev.batches(0)))
+    np.testing.assert_allclose(e["image_scale"], 1.0)
+    np.testing.assert_allclose(
+        b["gt_boxes"][e["gt_valid"]], 0.5 * e["gt_boxes"][e["gt_valid"]],
+        atol=1e-4)
+    # Jittered pixels live only in the top-left 64x64; the rest is pad.
+    assert (b["image"][:, 64:].sum(), b["image"][:, :, 64:].sum()) == (0, 0)
+
+    # A RANGE is deterministic in (seed, epoch, index) and actually varies.
+    cfg2 = cfg.replace(data=dataclasses.replace(
+        cfg.data, scale_jitter=(0.5, 1.0)))
+    l1 = DataLoader(cfg2, ds, batch_size=8, num_workers=2, seed=3,
+                    shuffle=False, augment=True)
+    l2 = DataLoader(cfg2, ds, batch_size=8, num_workers=2, seed=3,
+                    shuffle=False, augment=True)
+    b1 = next(iter(l1.batches(0)))
+    b2 = next(iter(l2.batches(0)))
+    np.testing.assert_array_equal(b1["image_scale"], b2["image_scale"])
+    assert len(np.unique(b1["image_scale"][:, 0])) > 2  # per-example factors
+    b1e1 = next(iter(l1.batches(1)))
+    assert not np.array_equal(b1["image_scale"], b1e1["image_scale"])
+
+    # Invalid range fails at construction.
+    bad = cfg.replace(data=dataclasses.replace(
+        cfg.data, scale_jitter=(0.0, 1.0)))
+    with pytest.raises(ValueError, match="scale_jitter"):
+        DataLoader(bad, ds, batch_size=4, augment=True)
+
+
+def test_scale_jitter_fits_canvas_when_upscaling():
+    """Factors > 1 are clamped so the jittered image still fits the canvas
+    chosen from the UNJITTERED size (jittered_minmax's fit proof)."""
+    import dataclasses
+    from tpudet.data.preprocess import prepare_example
+
+    cfg = dataclasses.replace(
+        tiny_test_config().data, scale_jitter=(2.0, 2.0))
+    image = np.zeros((64, 32, 3), np.uint8)
+    boxes = np.asarray([[8.0, 16.0, 24.0, 48.0]], np.float32)
+    out = prepare_example(cfg, image, boxes, np.asarray([1], np.int32),
+                          scale_factor=2.0)
+    # Unjittered: (128, 64). Jitter x2 wants (256, 128) -> clamped to fit
+    # the 128x128 canvas: scale min(128/64, 128/32) = 2 -> (128, 64).
+    assert out["image"].shape == (128, 128, 3)
+    nh, nw = out["image_hw"]
+    assert nh <= 128 and nw <= 128

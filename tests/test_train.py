@@ -472,3 +472,118 @@ def test_training_determinism_bitwise():
     flat_b = jax.tree_util.tree_leaves(b)
     for x, y in zip(flat_a, flat_b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_cosine_lr_schedule():
+    import dataclasses
+
+    cfg = TrainConfig(learning_rate=1.0, warmup_steps=10, warmup_factor=0.1,
+                      lr_schedule="cosine", lr_min_factor=0.1,
+                      total_steps=1000)
+    sched = lr_schedule(cfg)
+    # Warmup ramps the cosine value (cos at step 0 ~ 1.0 -> lr ~ 1.0 * 0.1).
+    assert float(sched(0)) == pytest.approx(0.1, rel=1e-3)
+    # Half way: lr_min + (lr - lr_min) * 0.5 * (1 + cos(pi/2)) = 0.55.
+    assert float(sched(500)) == pytest.approx(0.55, rel=1e-5)
+    # End (and beyond): the floor lr_min_factor * lr.
+    assert float(sched(1000)) == pytest.approx(0.1, rel=1e-5)
+    assert float(sched(5000)) == pytest.approx(0.1, rel=1e-5)
+    # Monotone decreasing after warmup.
+    vals = [float(sched(s)) for s in range(10, 1000, 50)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+    with pytest.raises(ValueError, match="lr_schedule"):
+        lr_schedule(dataclasses.replace(cfg, lr_schedule="nope"))
+
+
+def test_ema_tracks_params():
+    """EMA follows the TF OD API convention: decay ramps in as
+    min(ema_decay, (1+n)/(10+n)) over optimizer updates n."""
+    import dataclasses
+
+    cfg = small_cfg(batch_size=8)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, ema_decay=0.9, weight_decay=0.0))
+    model = _LinearStubModel()
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    assert state.ema_params is not None
+    step = make_train_step(model, cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4)), jnp.float32)
+    batch = {"x": x}
+
+    ema_expected = np.asarray(state.params["w"])
+    for n in (1, 2, 3):
+        state, _ = step(state, batch)
+        d = min(0.9, (1.0 + n) / (10.0 + n))
+        ema_expected = d * ema_expected + (1 - d) * np.asarray(
+            state.params["w"])
+        np.testing.assert_allclose(
+            np.asarray(state.ema_params["w"]), ema_expected, rtol=1e-6)
+    # EMA differs from raw params but moved off the init.
+    assert not np.allclose(
+        np.asarray(state.ema_params["w"]), np.asarray(state.params["w"]))
+    assert np.abs(np.asarray(state.ema_params["w"])).max() > 0
+
+    # Disabled EMA keeps the field None (tree shape unchanged).
+    cfg0 = small_cfg()
+    s0 = create_train_state(_LinearStubModel(), cfg0.train, jax.random.key(0))
+    assert s0.ema_params is None
+    with pytest.raises(ValueError, match="ema_decay"):
+        create_train_state(
+            _LinearStubModel(),
+            dataclasses.replace(cfg0.train, ema_decay=1.0),
+            jax.random.key(0),
+        )
+
+
+def test_eval_variables_selects_ema():
+    import dataclasses
+
+    cfg = small_cfg()
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    with pytest.raises(ValueError, match="ema"):
+        state.eval_variables(use_ema=True)
+    assert state.eval_variables(False)["params"] is state.params
+
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, ema_decay=0.99))
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    v = state.eval_variables(True)
+    assert v["params"] is state.ema_params
+    assert set(v) == set(state.variables)
+
+
+def test_ema_checkpoint_and_warm_start(tmp_path):
+    """EMA survives a checkpoint round-trip; restore_params (stage
+    transition) restarts the average from the loaded weights."""
+    import dataclasses
+    from tpudet.train.checkpoint import CheckpointManager
+
+    cfg = small_cfg(batch_size=8)
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, ema_decay=0.9, weight_decay=0.0))
+    model = _LinearStubModel()
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(8, 4)), jnp.float32)
+    for _ in range(3):
+        state, _ = step(state, {"x": x})
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+    assert mgr.save(state, force=True)
+    mgr.wait()
+    fresh = create_train_state(model, cfg.train, jax.random.key(5))
+    restored = mgr.restore(fresh)
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["w"]), np.asarray(state.ema_params["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.asarray(state.params["w"]))
+
+    warm = mgr.restore_params(create_train_state(
+        model, cfg.train, jax.random.key(6)))
+    mgr.close()
+    # Warm start: EMA == params (the average restarts with the new stage).
+    np.testing.assert_array_equal(
+        np.asarray(warm.ema_params["w"]), np.asarray(warm.params["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(warm.params["w"]), np.asarray(state.params["w"]))

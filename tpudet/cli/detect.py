@@ -53,6 +53,8 @@ def main(argv=None):
     p.add_argument("--output", default="detections.png")
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--score-thresh", type=float, default=0.5)
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA average of the params")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -61,11 +63,13 @@ def main(argv=None):
     image = np.asarray(Image.open(args.image).convert("RGB"))
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
+    if args.ema and state.ema_params is None:
+        state = state.replace(ema_params=state.params)
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)
 
     boxes, scores, classes, masks = detect_image(
-        cfg, model, state.variables, image
+        cfg, model, state.eval_variables(args.ema), image
     )
     keep = scores >= args.score_thresh
     boxes, scores, classes = boxes[keep], scores[keep], classes[keep]

@@ -238,6 +238,9 @@ def main(argv=None):
                    help="single-device eval (no data-parallel sharding)")
     p.add_argument("--save-json", default="",
                    help="write detections as a COCO-format results json")
+    p.add_argument("--ema", action="store_true",
+                   help="evaluate the EMA average of the params "
+                        "(train.ema_decay > 0 during training)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -266,6 +269,10 @@ def main(argv=None):
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
+    if args.ema and state.ema_params is None:
+        # The checkpoint carries an EMA subtree the eval config didn't
+        # enable — give the restore template the matching slot.
+        state = state.replace(ema_params=state.params)
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
         state = mgr.restore(state)
@@ -324,7 +331,8 @@ def main(argv=None):
                   f"{data} devices — running single-device (pass a multiple "
                   "to enable data-parallel eval)")
     summary = evaluate(
-        cfg, model, state.variables, dataset, batch_size=args.batch_size,
+        cfg, model, state.eval_variables(args.ema), dataset,
+        batch_size=args.batch_size,
         max_images=args.max_images, class_names=names, metric_style=metric,
         mesh=mesh, save_json=args.save_json,
     )

@@ -35,11 +35,15 @@ def main(argv=None):
         "--verify", action="store_true",
         help="reload the artifact and run one synthetic batch through it",
     )
+    p.add_argument("--ema", action="store_true",
+                   help="export the EMA average of the params")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(cfg.train.seed))
+    if args.ema and state.ema_params is None:
+        state = state.replace(ema_params=state.params)
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
         if mgr.latest_step is None:
@@ -61,7 +65,8 @@ def main(argv=None):
     )
 
     meta = save_artifact(
-        args.output, cfg, state.variables, args.batch_size, platforms
+        args.output, cfg, state.eval_variables(args.ema), args.batch_size,
+        platforms
     )
     print(f"exported -> {args.output}")
     for k in ("batch_size", "canvas_height", "canvas_width", "num_classes",

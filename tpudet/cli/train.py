@@ -164,6 +164,7 @@ def main(argv=None):
     loader = DataLoader(
         cfg, dataset, cfg.train.batch_size, shuffle=True, seed=cfg.train.seed,
         sharding=batch_sharding(mesh) if mesh is not None else None,
+        augment=True,  # host-side train augmentation (data.scale_jitter)
     )
     step_fn = make_train_step(model, cfg, mesh=mesh, fused_preprocess=True,
                               state_example=state if mesh is not None else None)

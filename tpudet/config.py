@@ -75,6 +75,14 @@ class DataConfig:
     # tpudet/data/masks.py). Datasets without mask annotations emit zeros.
     load_masks: bool = False
     gt_mask_size: int = 112
+    # Train-time multi-scale augmentation: each image's resize scale is
+    # multiplied by U(lo, hi) (standard COCO multiscale, e.g. (0.8, 1.0)).
+    # Host-side and deterministic per (seed, epoch, index); the canvas/
+    # bucket choice uses the UNJITTERED size, so the static shapes and the
+    # cross-process bucket plan are unaffected (factors are clamped so the
+    # jittered image still fits its canvas). Applied only by loaders
+    # constructed with augment=True (the train CLI's); eval never jitters.
+    scale_jitter: Tuple[float, float] = (1.0, 1.0)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -290,12 +298,23 @@ class TrainConfig:
     learning_rate: float = 1e-3
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # LR schedule after warmup: "step" (lr * gamma at each milestone, the
+    # reference's schedule) or "cosine" (half-cosine from learning_rate to
+    # lr_min_factor * learning_rate at total_steps; milestones/gamma unused).
+    lr_schedule: str = "step"
+    lr_min_factor: float = 0.0
     # Step LR schedule: lr * gamma at each milestone step.
     lr_milestones: Tuple[int, ...] = (60000,)
     lr_gamma: float = 0.1
     warmup_steps: int = 500
     warmup_factor: float = 1.0 / 3.0
     total_steps: int = 80000
+    # Exponential moving average of the params (serving-quality weights —
+    # the TF OD API's ema_decay 0.9998 convention). 0 disables. When on,
+    # the train step maintains state.ema_params (decay ramps in as
+    # min(ema_decay, (1 + step)/(10 + step)) so early steps do not pin the
+    # average to the random init); eval/export CLIs select it via --ema.
+    ema_decay: float = 0.0
     grad_clip_norm: float = 0.0  # 0 disables
     seed: int = 0
     # Checkpointing (orbax): save every N steps, keep last k, restore-on-start.

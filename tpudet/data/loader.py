@@ -86,11 +86,23 @@ class DataLoader:
         prefetch: int = 2,
         process_index: int | None = None,
         process_count: int | None = None,
+        augment: bool = False,
     ):
         self.cfg = cfg
         self.dataset = dataset
         self.shuffle = shuffle
         self.seed = seed
+        # Host-side train augmentation (the train CLI's loader): currently
+        # data.scale_jitter. Deterministic per (seed, epoch, index), so every
+        # process derives the identical factor for a given global row; the
+        # canvas/bucket plan uses the UNJITTERED size and is unaffected.
+        self.augment = augment
+        jlo, jhi = cfg.data.scale_jitter
+        if augment and (jlo, jhi) != (1.0, 1.0):
+            if not 0.0 < jlo <= jhi:
+                raise ValueError(
+                    f"data.scale_jitter {(jlo, jhi)} must satisfy 0 < lo <= hi"
+                )
         self.num_workers = num_workers
         self.sharding = sharding
         self.drop_last = drop_last
@@ -238,8 +250,19 @@ class DataLoader:
             self._epoch0_plan = local
         return local
 
-    def _make_batch(self, pool, indices) -> Dict[str, np.ndarray]:
+    def _jitter_factor(self, epoch: int, index: int) -> float:
+        """Per-example scale-jitter factor — deterministic in (seed, epoch,
+        dataset index), identical on every process, 1.0 when augmentation or
+        jitter is off."""
+        lo, hi = self.cfg.data.scale_jitter
+        if not self.augment or (lo, hi) == (1.0, 1.0):
+            return 1.0
+        rng = np.random.default_rng([self.seed, epoch, index])
+        return float(rng.uniform(lo, hi))
+
+    def _make_batch(self, pool, indices, epoch: int = 0) -> Dict[str, np.ndarray]:
         def one(i):
+            factor = self._jitter_factor(epoch, int(i))
             if self.native_decode:
                 from tpudet.data.native_decode import NativeDecodeError
 
@@ -251,6 +274,7 @@ class DataLoader:
                         crowd=ex.get("crowd"),
                         area=ex.get("area"),
                         masks=ex.get("masks"),
+                        scale_factor=factor,
                     )
                 except NativeDecodeError:
                     # libjpeg can't handle everything PIL can (e.g. CMYK/YCCK
@@ -272,6 +296,7 @@ class DataLoader:
                 crowd=ex.get("crowd"),
                 area=ex.get("area"),
                 masks=ex.get("masks"),
+                scale_factor=factor,
             )
         examples = list(pool.map(one, indices))
         shapes = {tuple(ex["image"].shape) for ex in examples}
@@ -300,7 +325,7 @@ class DataLoader:
         pool = ThreadPoolExecutor(self.num_workers)
         try:
             for idx, valid in self._epoch_batch_indices(epoch):
-                batch = self._make_batch(pool, idx)
+                batch = self._make_batch(pool, idx, epoch)
                 if valid is not None:
                     # Tail batch padded by repeating an example; callers
                     # mask via "batch_valid".

@@ -33,6 +33,27 @@ def resize_scale(h: int, w: int, min_size: int, max_size: int) -> float:
     return scale
 
 
+def jittered_minmax(
+    cfg: DataConfig, h: int, w: int, ch: int, cw: int, factor: float
+) -> Tuple[int, int]:
+    """Integer (min_size, max_size) implementing per-image scale jitter
+    (data.scale_jitter): the protocol sizes scaled by ``factor``, clamped so
+    the resized image is guaranteed to fit the (ch, cw) canvas chosen from
+    the UNJITTERED size — the bucket/canvas plan never sees the jitter, so
+    static shapes and the cross-process plan are unaffected.
+
+    Expressed as integer sizes (not a float scale) because both decode
+    front-ends — PIL here and the native C++ fused path — take integer
+    protocol sizes; identical inputs keep the two paths identical.
+    Fit proof: resize_scale yields either jmin/min_side or jmax/max_side;
+    with jmin <= s_fit*min_side and jmax <= s_fit*max_side both are
+    <= s_fit = min(ch/h, cw/w), so round(h*s) <= ch and round(w*s) <= cw."""
+    s_fit = min(ch / h, cw / w)
+    jmin = min(round(cfg.min_size * factor), int(s_fit * min(h, w)))
+    jmax = min(round(cfg.max_size * factor), int(s_fit * max(h, w)))
+    return max(1, jmin), max(1, jmax)
+
+
 def bucket_for_hw(cfg: DataConfig, h: int, w: int) -> int:
     """Bucket id for an image of original size (h, w).
 
@@ -173,16 +194,22 @@ def prepare_example(
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
     masks=None,
+    scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
 
     image: [h, w, 3] uint8; boxes [n, 4] float (x1,y1,x2,y2); classes [n] 1..C.
+    ``scale_factor``: train-time multi-scale jitter (see jittered_minmax).
     """
     from PIL import Image
 
     h, w = image.shape[:2]
     ch, cw = canvas_for_hw(cfg, h, w)
-    scale = resize_scale(h, w, cfg.min_size, cfg.max_size)
+    if scale_factor == 1.0:
+        min_size, max_size = cfg.min_size, cfg.max_size
+    else:
+        min_size, max_size = jittered_minmax(cfg, h, w, ch, cw, scale_factor)
+    scale = resize_scale(h, w, min_size, max_size)
     nh, nw = min(ch, round(h * scale)), min(cw, round(w * scale))
     if (nh, nw) != (h, w):
         image = np.asarray(
@@ -205,19 +232,28 @@ def prepare_example_jpeg(
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
     masks=None,
+    scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
     JPEG decode (DCT-scaled when ``fast_jpeg_scale``), resize, and canvas pad
-    in one pass (tpudet/native/decoder.cpp). Identical output contract."""
+    in one pass (tpudet/native/decoder.cpp). Identical output contract —
+    including ``scale_factor``, which both paths express through the same
+    jittered integer protocol sizes (jittered_minmax)."""
     from tpudet.data import native_decode
 
+    h = w = None
     if cfg.orientation_buckets or cfg.aspect_buckets:
         h, w = native_decode.jpeg_dims(jpeg)
         ch, cw = canvas_for_hw(cfg, h, w)
     else:
         ch, cw = cfg.canvas_height, cfg.canvas_width
+    min_size, max_size = cfg.min_size, cfg.max_size
+    if scale_factor != 1.0:
+        if h is None:
+            h, w = native_decode.jpeg_dims(jpeg)  # cheap header parse
+        min_size, max_size = jittered_minmax(cfg, h, w, ch, cw, scale_factor)
     canvas, (nh, nw), (h, w) = native_decode.decode_resize_pad(
-        jpeg, cfg.min_size, cfg.max_size, ch, cw,
+        jpeg, min_size, max_size, ch, cw,
         fast_dct_scale=cfg.fast_jpeg_scale,
     )
     return _finalize_example(

@@ -59,8 +59,14 @@ class CheckpointManager:
                 "restore_params: no checkpoint found to warm-start from"
             )
         raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        # EMA tracks the params: warm-starting restarts the average from the
+        # loaded weights when this stage keeps EMA on (the saved average —
+        # if any — belongs to the previous stage's trajectory). jnp.copy, not
+        # an alias: aliased leaves break the train step's donation.
+        ema = (jax.tree.map(jax.numpy.copy, raw["params"])
+               if state.ema_params is not None else None)
         return state.replace(
-            params=raw["params"], constants=raw["constants"]
+            params=raw["params"], constants=raw["constants"], ema_params=ema
         )
 
     @property

@@ -24,6 +24,10 @@ class TrainState:
     constants: Any  # frozen collections (e.g. frozen-BN stats), no grads
     opt_state: Any
     rng: jax.Array
+    # Exponential moving average of params (train.ema_decay > 0), else None.
+    # None is an empty pytree, so disabled-EMA states keep the exact
+    # checkpoint/sharding tree shape they had before the field existed.
+    ema_params: Any = None
 
     @property
     def variables(self) -> Dict[str, Any]:
@@ -32,11 +36,43 @@ class TrainState:
             v.update(self.constants)
         return v
 
+    def eval_variables(self, use_ema: bool = False) -> Dict[str, Any]:
+        """Variables for inference — the EMA average when requested (the
+        serving-quality weights; eval/detect/export CLIs' --ema)."""
+        if not use_ema:
+            return self.variables
+        if self.ema_params is None:
+            raise ValueError(
+                "--ema requested but this state carries no EMA average "
+                "(it was trained with train.ema_decay=0)"
+            )
+        v = {"params": self.ema_params}
+        if self.constants:
+            v.update(self.constants)
+        return v
+
 
 def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
-    """Linear warmup then piecewise-constant step decay."""
-    boundaries = {int(s): cfg.lr_gamma for s in cfg.lr_milestones}
-    base = optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
+    """Linear warmup, then the configured decay: "step" (piecewise-constant
+    drops at lr_milestones — the reference's schedule) or "cosine"
+    (half-cosine from learning_rate down to lr_min_factor * learning_rate
+    at total_steps, the detection-community alternative)."""
+    kind = getattr(cfg, "lr_schedule", "step")
+    if kind == "step":
+        boundaries = {int(s): cfg.lr_gamma for s in cfg.lr_milestones}
+        base = optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
+    elif kind == "cosine":
+        lr_min = cfg.lr_min_factor * cfg.learning_rate
+
+        def base(step):
+            frac = jnp.minimum(step, cfg.total_steps) / max(cfg.total_steps, 1)
+            return lr_min + 0.5 * (cfg.learning_rate - lr_min) * (
+                1.0 + jnp.cos(jnp.pi * frac)
+            )
+    else:
+        raise ValueError(
+            f"unknown train.lr_schedule {kind!r} (use 'step' or 'cosine')"
+        )
 
     def schedule(step):
         lr = base(step)
@@ -46,6 +82,14 @@ def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
         return lr * jnp.where(step < cfg.warmup_steps, warm, 1.0)
 
     return schedule
+
+
+def ema_decay_at(cfg: TrainConfig, num_updates):
+    """Effective EMA decay after ``num_updates`` optimizer updates: ramps in
+    as min(ema_decay, (1 + n) / (10 + n)) (the TF OD API convention) so the
+    first steps do not pin the average to the random init."""
+    n = jnp.asarray(num_updates, jnp.float32)
+    return jnp.minimum(cfg.ema_decay, (1.0 + n) / (10.0 + n))
 
 
 def freeze_mask(params, prefixes):
@@ -113,6 +157,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def create_train_state(model, cfg: TrainConfig, rng: jax.Array) -> TrainState:
     """Initialize parameters and optimizer state for a FasterRCNN model."""
+    if not 0.0 <= cfg.ema_decay < 1.0:
+        raise ValueError(
+            f"train.ema_decay {cfg.ema_decay} must be in [0, 1) (0 disables)"
+        )
     rng_init, rng_state = jax.random.split(rng)
     variables = model.init(rng_init)
     params = variables["params"]
@@ -124,4 +172,10 @@ def create_train_state(model, cfg: TrainConfig, rng: jax.Array) -> TrainState:
         constants=constants,
         opt_state=tx.init(params),
         rng=rng_state,
+        # A REAL copy, not an alias: the jitted step donates the whole
+        # TrainState, and two pytree leaves sharing one buffer would be
+        # "donated twice" (XLA INVALID_ARGUMENT).
+        ema_params=(
+            jax.tree.map(jnp.copy, params) if cfg.ema_decay > 0 else None
+        ),
     )

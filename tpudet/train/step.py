@@ -124,6 +124,25 @@ def make_train_step(
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
         )
+        if cfg.train.ema_decay > 0:
+            if state.ema_params is None:
+                raise ValueError(
+                    "train.ema_decay > 0 but state.ema_params is None — the "
+                    "state predates EMA (e.g. --init-from without EMA); "
+                    "recreate it via create_train_state with this config"
+                )
+            from tpudet.train.state import ema_decay_at
+
+            d = ema_decay_at(cfg.train, new_state.step)
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(
+                    # e + (1-d)(p-e), computed in the param dtype: one fused
+                    # elementwise pass, no f64 promotion.
+                    lambda e, p: e + (1.0 - d).astype(p.dtype) * (p - e),
+                    state.ema_params,
+                    params,
+                )
+            )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
