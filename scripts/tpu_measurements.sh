@@ -94,3 +94,10 @@ run python -m tpudet.cli.benchmark --preset coco_retinanet_r50 --mode train --ba
 #    (bigger backbone, no mask branch).
 run python -m tpudet.cli.benchmark --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8
+
+# 9. FCOS family on the real chip: anchor-free R50-FPN COCO preset. Infer
+#    b=32 + train b=8. Comparison anchor: coco_retinanet_r50 (same backbone
+#    + pyramid; FCOS heads emit C+5 channels/location vs RetinaNet's
+#    9*(C+4)/cell — ~9x fewer head FLOPs and NMS candidates per level).
+run python -m tpudet.cli.benchmark --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8

@@ -136,6 +136,30 @@ def preset_config(name: str) -> Config:
             # 1/num_pos-normalized gradient into divergence unclipped).
             train=TrainConfig(grad_clip_norm=10.0),
         )
+    if name == "fcos_tiny":
+        from tpudet.config import tiny_fcos_config
+
+        return tiny_fcos_config()
+    if name == "coco_fcos_r50":
+        # Anchor-free FCOS-R50-FPN on COCO (paper arXiv:1904.01355 §4
+        # canonical: P3-P7, regress ranges 64/128/256/512, 4-conv 256ch GN
+        # towers, center sampling, centerness-weighted GIoU). Shares the
+        # COCO data pipeline with the other presets; only the anchors
+        # group's fpn_strides matter to this family.
+        from tpudet.config import FCOSConfig
+
+        return Config(
+            model="fcos",
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344,
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS),
+            backbone=BackboneConfig(name="resnet50", use_fpn=True,
+                                    dtype="bfloat16"),
+            anchors=AnchorConfig(fpn_strides=(8, 16, 32, 64, 128)),
+            fcos=FCOSConfig(),
+            # Same focal-normalizer spike rationale as RetinaNet.
+            train=TrainConfig(grad_clip_norm=10.0),
+        )
     raise ValueError(f"unknown preset {name!r}")
 
 
@@ -144,7 +168,8 @@ def add_common_args(p: argparse.ArgumentParser):
                    choices=["tiny", "voc_r50", "voc_vgg16", "coco_r50",
                             "coco_r101_fpn", "retinanet_tiny",
                             "coco_retinanet_r50", "maskrcnn_tiny",
-                            "coco_maskrcnn_r50_fpn"])
+                            "coco_maskrcnn_r50_fpn", "fcos_tiny",
+                            "coco_fcos_r50"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

@@ -378,6 +378,45 @@ class RetinaNetConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FCOSConfig:
+    """Anchor-free FCOS branch (Tian et al., arXiv:1904.01355 — a build
+    extra beyond the anchor-based reference families): per-location
+    classification + (l, t, r, b) distance regression + centerness on the
+    P3–P7 pyramid. The natural TPU formulation of the three families — no
+    anchors to materialize at all, no matcher, no sampling: the per-location
+    assignment is a dense static [points, gt] computation, and the box loss
+    (1 − GIoU on decoded boxes) needs no delta-encoding convention."""
+
+    # Shared head towers (paper §3.1: four 3x3 convs + GroupNorm per tower).
+    num_convs: int = 4
+    head_channels: int = 256
+    # GroupNorm in the towers (the paper's heads; "none" disables).
+    head_norm: str = "gn"
+    prior_prob: float = 0.01
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    # Assignment (paper §3.2 + the center-sampling improvement): a location
+    # is a candidate for a GT when it lies within radius*stride of the GT
+    # center (0 = the paper's original anywhere-inside-the-box rule) AND its
+    # max regression distance falls in the level's range; ties resolve to
+    # the minimal-area GT.
+    center_sampling_radius: float = 1.5
+    # Per-level max-distance bounds: level i regresses targets in
+    # (bounds[i-1], bounds[i]] with bounds[-1] = inf; len == len(fpn_strides)
+    # - 1 (paper: 64/128/256/512 for P3..P7).
+    regress_range_bounds: Tuple[float, ...] = (64.0, 128.0, 256.0, 512.0)
+    loss_weight_box: float = 1.0
+    loss_weight_ctr: float = 1.0
+    # Inference: per level, top-k over the (location, class) product of the
+    # class and centerness sigmoids, then one class-aware NMS (paper §3.1:
+    # centerness downweights low-quality border predictions before NMS).
+    pre_nms_topk: int = 1000
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.6
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
 class MaskConfig:
     """Mask R-CNN instance-segmentation branch (He et al., arXiv:1703.06870
     — a build extra beyond the box-only reference, demonstrating the RoI
@@ -419,10 +458,13 @@ class EvalConfig:
 @dataclasses.dataclass(frozen=True)
 class Config:
     # Detector family: "faster_rcnn" (the reference's two-stage pipeline),
-    # "mask_rcnn" (two-stage + instance-mask FCN branch), or "retinanet"
-    # (single-stage, FPN P3-P7 + focal loss). The rpn/roi groups configure
-    # the two-stage families (mask adds the mask group), the retinanet group
-    # the single-stage one; data/backbone/anchors/train/eval are shared.
+    # "mask_rcnn" (two-stage + instance-mask FCN branch), "retinanet"
+    # (single-stage anchor-based, FPN P3-P7 + focal loss), or "fcos"
+    # (single-stage anchor-FREE, per-location regression + centerness). The
+    # rpn/roi groups configure the two-stage families (mask adds the mask
+    # group), the retinanet/fcos groups the single-stage ones;
+    # data/backbone/anchors/train/eval are shared (fcos uses only the
+    # anchors group's fpn_strides).
     model: str = "faster_rcnn"
     data: DataConfig = DataConfig()
     backbone: BackboneConfig = BackboneConfig()
@@ -430,6 +472,7 @@ class Config:
     rpn: RPNConfig = RPNConfig()
     roi: ROIConfig = ROIConfig()
     retinanet: RetinaNetConfig = RetinaNetConfig()
+    fcos: FCOSConfig = FCOSConfig()
     mask: MaskConfig = MaskConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
@@ -511,6 +554,26 @@ def tiny_retinanet_config(canvas: int = 128, num_classes: int = 3) -> Config:
         # (observed: norm 5 -> 118 -> 1.3e4 -> NaN within 20 steps on this
         # config unclipped — the TF OD API ships RetinaNet with clip 10 for
         # the same reason).
+        train=dataclasses.replace(base.train, grad_clip_norm=10.0),
+    )
+
+
+def tiny_fcos_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small FCOS config for unit tests / CPU: tiny backbone + P3-P7 (same
+    pyramid as the tiny RetinaNet), narrow GN towers, regress ranges scaled
+    to the 128px canvas."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="fcos",
+        backbone=dataclasses.replace(base.backbone, use_fpn=True),
+        anchors=AnchorConfig(fpn_strides=(8, 16, 32, 64, 128)),
+        fcos=FCOSConfig(
+            num_convs=2, head_channels=64, pre_nms_topk=64,
+            max_detections=20,
+            regress_range_bounds=(16.0, 32.0, 64.0, 96.0),
+        ),
+        # Same rationale as the RetinaNet preset: the focal 1/num_pos
+        # normalizer amplifies sparse-positive batches into grad spikes.
         train=dataclasses.replace(base.train, grad_clip_norm=10.0),
     )
 

@@ -9,6 +9,7 @@ from tpudet.models.faster_rcnn import FasterRCNN  # noqa: F401
 from tpudet.models.mask_head import MaskHead  # noqa: F401
 from tpudet.models.mask_rcnn import MaskRCNN  # noqa: F401
 from tpudet.models.retinanet import RetinaNet  # noqa: F401
+from tpudet.models.fcos import FCOS  # noqa: F401
 
 
 def build_model(cfg):
@@ -22,7 +23,9 @@ def build_model(cfg):
         return MaskRCNN(cfg)
     if cfg.model == "retinanet":
         return RetinaNet(cfg)
+    if cfg.model == "fcos":
+        return FCOS(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
-        "or 'retinanet'"
+        "'retinanet', or 'fcos'"
     )

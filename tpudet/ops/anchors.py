@@ -90,6 +90,19 @@ def generate_fpn_anchors(
     return jnp.asarray(np.concatenate(per_level, axis=0)), counts
 
 
+def generate_points_np(
+    feat_height: int, feat_width: int, stride: int
+) -> np.ndarray:
+    """[H*W, 2] anchor-free location grid (FCOS, arXiv:1904.01355 §3.1):
+    the center of every feature cell in input-image pixels, (x, y),
+    row-major over (y, x) — the same trace-time-constant treatment as the
+    anchor grids (a point is just an anchor with zero extent)."""
+    cx = (np.arange(feat_width, dtype=np.float32) + 0.5) * stride
+    cy = (np.arange(feat_height, dtype=np.float32) + 0.5) * stride
+    cxv, cyv = np.meshgrid(cx, cy)  # [H, W]
+    return np.stack([cxv, cyv], axis=-1).reshape(-1, 2)
+
+
 def anchor_validity_mask_np(
     anchors: np.ndarray, image_height: float, image_width: float
 ) -> np.ndarray:

@@ -102,6 +102,26 @@ def decode_boxes(
     )
 
 
+def elementwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """[N] generalized IoU of row-aligned box pairs (Rezatofighi et al.,
+    arXiv:1902.09630): IoU − |hull \\ union| / |hull|, in [−1, 1]. Used as
+    1 − GIoU box loss by the anchor-free family — it compares DECODED boxes,
+    so no delta-space normalization convention is needed."""
+    x1 = jnp.maximum(boxes1[..., 0], boxes2[..., 0])
+    y1 = jnp.maximum(boxes1[..., 1], boxes2[..., 1])
+    x2 = jnp.minimum(boxes1[..., 2], boxes2[..., 2])
+    y2 = jnp.minimum(boxes1[..., 3], boxes2[..., 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    union = area(boxes1) + area(boxes2) - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    hx1 = jnp.minimum(boxes1[..., 0], boxes2[..., 0])
+    hy1 = jnp.minimum(boxes1[..., 1], boxes2[..., 1])
+    hx2 = jnp.maximum(boxes1[..., 2], boxes2[..., 2])
+    hy2 = jnp.maximum(boxes1[..., 3], boxes2[..., 3])
+    hull = jnp.maximum(hx2 - hx1, 0) * jnp.maximum(hy2 - hy1, 0)
+    return iou - (hull - union) / jnp.maximum(hull, 1e-9)
+
+
 def clip_boxes(boxes: jnp.ndarray, image_hw: Tuple[int, int] | jnp.ndarray) -> jnp.ndarray:
     """Clip boxes to [0, W] x [0, H]. ``image_hw`` = (height, width)."""
     h, w = image_hw[0], image_hw[1]

@@ -54,8 +54,10 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
     d = cfg.data
     buckets = _canvas_buckets(cfg)
     # Postprocess knobs live in the family-specific config group.
-    pp = cfg.retinanet if getattr(cfg, "model", "faster_rcnn") == "retinanet" \
-        else cfg.roi
+    family = getattr(cfg, "model", "faster_rcnn")
+    pp = {"retinanet": cfg.retinanet, "fcos": getattr(cfg, "fcos", None)}.get(
+        family
+    ) or cfg.roi
     return {
         "artifact_version": ARTIFACT_VERSION,
         "model": getattr(cfg, "model", "faster_rcnn"),

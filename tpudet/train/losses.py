@@ -105,6 +105,62 @@ def retinanet_losses(
     return cls_loss, box_weight * box_loss
 
 
+def fcos_losses(
+    cls_logits: jnp.ndarray,    # [N, C] per-location class logits
+    pred_boxes: jnp.ndarray,    # [N, 4] DECODED predicted boxes
+    ctr_logits: jnp.ndarray,    # [N] centerness logits
+    target_classes: jnp.ndarray,  # [N] int32, 0 bg, 1..C fg
+    target_boxes: jnp.ndarray,  # [N, 4] matched GT boxes (valid on positives)
+    target_ctr: jnp.ndarray,    # [N] centerness targets in [0,1] (positives)
+    pos: jnp.ndarray,           # [N] bool
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    box_weight: float = 1.0,
+    ctr_weight: float = 1.0,
+):
+    """FCOS losses (Tian et al., arXiv:1904.01355 Eq. 2 + §3.2):
+    sigmoid focal classification over ALL locations (no ignore band — the
+    per-location assignment is exhaustive), 1 − GIoU on the positives'
+    DECODED boxes weighted by the centerness target and normalized by its
+    sum (the paper's "centerness-weighted" GIoU — low-quality border
+    locations contribute less), and BCE centerness on positives normalized
+    by the positive count. Safe for zero-positive images."""
+    from tpudet.ops.boxes import elementwise_giou
+
+    n, num_classes = cls_logits.shape
+    pos_f = pos.astype(jnp.float32)
+    num_pos = jnp.maximum(jnp.sum(pos_f), 1.0)
+
+    onehot = (
+        jax.nn.one_hot(target_classes - 1, num_classes, dtype=jnp.float32)
+        * pos_f[:, None]
+    )
+    bce = (
+        jnp.maximum(cls_logits, 0)
+        - cls_logits * onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
+    )
+    p = jax.nn.sigmoid(cls_logits)
+    p_t = p * onehot + (1.0 - p) * (1.0 - onehot)
+    alpha_t = alpha * onehot + (1.0 - alpha) * (1.0 - onehot)
+    cls_loss = jnp.sum(alpha_t * jnp.power(1.0 - p_t, gamma) * bce) / num_pos
+
+    giou = elementwise_giou(pred_boxes, target_boxes)  # [N]
+    ctr_w = target_ctr * pos_f
+    box_loss = jnp.sum((1.0 - giou) * ctr_w) / jnp.maximum(
+        jnp.sum(ctr_w), 1e-6
+    )
+    box_loss = jnp.where(jnp.sum(pos_f) > 0, box_loss, 0.0)
+
+    ctr_bce = (
+        jnp.maximum(ctr_logits, 0)
+        - ctr_logits * target_ctr
+        + jnp.log1p(jnp.exp(-jnp.abs(ctr_logits)))
+    )
+    ctr_loss = _safe_mean(ctr_bce, pos_f, denom=num_pos)
+    return cls_loss, box_weight * box_loss, ctr_weight * ctr_loss
+
+
 def mask_loss(
     mask_logits: jnp.ndarray,     # [R, m, m, C] per-class mask logits
     targets: jnp.ndarray,         # [R, m, m] binary targets (fg rows valid)
