@@ -702,3 +702,90 @@ def test_scale_jitter_fits_canvas_when_upscaling():
     assert out["image"].shape == (128, 128, 3)
     nh, nw = out["image_hw"]
     assert nh <= 128 and nw <= 128
+
+
+def test_color_jitter_invariants():
+    """Device-side photometric aug: brightness is a single scale of the
+    valid region; saturation/hue/contrast preserve the (mean) luma; padding
+    stays exactly zero; deterministic per key."""
+    from tpudet.data.preprocess import _color_jitter_single
+
+    rng = np.random.default_rng(0)
+    # Mid-gamut pixels: the 0..255 clip is correct behavior but would
+    # break the exact scale/luma identities this test checks.
+    img = jnp.asarray(rng.uniform(80, 170, (16, 16, 3)), jnp.float32)
+    img = img.at[8:].set(0.0).at[:, 12:].set(0.0)  # pad below/right
+    hw = jnp.asarray([8.0, 12.0], jnp.float32)
+    key = jax.random.key(7)
+    luma = jnp.asarray([0.299, 0.587, 0.114])
+
+    # Brightness only: valid region scaled by one factor in [0.5, 1.5].
+    out = _color_jitter_single(img, hw, key, (0.5, 0.0, 0.0, 0.0))
+    ratio = np.asarray(out[:8, :12] / img[:8, :12])
+    assert np.allclose(ratio, ratio.flat[0], atol=1e-5)
+    assert 0.5 <= ratio.flat[0] <= 1.5
+    assert float(jnp.abs(out[8:]).max()) == 0.0  # padding untouched
+    assert float(jnp.abs(out[:, 12:]).max()) == 0.0
+    # Deterministic in the key; different keys differ.
+    out2 = _color_jitter_single(img, hw, key, (0.5, 0.0, 0.0, 0.0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = _color_jitter_single(
+        img, hw, jax.random.key(8), (0.5, 0.0, 0.0, 0.0))
+    assert not np.allclose(np.asarray(out), np.asarray(out3))
+
+    # Saturation only: per-pixel luma preserved (gray-lerp invariant).
+    out = _color_jitter_single(img, hw, key, (0.0, 0.0, 0.5, 0.0))
+    np.testing.assert_allclose(
+        np.asarray(out[:8, :12] @ luma), np.asarray(img[:8, :12] @ luma),
+        rtol=1e-4)
+    assert not np.allclose(np.asarray(out[:8, :12]),
+                           np.asarray(img[:8, :12]))
+
+    # Hue only: YIQ rotation leaves the Y (luma) channel exact.
+    out = _color_jitter_single(img, hw, key, (0.0, 0.0, 0.0, 0.1))
+    np.testing.assert_allclose(
+        np.asarray(out[:8, :12] @ luma), np.asarray(img[:8, :12] @ luma),
+        rtol=2e-3, atol=0.5)
+    assert not np.allclose(np.asarray(out[:8, :12]),
+                           np.asarray(img[:8, :12]), atol=1.0)
+
+    # Contrast only: the valid-region MEAN luma is preserved.
+    out = _color_jitter_single(img, hw, key, (0.0, 0.9, 0.0, 0.0))
+    assert float(jnp.mean(out[:8, :12] @ luma)) == pytest.approx(
+        float(jnp.mean(img[:8, :12] @ luma)), rel=1e-3)
+
+
+def test_color_jitter_in_device_preprocess():
+    """Training-only, fused into the jitted preprocess; eval path and the
+    all-zero default are bit-identical to no-jitter."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    jcfg = cfg.replace(data=dataclasses.replace(
+        cfg.data, color_jitter=(0.3, 0.3, 0.3, 0.05), random_flip=False))
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(30, 220, (2, 128, 128, 3)).astype(np.uint8)
+    imgs[1, 96:] = 0  # loader contract: padding is zero
+    imgs[1, :, 64:] = 0
+    batch = {
+        "image": jnp.asarray(imgs),
+        "image_hw": jnp.asarray([[128.0, 128.0], [96.0, 64.0]]),
+        "gt_boxes": jnp.zeros((2, 10, 4)),
+        "gt_valid": jnp.zeros((2, 10), bool),
+        "gt_classes": jnp.zeros((2, 10), jnp.int32),
+    }
+    plain = device_preprocess(cfg, dict(batch), jax.random.key(0),
+                              training=True)
+    jit_train = device_preprocess(jcfg, dict(batch), jax.random.key(0),
+                                  training=True)
+    jit_eval = device_preprocess(jcfg, dict(batch), training=False)
+    # Eval never jitters; training with the jitter config differs.
+    np.testing.assert_array_equal(
+        np.asarray(plain["image"]), np.asarray(jit_eval["image"]))
+    assert not np.allclose(
+        np.asarray(jit_train["image"]), np.asarray(plain["image"]))
+    # Padding rows of image 1 (valid 96x64) normalize identically in both:
+    # the jitter re-zeroes padding before the shared normalize.
+    np.testing.assert_allclose(
+        np.asarray(jit_train["image"][1, 96:]),
+        np.asarray(plain["image"][1, 96:]), atol=1e-6)

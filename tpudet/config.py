@@ -75,6 +75,15 @@ class DataConfig:
     # tpudet/data/masks.py). Datasets without mask annotations emit zeros.
     load_masks: bool = False
     gt_mask_size: int = 112
+    # Train-time photometric augmentation (brightness, contrast, saturation,
+    # hue), all-zero disables. Device-side, fused into the jitted train step
+    # like the flip: brightness/contrast/saturation factors ~ U(1-x, 1+x),
+    # hue rotation ~ U(-h, +h) turns (0.5 = 180deg) applied as a YIQ-space
+    # rotation (one 3x3 pixel matmul - no HSV conversion on device).
+    # Padding stays exactly zero and the contrast/saturation grayscale means
+    # are computed over the valid region only. Typical SSD/TF-OD recipe:
+    # (0.125, 0.5, 0.5, 0.05).
+    color_jitter: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     # Train-time multi-scale augmentation: each image's resize scale is
     # multiplied by U(lo, hi) (standard COCO multiscale, e.g. (0.8, 1.0)).
     # Host-side and deterministic per (seed, epoch, index); the canvas/

@@ -276,6 +276,65 @@ def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
     return out
 
 
+def _color_jitter_single(image, image_hw, rng, jitter):
+    """Photometric augmentation of ONE image's valid region (jit-safe,
+    [H, W, 3] float 0..255): brightness/contrast/saturation by U(1-x, 1+x)
+    factors, hue by a U(-h, h)-turn rotation in YIQ space (a single 3x3
+    pixel matmul — the device-friendly equivalent of an HSV hue shift; YIQ's
+    I/Q plane is the chroma plane, so rotating it shifts hue while leaving
+    luma Y exact). The grayscale means use the valid region only and the
+    padding is re-zeroed, so padded pixels never leak into (or out of) the
+    statistics."""
+    b, c, s, h = jitter
+    kb, kc, ks, kh = jax.random.split(rng, 4)
+    rows = jnp.arange(image.shape[0])[:, None] < image_hw[0]
+    cols = jnp.arange(image.shape[1])[None, :] < image_hw[1]
+    valid = (rows & cols)[:, :, None].astype(image.dtype)
+    n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+
+    out = image
+    if b > 0:
+        out = out * jax.random.uniform(kb, (), minval=1 - b, maxval=1 + b)
+    # ITU-R 601 luma — the torchvision grayscale convention.
+    luma_w = jnp.asarray([0.299, 0.587, 0.114], image.dtype)
+    if c > 0:
+        gray_mean = jnp.sum(
+            (out @ luma_w)[:, :, None] * valid
+        ) / n_valid
+        f = jax.random.uniform(kc, (), minval=1 - c, maxval=1 + c)
+        out = (out - gray_mean) * f + gray_mean
+    if s > 0:
+        gray = (out @ luma_w)[:, :, None]
+        f = jax.random.uniform(ks, (), minval=1 - s, maxval=1 + s)
+        out = gray + (out - gray) * f
+    if h > 0:
+        theta = jax.random.uniform(
+            kh, (), minval=-h, maxval=h
+        ) * (2.0 * jnp.pi)
+        # RGB -> YIQ, rotate the IQ chroma plane, YIQ -> RGB, folded into
+        # ONE 3x3 matrix at trace time modulo the theta-dependent rotation.
+        rgb2yiq = jnp.asarray(
+            [[0.299, 0.587, 0.114],
+             [0.5959, -0.2746, -0.3213],
+             [0.2115, -0.5227, 0.3112]], image.dtype)
+        yiq2rgb = jnp.asarray(
+            [[1.0, 0.956, 0.619],
+             [1.0, -0.272, -0.647],
+             [1.0, -1.106, 1.703]], image.dtype)
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+        one = jnp.ones((), image.dtype)
+        zero = jnp.zeros((), image.dtype)
+        rot = jnp.stack([
+            jnp.stack([one, zero, zero]),
+            jnp.stack([zero, cos_t, -sin_t]),
+            jnp.stack([zero, sin_t, cos_t]),
+        ])
+        m = yiq2rgb @ rot @ rgb2yiq
+        out = out @ m.T
+    out = jnp.clip(out, 0.0, 255.0) * valid
+    return out
+
+
 def _flip_single(image, boxes, image_hw):
     """Horizontally mirror the valid region [0:h, 0:w] of a padded canvas."""
     w_img = image_hw[1]
@@ -298,6 +357,15 @@ def device_preprocess(
     std = jnp.asarray(d.pixel_std, jnp.float32)
 
     gt_boxes = batch.get("gt_boxes")
+    if (training and rng is not None
+            and tuple(getattr(d, "color_jitter", ())) not in ((), (0.0,) * 4)):
+        rng, color_rng = jax.random.split(rng)
+        bsz = image.shape[0]
+        image = jax.vmap(
+            lambda img, hw, k: _color_jitter_single(
+                img, hw, k, d.color_jitter
+            )
+        )(image, batch["image_hw"], jax.random.split(color_rng, bsz))
     if training and d.random_flip and rng is not None and gt_boxes is not None:
         b = image.shape[0]
         do_flip = jax.random.bernoulli(rng, 0.5, (b,))
