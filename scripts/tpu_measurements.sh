@@ -101,3 +101,9 @@ run python -m tpudet.cli.benchmark --preset coco_maskrcnn_r50_fpn --mode train -
 #    9*(C+4)/cell — ~9x fewer head FLOPs and NMS candidates per level).
 run python -m tpudet.cli.benchmark --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8
+
+# 10. Cascade R-CNN family on the real chip: R50-FPN COCO preset. Infer
+#     b=16 (3x head matmuls + 3x RoI pooling vs Faster R-CNN) + train b=8.
+#     Comparison anchor: coco_r101_fpn infer 251.8 / train 71.7.
+run python -m tpudet.cli.benchmark --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8

@@ -403,3 +403,50 @@ def test_fcos_step_and_predict_on_tpu():
     out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
     assert out["boxes"].shape == (2, cfg.fcos.max_detections, 4)
     assert np.isfinite(out["boxes"]).all()
+
+
+def test_cascade_rcnn_step_and_predict_on_tpu():
+    """Cascade family on the real chip: three pooling+head rounds (two in
+    predict's chain before the final), stage re-labeling, and the shared
+    NMS tail compile through Mosaic/XLA-TPU in one program each."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import build_model
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = preset_config("coco_cascade_r50_fpn")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", num_classes=8, aspect_buckets=(),
+            canvas_height=512, canvas_width=512,
+        ),
+        roi=dataclasses.replace(cfg.roi, window=32),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, num_data_shards=1, bf16=True
+        ),
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+
+    from tpudet.data import DataLoader, SyntheticDataset
+    from tpudet.data.preprocess import device_preprocess
+
+    ds = SyntheticDataset(num_classes=8, num_examples=2, image_size=500)
+    loader = DataLoader(cfg, ds, 2, shuffle=False, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    batch = device_preprocess(
+        cfg, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+
+    step = make_train_step(model, cfg)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    for t in (1, 2, 3):
+        assert np.isfinite(metrics[f"det_cls_loss_s{t}"])
+
+    out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
+    assert out["boxes"].shape == (2, cfg.roi.max_detections, 4)
+    assert np.isfinite(out["boxes"]).all()

@@ -140,6 +140,22 @@ def preset_config(name: str) -> Config:
         from tpudet.config import tiny_fcos_config
 
         return tiny_fcos_config()
+    if name == "cascade_tiny":
+        from tpudet.config import tiny_cascade_config
+
+        return tiny_cascade_config()
+    if name == "coco_cascade_r50_fpn":
+        # Cascade R-CNN R50-FPN on COCO (arXiv:1712.00726 §4 canonical:
+        # three stages at IoU 0.5/0.6/0.7, class-agnostic boxes, 10/20/30
+        # delta normalization) on the shared COCO FPN pipeline.
+        import dataclasses as _dc
+
+        base = preset_config("coco_r101_fpn")
+        return base.replace(
+            model="cascade_rcnn",
+            backbone=_dc.replace(base.backbone, name="resnet50"),
+            roi=_dc.replace(base.roi, class_agnostic_bbox=True),
+        )
     if name == "coco_fcos_r50":
         # Anchor-free FCOS-R50-FPN on COCO (paper arXiv:1904.01355 §4
         # canonical: P3-P7, regress ranges 64/128/256/512, 4-conv 256ch GN
@@ -169,7 +185,8 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_r101_fpn", "retinanet_tiny",
                             "coco_retinanet_r50", "maskrcnn_tiny",
                             "coco_maskrcnn_r50_fpn", "fcos_tiny",
-                            "coco_fcos_r50"])
+                            "coco_fcos_r50", "cascade_tiny",
+                            "coco_cascade_r50_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

@@ -387,6 +387,35 @@ class RetinaNetConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Cascade R-CNN branch (Cai & Vasconcelos, arXiv:1712.00726 — a build
+    extra beyond the single-IoU reference): a sequence of detection heads
+    trained at increasing IoU thresholds, each refining the previous stage's
+    boxes, so each stage sees a progressively higher-quality proposal
+    distribution (the paper's answer to the IoU-threshold paradox).
+
+    TPU-first formulation: stage 1 uses the shared balanced sampler; later
+    stages keep the SAME static RoI set and only re-label it at their higher
+    threshold (the paper does no resampling — the regressed boxes raise the
+    fg fraction naturally), so the whole cascade is one static-shape
+    program. Box regression is class-agnostic per stage (required for the
+    box chain; the reference Detectron configuration)."""
+
+    # Per-stage fg IoU thresholds (also the stage count). Stage 1 additionally
+    # uses roi.bg_iou_thresh_lo/hi semantics via the shared sampler.
+    stage_iou_thresholds: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    # Per-stage box-delta normalization: tighter boxes -> tighter stds
+    # (the paper/Detectron schedule).
+    stage_box_reg_weights: Tuple[Tuple[float, float, float, float], ...] = (
+        (10.0, 10.0, 5.0, 5.0),
+        (20.0, 20.0, 10.0, 10.0),
+        (30.0, 30.0, 15.0, 15.0),
+    )
+    # Per-stage loss weights (paper: equal).
+    stage_loss_weights: Tuple[float, ...] = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class FCOSConfig:
     """Anchor-free FCOS branch (Tian et al., arXiv:1904.01355 — a build
     extra beyond the anchor-based reference families): per-location
@@ -482,6 +511,7 @@ class Config:
     roi: ROIConfig = ROIConfig()
     retinanet: RetinaNetConfig = RetinaNetConfig()
     fcos: FCOSConfig = FCOSConfig()
+    cascade: CascadeConfig = CascadeConfig()
     mask: MaskConfig = MaskConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
@@ -564,6 +594,17 @@ def tiny_retinanet_config(canvas: int = 128, num_classes: int = 3) -> Config:
         # config unclipped — the TF OD API ships RetinaNet with clip 10 for
         # the same reason).
         train=dataclasses.replace(base.train, grad_clip_norm=10.0),
+    )
+
+
+def tiny_cascade_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small Cascade R-CNN config for unit tests / CPU: the tiny two-stage
+    config + the cascade group's defaults (class-agnostic boxes forced —
+    the box chain requires one box per proposal)."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="cascade_rcnn",
+        roi=dataclasses.replace(base.roi, class_agnostic_bbox=True),
     )
 
 

@@ -10,6 +10,7 @@ from tpudet.models.mask_head import MaskHead  # noqa: F401
 from tpudet.models.mask_rcnn import MaskRCNN  # noqa: F401
 from tpudet.models.retinanet import RetinaNet  # noqa: F401
 from tpudet.models.fcos import FCOS  # noqa: F401
+from tpudet.models.cascade_rcnn import CascadeRCNN  # noqa: F401
 
 
 def build_model(cfg):
@@ -25,7 +26,9 @@ def build_model(cfg):
         return RetinaNet(cfg)
     if cfg.model == "fcos":
         return FCOS(cfg)
+    if cfg.model == "cascade_rcnn":
+        return CascadeRCNN(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
-        "'retinanet', or 'fcos'"
+        "'retinanet', 'fcos', or 'cascade_rcnn'"
     )

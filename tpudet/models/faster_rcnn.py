@@ -111,6 +111,22 @@ class DetectorCore(nn.Module):
             class_agnostic=self.cfg.roi.class_agnostic_bbox,
             dtype=dtype,
         )
+        if self.cfg.model == "cascade_rcnn":
+            # Stages 2..T get their own heads; names keep the "det_head"
+            # substring so the TP sharding rules (and freeze prefixes like
+            # 'det_head2') apply to every stage's MLP, and stage 1 keeps the
+            # plain det_head name for warm-start compat with faster_rcnn
+            # checkpoints.
+            self.cascade_heads = tuple(
+                FastRCNNHead(
+                    num_classes=self.cfg.data.num_classes,
+                    fc_dim=self.cfg.roi.fc_dim,
+                    class_agnostic=True,
+                    dtype=dtype,
+                    name=f"det_head{t + 1}",
+                )
+                for t in range(1, len(self.cfg.cascade.stage_iou_thresholds))
+            )
         if self.cfg.model == "mask_rcnn":
             from tpudet.models.mask_head import MaskHead
 
@@ -142,8 +158,12 @@ class DetectorCore(nn.Module):
             deltas_all.append(deltas)
         return jnp.concatenate(logits_all, axis=1), jnp.concatenate(deltas_all, axis=1)
 
-    def roi_head(self, pooled: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self.det_head(pooled)
+    def roi_head(
+        self, pooled: jnp.ndarray, stage: int = 0
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if stage == 0:
+            return self.det_head(pooled)
+        return self.cascade_heads[stage - 1](pooled)
 
     def masks(self, pooled: jnp.ndarray) -> jnp.ndarray:
         """Mask FCN over [N, s_m, s_m, C_feat] -> [N, 2*s_m, 2*s_m, C]."""
@@ -160,6 +180,9 @@ class DetectorCore(nn.Module):
             self.masks(
                 jnp.zeros((1, sm, sm, any_feat.shape[-1]), any_feat.dtype)
             )
+        if self.cfg.model == "cascade_rcnn":
+            for t in range(1, len(self.cfg.cascade.stage_iou_thresholds)):
+                self.roi_head(dummy, stage=t)
         return self.roi_head(dummy)
 
 
@@ -595,9 +618,13 @@ class FasterRCNN:
         return idx, is_pos, valid, target_deltas
 
     def _roi_targets_single(
-        self, proposals, prop_valid, gt_boxes, gt_classes, gt_valid, rng
+        self, proposals, prop_valid, gt_boxes, gt_classes, gt_valid, rng,
+        reg_weights=None,
     ):
-        """Per-image C14: append GT, match at 0.5, sample 25% fg."""
+        """Per-image C14: append GT, match at 0.5, sample 25% fg.
+
+        ``reg_weights`` overrides the delta normalization (the cascade's
+        stage-1 schedule); default: the roi group's."""
         cfg = self.cfg.roi
         if cfg.append_gt:
             proposals = jnp.concatenate([proposals, gt_boxes], axis=0)
@@ -615,7 +642,8 @@ class FasterRCNN:
         boxes = proposals[idx]
         mgt = matched[idx]
         target_deltas = box_ops.encode_boxes(
-            gt_boxes[mgt], boxes, cfg.box_reg_weights
+            gt_boxes[mgt], boxes,
+            cfg.box_reg_weights if reg_weights is None else reg_weights,
         )
         target_classes = jnp.where(
             is_fg & valid, gt_classes[mgt], 0
@@ -773,6 +801,14 @@ class FasterRCNN:
             cfg.box_reg_weights,
         )  # [P, C, 4]
         boxes = box_ops.clip_boxes(boxes, image_hw)
+        return self._final_nms(boxes, probs, prop_valid)
+
+    def _final_nms(self, boxes, probs, prop_valid):
+        """Shared tail of C16 (also the cascade's): flatten the [P, C]
+        (box, class) candidates -> score thresh -> candidate cap -> one
+        class-aware NMS -> top max_detections. Static [D] outputs + mask."""
+        cfg = self.cfg.roi
+        p, num_classes = probs.shape
 
         flat_boxes = boxes.reshape(-1, 4)
         flat_scores = probs.reshape(-1)
