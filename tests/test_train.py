@@ -587,3 +587,58 @@ def test_ema_checkpoint_and_warm_start(tmp_path):
         np.asarray(warm.ema_params["w"]), np.asarray(warm.params["w"]))
     np.testing.assert_array_equal(
         np.asarray(warm.params["w"]), np.asarray(state.params["w"]))
+
+
+def test_ema_restore_reconciliation(tmp_path):
+    """The EMA subtree is reconciled against the checkpoint, not strictly
+    matched (a strict orbax StandardRestore would crash every cross-config
+    workflow): an EMA-trained checkpoint restores its average into a
+    template that didn't enable EMA, and a pre-EMA checkpoint restores into
+    an EMA-enabled template with the average restarted from the params."""
+    import dataclasses
+    from tpudet.train.checkpoint import CheckpointManager
+
+    model = _LinearStubModel()
+    # Identical optimizer chain in both configs (only the EMA flag differs,
+    # so the opt_state trees match and ONLY the ema subtree is at stake).
+    cfg = small_cfg(batch_size=8, weight_decay=0.0)
+    ema_cfg = dataclasses.replace(cfg.train, ema_decay=0.9)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 4)), jnp.float32)
+
+    # Train WITH EMA, save.
+    st = create_train_state(model, ema_cfg, jax.random.key(0))
+    step = make_train_step(model, cfg.replace(train=ema_cfg))
+    for _ in range(3):
+        st, _ = step(st, {"x": x})
+    mgr = CheckpointManager(str(tmp_path / "with_ema"), keep=1)
+    assert mgr.save(st, force=True)
+    mgr.wait()
+    # (a) Restore into a NO-EMA template (e.g. eval without the train-time
+    # --set): must not crash, and must carry the REAL average through.
+    plain = create_train_state(model, cfg.train, jax.random.key(5))
+    assert plain.ema_params is None
+    restored = mgr.restore(plain)
+    mgr.close()
+    assert restored.ema_params is not None
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["w"]), np.asarray(st.ema_params["w"]))
+    assert restored.eval_variables(True)["params"] is restored.ema_params
+
+    # Train WITHOUT EMA, save.
+    st0 = create_train_state(model, cfg.train, jax.random.key(0))
+    step0 = make_train_step(model, cfg)
+    st0, _ = step0(st0, {"x": x})
+    mgr0 = CheckpointManager(str(tmp_path / "no_ema"), keep=1)
+    assert mgr0.save(st0, force=True)
+    mgr0.wait()
+    # (b) Restore into an EMA-enabled template (EMA newly switched on):
+    # the average restarts from the restored params and the step runs.
+    fresh = create_train_state(model, ema_cfg, jax.random.key(9))
+    warm = mgr0.restore(fresh)
+    mgr0.close()
+    np.testing.assert_array_equal(
+        np.asarray(warm.ema_params["w"]), np.asarray(warm.params["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(warm.params["w"]), np.asarray(st0.params["w"]))
+    warm, _ = step(warm, {"x": x})
+    assert np.isfinite(float(warm.ema_params["w"].sum()))

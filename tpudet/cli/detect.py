@@ -63,8 +63,6 @@ def main(argv=None):
     image = np.asarray(Image.open(args.image).convert("RGB"))
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
-    if args.ema and state.ema_params is None:
-        state = state.replace(ema_params=state.params)
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)
 

@@ -269,10 +269,10 @@ def main(argv=None):
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
-    if args.ema and state.ema_params is None:
-        # The checkpoint carries an EMA subtree the eval config didn't
-        # enable — give the restore template the matching slot.
-        state = state.replace(ema_params=state.params)
+    # EMA reconciliation happens inside CheckpointManager.restore: a
+    # checkpoint carrying an average restores it even when the eval config
+    # didn't enable EMA; --ema on an average-less checkpoint fails with the
+    # clean eval_variables error below.
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
         state = mgr.restore(state)

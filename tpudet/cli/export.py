@@ -42,8 +42,6 @@ def main(argv=None):
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(cfg.train.seed))
-    if args.ema and state.ema_params is None:
-        state = state.replace(ema_params=state.params)
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
         if mgr.latest_step is None:

@@ -145,27 +145,13 @@ class CascadeRCNN(FasterRCNN):
         if cfg.det_only:
             rpn_total = 0.0
         else:
-            rpn_keys = jax.random.split(rng_rpn, b)
-            idx, is_pos, valid, tgt_deltas = jax.vmap(
-                functools.partial(self._rpn_targets_single, anchors)
-            )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"],
-              rpn_keys)
-            sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
-            sampled_deltas = jnp.take_along_axis(
-                rpn_deltas, idx[..., None], axis=1
+            rpn_cls, rpn_box, num_pos = self._rpn_stage_losses(
+                anchors, rpn_logits, rpn_deltas, batch, rng_rpn
             )
-            rpn_cls, rpn_box = jax.vmap(
-                functools.partial(
-                    L.rpn_losses, box_weight=cfg.rpn.loss_weight_box
-                )
-            )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
-            rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
             rpn_total = rpn_cls + rpn_box
             metrics["rpn_cls_loss"] = rpn_cls
             metrics["rpn_box_loss"] = rpn_box
-            metrics["num_pos_anchors"] = jnp.mean(
-                jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)
-            )
+            metrics["num_pos_anchors"] = num_pos
 
         prop_boxes, _, prop_valid = self.proposals(
             rpn_logits, rpn_deltas, batch["image_hw"], training=True,

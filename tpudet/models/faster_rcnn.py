@@ -653,6 +653,29 @@ class FasterRCNN:
         # it is only meaningful where is_fg & valid.
         return boxes, target_classes, target_deltas, is_fg, valid, mgt
 
+    def _rpn_stage_losses(self, anchors, rpn_logits, rpn_deltas, batch, rng):
+        """RPN targets + losses over the batch (shared with the cascade
+        family): -> (mean cls loss, mean box loss, mean positive count)."""
+        b = rpn_logits.shape[0]
+        rpn_keys = jax.random.split(rng, b)
+        idx, is_pos, valid, tgt_deltas = jax.vmap(
+            functools.partial(self._rpn_targets_single, anchors)
+        )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"], rpn_keys)
+
+        sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
+        sampled_deltas = jnp.take_along_axis(
+            rpn_deltas, idx[..., None], axis=1
+        )
+        rpn_cls, rpn_box = jax.vmap(
+            functools.partial(
+                L.rpn_losses, box_weight=self.cfg.rpn.loss_weight_box
+            )
+        )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
+        num_pos = jnp.mean(
+            jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)
+        )
+        return jnp.mean(rpn_cls), jnp.mean(rpn_box), num_pos
+
     def loss(
         self, variables, batch: Dict[str, jnp.ndarray], rng: jax.Array
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -674,23 +697,11 @@ class FasterRCNN:
             # 2/4): the RPN only SUPPLIES proposals (its params are frozen —
             # enforced at make_train_step); no RPN targets or losses, so the
             # whole assignment/sampling cone is never built.
-            rpn_cls = rpn_box = None
+            rpn_cls = rpn_box = num_pos = None
         else:
-            rpn_keys = jax.random.split(rng_rpn, b)
-            idx, is_pos, valid, tgt_deltas = jax.vmap(
-                functools.partial(self._rpn_targets_single, anchors)
-            )(batch["gt_boxes"], batch["gt_valid"], batch["image_hw"], rpn_keys)
-
-            sampled_logits = jnp.take_along_axis(rpn_logits, idx, axis=1)
-            sampled_deltas = jnp.take_along_axis(
-                rpn_deltas, idx[..., None], axis=1
+            rpn_cls, rpn_box, num_pos = self._rpn_stage_losses(
+                anchors, rpn_logits, rpn_deltas, batch, rng_rpn
             )
-            rpn_cls, rpn_box = jax.vmap(
-                functools.partial(
-                    L.rpn_losses, box_weight=cfg.rpn.loss_weight_box
-                )
-            )(sampled_logits, sampled_deltas, tgt_deltas, is_pos, valid)
-            rpn_cls, rpn_box = jnp.mean(rpn_cls), jnp.mean(rpn_box)
 
         if cfg.rpn_only:
             # Standalone RPN training (reference 3e): detection branch off.
@@ -699,9 +710,7 @@ class FasterRCNN:
                 "loss": total,
                 "rpn_cls_loss": rpn_cls,
                 "rpn_box_loss": rpn_box,
-                "num_pos_anchors": jnp.mean(
-                    jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)
-                ),
+                "num_pos_anchors": num_pos,
             }
 
         # --- Proposals -> RoI targets -> head losses ---
@@ -750,7 +759,7 @@ class FasterRCNN:
             "rpn_box_loss": rpn_box,
             "det_cls_loss": det_cls,
             "det_box_loss": det_box,
-            "num_pos_anchors": jnp.mean(jnp.sum(is_pos & valid, axis=1).astype(jnp.float32)),
+            "num_pos_anchors": num_pos,
             "num_fg_rois": jnp.mean(jnp.sum(is_fg & roi_valid, axis=1).astype(jnp.float32)),
         }
         # Family extension point (Mask R-CNN adds its mask BCE here); base

@@ -184,6 +184,17 @@ class FCOS:
                 "model='fcos' requires backbone.use_fpn=True "
                 "(the detector is defined on a P3-P7 pyramid)"
             )
+        if tuple(cfg.anchors.fpn_strides) != (8, 16, 32, 64, 128):
+            # The point grid, per-point strides, and exp-decode scaling all
+            # key on anchors.fpn_strides, but the RetinaNetFPN pyramid is
+            # FIXED at P3-P7 — a default AnchorConfig (strides 4..64) would
+            # pass the bounds-length check below and then die in an opaque
+            # broadcast error (or silently mis-scale) far from the cause.
+            raise ValueError(
+                "model='fcos' runs on the fixed P3-P7 pyramid: set "
+                "anchors.fpn_strides=(8, 16, 32, 64, 128) "
+                f"(got {cfg.anchors.fpn_strides})"
+            )
         if len(cfg.fcos.regress_range_bounds) != len(cfg.anchors.fpn_strides) - 1:
             raise ValueError(
                 f"fcos.regress_range_bounds needs len(fpn_strides)-1 = "

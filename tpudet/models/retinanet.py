@@ -160,6 +160,16 @@ class RetinaNet:
                 "model='retinanet' requires backbone.use_fpn=True "
                 "(the detector is defined on a P3-P7 pyramid)"
             )
+        if tuple(cfg.anchors.fpn_strides) != (8, 16, 32, 64, 128):
+            # Same hazard as FCOS: the anchor grids key on these strides but
+            # the RetinaNetFPN pyramid is FIXED at P3-P7; the default
+            # AnchorConfig (4..64, the Faster R-CNN FPN layout) would
+            # misalign every anchor row with its head row.
+            raise ValueError(
+                "model='retinanet' runs on the fixed P3-P7 pyramid: set "
+                "anchors.fpn_strides=(8, 16, 32, 64, 128) "
+                f"(got {cfg.anchors.fpn_strides})"
+            )
         self.cfg = cfg
         self.core = RetinaNetCore(cfg)
         self._anchors_cache: Dict[Tuple[int, int], np.ndarray] = {}

@@ -33,13 +33,52 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state), force=force
         )
 
+    def _ckpt_has_ema(self, step) -> Optional[bool]:
+        """Whether the checkpoint carries an EMA average; None = can't tell
+        (metadata unavailable — fall back to the strict template match)."""
+        try:
+            meta = self._mgr.item_metadata(step)
+            if "ema_params" not in meta.keys():
+                return False  # pre-EMA checkpoint
+            return meta["ema_params"] is not None
+        except Exception:  # noqa: BLE001 — orbax metadata API drift
+            return None
+
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
-        """Restore into the structure of ``state`` (shapes/shardings)."""
+        """Restore into the structure of ``state`` (shapes/shardings).
+
+        The EMA subtree is reconciled against the checkpoint rather than
+        strictly matched — orbax StandardRestore raises an opaque
+        tree-structure error on ANY mismatch, which would make every
+        cross-config workflow crash (evaluating an EMA-trained checkpoint
+        without re-passing the train-time --set, enabling EMA mid-training,
+        --ema against the wrong artifact):
+          * checkpoint HAS an average, template doesn't -> the slot is added
+            and the real average restored (so eval --ema works without
+            replicating train-time overrides);
+          * checkpoint LACKS one, template expects it (EMA newly enabled) ->
+            restore without the slot, then restart the average from the
+            restored params (the same semantics as a warm start).
+        """
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
             return state
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(state))
+        ckpt_has = self._ckpt_has_ema(step)
+        if ckpt_has is True and state.ema_params is None:
+            state = state.replace(
+                ema_params=jax.tree.map(jax.numpy.copy, state.params)
+            )
+        strip = ckpt_has is False and state.ema_params is not None
+        template = state.replace(ema_params=None) if strip else state
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        if strip:
+            restored = restored.replace(
+                ema_params=jax.tree.map(jax.numpy.copy, restored.params)
+            )
+        return restored
 
     def restore_params(
         self, state: TrainState, step: Optional[int] = None
