@@ -107,3 +107,9 @@ run python -m tpudet.cli.benchmark --preset coco_fcos_r50 --mode train --batch-s
 #     Comparison anchor: coco_r101_fpn infer 251.8 / train 71.7.
 run python -m tpudet.cli.benchmark --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8
+
+# 11. Keypoint R-CNN family on the real chip: R50-FPN COCO preset. Infer
+#     b=16 (the keypoint FCN is the widest branch: 8 convs at 512ch over
+#     14^2 x 100 detections) + train b=8.
+run python -m tpudet.cli.benchmark --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8

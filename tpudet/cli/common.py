@@ -144,6 +144,22 @@ def preset_config(name: str) -> Config:
         from tpudet.config import tiny_cascade_config
 
         return tiny_cascade_config()
+    if name == "keypoint_tiny":
+        from tpudet.config import tiny_keypoint_config
+
+        return tiny_keypoint_config()
+    if name == "coco_keypoint_r50_fpn":
+        # Keypoint R-CNN R50-FPN (arXiv:1703.06870 §5 canonical: person-only
+        # keypoints, 14²-pooled branch, 8-conv 512ch FCN -> 56² one-hot
+        # heatmaps, COCO-17 keypoints/sigmas — the DataConfig defaults).
+        import dataclasses as _dc
+
+        base = preset_config("coco_r101_fpn")
+        return base.replace(
+            model="keypoint_rcnn",
+            backbone=_dc.replace(base.backbone, name="resnet50"),
+            data=_dc.replace(base.data, load_keypoints=True),
+        )
     if name == "coco_cascade_r50_fpn":
         # Cascade R-CNN R50-FPN on COCO (arXiv:1712.00726 §4 canonical:
         # three stages at IoU 0.5/0.6/0.7, class-agnostic boxes, 10/20/30
@@ -186,7 +202,8 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_retinanet_r50", "maskrcnn_tiny",
                             "coco_maskrcnn_r50_fpn", "fcos_tiny",
                             "coco_fcos_r50", "cascade_tiny",
-                            "coco_cascade_r50_fpn"])
+                            "coco_cascade_r50_fpn", "keypoint_tiny",
+                            "coco_keypoint_r50_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

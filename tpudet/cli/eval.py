@@ -72,6 +72,24 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     # protocol matching on pasted-mask IoU; its metrics land under "segm/"
     # (the box metrics keep their plain names — they are the parity
     # referee's). Needs data.load_masks so GT crops ride in the batch.
+    # Pose estimation (Keypoint R-CNN): OKS-matched keypoint mAP (a COCO
+    # protocol — pycocotools has no VOC-style keypoint eval) under "kp/".
+    kp_evaluator = None
+    if cfg.model == "keypoint_rcnn" and metric_style in ("voc", "coco"):
+        if not cfg.data.load_keypoints:
+            print("eval: model emits keypoints but data.load_keypoints="
+                  "False — skipping keypoint mAP (no GT keypoints)")
+        elif len(cfg.data.keypoint_sigmas) != cfg.data.num_keypoints:
+            raise ValueError(
+                f"data.keypoint_sigmas has {len(cfg.data.keypoint_sigmas)} "
+                f"entries but num_keypoints={cfg.data.num_keypoints}"
+            )
+        else:
+            kp_evaluator = CocoStyleEvaluator(
+                cfg.data.num_classes, class_names=class_names,
+                iou_type="keypoints",
+                keypoint_sigmas=cfg.data.keypoint_sigmas,
+            )
     segm_evaluator = None
     if cfg.model == "mask_rcnn" and metric_style in ("voc", "coco"):
         if not cfg.data.load_masks:
@@ -200,6 +218,25 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                     gt_masks=batch["gt_masks"][i][gt_valid],
                     **common, **extra,
                 )
+            if kp_evaluator is not None:
+                from tpudet.data.preprocess import (
+                    rescale_keypoints_to_original,
+                )
+
+                kp_evaluator.add_image(
+                    boxes, out["scores"][i][valid],
+                    out["classes"][i][valid],
+                    gt_boxes, batch["gt_classes"][i][gt_valid],
+                    pred_keypoints=rescale_keypoints_to_original(
+                        out["keypoints"][i][valid],
+                        batch["image_scale"][i], batch["orig_hw"][i],
+                    ),
+                    gt_keypoints=rescale_keypoints_to_original(
+                        batch["gt_keypoints"][i][gt_valid],
+                        batch["image_scale"][i], batch["orig_hw"][i],
+                    ),
+                    **common, **extra,
+                )
         if 0 <= max_images <= seen:
             break
     del pending, stream
@@ -214,6 +251,10 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     if segm_evaluator is not None:
         summary.update({
             f"segm/{k}": v for k, v in segm_evaluator.summarize().items()
+        })
+    if kp_evaluator is not None:
+        summary.update({
+            f"kp/{k}": v for k, v in kp_evaluator.summarize().items()
         })
     if verbose:
         for k, v in sorted(summary.items()):

@@ -75,6 +75,24 @@ class DataConfig:
     # tpudet/data/masks.py). Datasets without mask annotations emit zeros.
     load_masks: bool = False
     gt_mask_size: int = 112
+    # Keypoint loading (Keypoint R-CNN): emit gt_keypoints [max_gt_boxes,
+    # num_keypoints, 3] = (x, y, v) in canvas coords, v the COCO visibility
+    # (0 unlabeled, 1 labeled-invisible, 2 visible). Datasets without
+    # keypoint annotations emit zeros.
+    load_keypoints: bool = False
+    num_keypoints: int = 17  # COCO person convention
+    # Left/right keypoint index pairs swapped under horizontal flip (COCO
+    # person: eyes/ears/shoulders/elbows/wrists/hips/knees/ankles).
+    keypoint_flip_pairs: Tuple[Tuple[int, int], ...] = (
+        (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
+        (15, 16),
+    )
+    # Per-keypoint OKS falloff constants (pycocotools' sigmas; COCO-17
+    # person defaults). Must have num_keypoints entries when evaluating.
+    keypoint_sigmas: Tuple[float, ...] = (
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    )
     # Train-time photometric augmentation (brightness, contrast, saturation,
     # hue), all-zero disables. Device-side, fused into the jitted train step
     # like the flip: brightness/contrast/saturation factors ~ U(1-x, 1+x),
@@ -484,6 +502,27 @@ class MaskConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class KeypointConfig:
+    """Keypoint R-CNN branch (He et al., arXiv:1703.06870 §5 — a build extra
+    beyond the box-only reference): a per-RoI FCN predicting one heatmap per
+    keypoint; each visible keypoint trains as a softmax over the heatmap
+    grid (one-hot at its cell — the paper's formulation).
+
+    TPU-first: targets are grid INDICES computed on device from the RoI and
+    the matched GT keypoints (pure arithmetic, no rasterization); the head
+    runs on the balanced sampler's positives-first static prefix exactly
+    like the mask branch."""
+
+    # FCN tower (paper §5 / Detectron: 8 convs at 512ch).
+    num_convs: int = 8
+    conv_channels: int = 512
+    # RoI features pooled at this resolution; the deconv doubles it and a
+    # final 2x bilinear upsample doubles again (14 -> 28 -> 56 canonically).
+    roi_output_size: int = 14
+    loss_weight: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class EvalConfig:
     """mAP evaluation (SURVEY.md C20)."""
 
@@ -513,6 +552,7 @@ class Config:
     fcos: FCOSConfig = FCOSConfig()
     cascade: CascadeConfig = CascadeConfig()
     mask: MaskConfig = MaskConfig()
+    keypoint: KeypointConfig = KeypointConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
     # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
@@ -636,6 +676,23 @@ def tiny_maskrcnn_config(canvas: int = 128, num_classes: int = 3) -> Config:
         model="mask_rcnn",
         data=dataclasses.replace(base.data, load_masks=True, gt_mask_size=28),
         mask=MaskConfig(num_convs=2, conv_channels=32, roi_output_size=7),
+    )
+
+
+def tiny_keypoint_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small Keypoint R-CNN config for unit tests / CPU: the tiny two-stage
+    config + 5 synthetic keypoints (center + 4 edge midpoints; pair (1, 2)
+    is the left/right midpoints) and a narrow keypoint FCN."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="keypoint_rcnn",
+        data=dataclasses.replace(
+            base.data, load_keypoints=True, num_keypoints=5,
+            keypoint_flip_pairs=((1, 2),),
+            keypoint_sigmas=(0.1, 0.1, 0.1, 0.1, 0.1),
+        ),
+        keypoint=KeypointConfig(num_convs=2, conv_channels=32,
+                                roi_output_size=7),
     )
 
 

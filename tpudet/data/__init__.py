@@ -28,6 +28,7 @@ def build_dataset(cfg, split: str | None = None):
             num_examples=512 if split == "train" else 64,
             seed=0 if split == "train" else 1,
             with_masks=d.load_masks,
+            with_keypoints=getattr(d, "load_keypoints", False),
         )
     if d.dataset == "voc":
         # Eval splits keep difficult objects WITH their flags (the VOC

@@ -85,6 +85,7 @@ class CocoDataset:
 
     def _annotations(self, anns):
         boxes, classes, crowd, areas, masks = [], [], [], [], []
+        keypoints = []
         for ann in anns:
             x, y, w, h = ann["bbox"]
             boxes.append([x, y, x + w, y + h])
@@ -100,12 +101,21 @@ class CocoDataset:
             # cfg.data.load_masks — carrying the raw rep costs nothing
             # (it's already parsed in the annotation blob).
             masks.append(ann.get("segmentation") or None)
+            # COCO keypoints: flat [x1, y1, v1, ...] per instance (person
+            # category). Consumed only when cfg.data.load_keypoints; None
+            # for instances without the field.
+            kp = ann.get("keypoints")
+            keypoints.append(
+                np.asarray(kp, np.float32).reshape(-1, 3)
+                if kp else None
+            )
         return (
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(classes, np.int32),
             np.asarray(crowd, bool),
             np.asarray(areas, np.float32),
             masks,
+            keypoints,
         )
 
     def get_example(self, index: int) -> Dict[str, np.ndarray]:
@@ -115,7 +125,8 @@ class CocoDataset:
         img = Image.open(
             os.path.join(self.image_dir, im["file_name"])
         ).convert("RGB")
-        boxes, classes, crowd, areas, masks = self._annotations(anns)
+        boxes, classes, crowd, areas, masks, keypoints = \
+            self._annotations(anns)
         return {
             "image": np.asarray(img, np.uint8),
             "boxes": boxes,
@@ -126,6 +137,7 @@ class CocoDataset:
             "crowd": crowd,
             "area": areas,
             "masks": masks,
+            "keypoints": keypoints,
             "id": im["id"],
         }
 
@@ -135,7 +147,8 @@ class CocoDataset:
         im, anns = self.examples[index]
         with open(os.path.join(self.image_dir, im["file_name"]), "rb") as f:
             jpeg = f.read()
-        boxes, classes, crowd, areas, masks = self._annotations(anns)
+        boxes, classes, crowd, areas, masks, keypoints = \
+            self._annotations(anns)
         return {"jpeg": jpeg, "boxes": boxes, "classes": classes,
                 "difficult": crowd, "crowd": crowd, "area": areas,
-                "masks": masks, "id": im["id"]}
+                "masks": masks, "keypoints": keypoints, "id": im["id"]}

@@ -274,6 +274,7 @@ class DataLoader:
                         crowd=ex.get("crowd"),
                         area=ex.get("area"),
                         masks=ex.get("masks"),
+                        keypoints=ex.get("keypoints"),
                         scale_factor=factor,
                     )
                 except NativeDecodeError:
@@ -296,6 +297,7 @@ class DataLoader:
                 crowd=ex.get("crowd"),
                 area=ex.get("area"),
                 masks=ex.get("masks"),
+                keypoints=ex.get("keypoints"),
                 scale_factor=factor,
             )
         examples = list(pool.map(one, indices))

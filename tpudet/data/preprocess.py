@@ -102,9 +102,15 @@ def _finalize_example(
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
     masks=None,
+    keypoints=None,
 ) -> Dict[str, np.ndarray]:
     """Shared tail of the host front-end: pack GT to fixed shapes + scale
     boxes by the exact per-axis resize factors (rounding differs per axis).
+
+    ``keypoints`` (only consulted when ``cfg.load_keypoints``) is [n, K, 3]
+    (x, y, v) in ORIGINAL-image coordinates (COCO convention: v 0 unlabeled,
+    1 labeled-invisible, 2 visible); x/y scale with the boxes, v rides
+    through.
 
     ``area`` is the annotation's own area field in ORIGINAL-image pixels
     (COCO's segmentation area — usually smaller than the box area for
@@ -155,6 +161,29 @@ def _finalize_example(
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
 
+    if getattr(cfg, "load_keypoints", False):
+        kk = cfg.num_keypoints
+        gt_keypoints = np.zeros((g, kk, 3), np.float32)
+        if keypoints is not None:
+            # Per-instance [K, 3] arrays (or None for unannotated instances
+            # — COCO non-person categories); v stays 0 there.
+            for i in range(n):
+                ki = keypoints[i]
+                if ki is None:
+                    continue
+                ki = np.asarray(ki, np.float32)
+                if ki.shape != (kk, 3):
+                    raise ValueError(
+                        f"instance keypoints shaped {ki.shape} but "
+                        f"data.num_keypoints = {kk} (want [{kk}, 3])"
+                    )
+                gt_keypoints[i, :, 0] = ki[:, 0] * (nw / w)
+                gt_keypoints[i, :, 1] = ki[:, 1] * (nh / h)
+                gt_keypoints[i, :, 2] = ki[:, 2]
+        out_keypoints = gt_keypoints
+    else:
+        out_keypoints = None
+
     if getattr(cfg, "load_masks", False):
         from tpudet.data.masks import crop_instances
 
@@ -182,6 +211,8 @@ def _finalize_example(
         "gt_crowd": gt_crowd,
         "gt_area": gt_area,
         **({"gt_masks": out_masks} if out_masks is not None else {}),
+        **({"gt_keypoints": out_keypoints}
+           if out_keypoints is not None else {}),
     }
 
 
@@ -194,6 +225,7 @@ def prepare_example(
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
     masks=None,
+    keypoints=None,
     scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
@@ -219,7 +251,7 @@ def prepare_example(
     canvas[:nh, :nw] = image
     return _finalize_example(
         cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
-        masks=masks,
+        masks=masks, keypoints=keypoints,
     )
 
 
@@ -232,6 +264,7 @@ def prepare_example_jpeg(
     crowd: np.ndarray | None = None,
     area: np.ndarray | None = None,
     masks=None,
+    keypoints=None,
     scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
@@ -258,7 +291,7 @@ def prepare_example_jpeg(
     )
     return _finalize_example(
         cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
-        masks=masks,
+        masks=masks, keypoints=keypoints,
     )
 
 
@@ -273,6 +306,17 @@ def rescale_to_original(boxes: np.ndarray, image_scale: np.ndarray,
     out[:, [1, 3]] /= sy
     out[:, [0, 2]] = out[:, [0, 2]].clip(0, orig_hw[1])
     out[:, [1, 3]] = out[:, [1, 3]].clip(0, orig_hw[0])
+    return out
+
+
+def rescale_keypoints_to_original(kps: np.ndarray, image_scale: np.ndarray,
+                                  orig_hw: np.ndarray) -> np.ndarray:
+    """Canvas-coordinate keypoints [..., 3] (x, y, v/score) -> original-image
+    coordinates: the keypoint counterpart of ``rescale_to_original``."""
+    sy, sx = image_scale[0], image_scale[1]
+    out = kps.copy()
+    out[..., 0] = (out[..., 0] / sx).clip(0, orig_hw[1])
+    out[..., 1] = (out[..., 1] / sy).clip(0, orig_hw[0])
     return out
 
 
@@ -384,12 +428,34 @@ def device_preprocess(
             )
         else:
             out_masks = None
+        if "gt_keypoints" in batch:
+            # Mirror x (same convention as the box flip) and swap the
+            # left/right keypoint pairs; v == 0 rows keep their zero coords.
+            gk = batch["gt_keypoints"]  # [B, G, K, 3]
+            w_img = batch["image_hw"][:, 1][:, None, None]
+            labeled = gk[..., 2] > 0
+            fx = jnp.where(labeled, w_img - gk[..., 0], gk[..., 0])
+            flipped = jnp.stack([fx, gk[..., 1], gk[..., 2]], axis=-1)
+            pairs = tuple(getattr(d, "keypoint_flip_pairs", ()))
+            if pairs:
+                perm = np.arange(gk.shape[2])
+                for a_i, b_i in pairs:
+                    perm[a_i], perm[b_i] = perm[b_i], perm[a_i]
+                flipped = flipped[:, :, perm, :]
+            out_keypoints = jnp.where(
+                do_flip[:, None, None, None], flipped, gk
+            )
+        else:
+            out_keypoints = None
     else:
         out_masks = None
+        out_keypoints = None
 
     out = dict(batch)
     if out_masks is not None:
         out["gt_masks"] = out_masks
+    if out_keypoints is not None:
+        out["gt_keypoints"] = out_keypoints
     normalized = (image - mean) / std
     # Emit the image directly in the backbone's compute dtype: the backbone
     # casts on entry anyway, and writing/re-reading the [B, H, W, 3] canvas

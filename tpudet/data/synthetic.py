@@ -35,6 +35,7 @@ class SyntheticDataset:
         max_objects: int = 4,
         seed: int = 0,
         with_masks: bool = False,
+        with_keypoints: bool = False,
     ):
         """``with_masks`` draws objects as filled ELLIPSES inscribed in their
         boxes (instead of full rectangles) and emits per-instance full-image
@@ -49,6 +50,13 @@ class SyntheticDataset:
         self.max_objects = max_objects
         self.seed = seed
         self.with_masks = with_masks
+        # 5 keypoints per object, derived from its box: center, LEFT edge
+        # midpoint, RIGHT edge midpoint, top midpoint, bottom midpoint —
+        # all visible (v=2). (1, 2) is the horizontal-flip swap pair. The
+        # rng draw order is unchanged, so boxes/classes per (seed, index)
+        # are identical to the other modes; a visual cue (bright corner dot
+        # at the object center) makes the center keypoint learnable.
+        self.with_keypoints = with_keypoints
 
     def __len__(self) -> int:
         return self.num_examples
@@ -88,6 +96,12 @@ class SyntheticDataset:
                 masks.append(mask)
             else:
                 image[y1 : y1 + h, x1 : x1 + w] = fill
+            if self.with_keypoints:
+                # Bright marker at the object center so the keypoint is a
+                # visual feature, not just box geometry.
+                cy_i, cx_i = y1 + h // 2, x1 + w // 2
+                image[max(cy_i - 1, 0): cy_i + 2,
+                      max(cx_i - 1, 0): cx_i + 2] = 255
             boxes.append([x1, y1, x1 + w, y1 + h])
             classes.append(c)
 
@@ -98,4 +112,16 @@ class SyntheticDataset:
         }
         if self.with_masks:
             out["masks"] = masks
+        if self.with_keypoints:
+            kps = []
+            for (x1, y1, x2, y2) in out["boxes"]:
+                cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+                kps.append([
+                    [cx, cy, 2.0],
+                    [x1, cy, 2.0],   # left-mid  (flip pair with right-mid)
+                    [x2, cy, 2.0],   # right-mid
+                    [cx, y1, 2.0],   # top-mid
+                    [cx, y2, 2.0],   # bottom-mid
+                ])
+            out["keypoints"] = np.asarray(kps, np.float32)
         return out

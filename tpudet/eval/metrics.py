@@ -82,6 +82,29 @@ def _segm_iou(pasted_d, pasted_g, det_mask, order, gt_mask, g_crowd):
     )
 
 
+def _oks_matrix(pred_kps, gt_kps, gt_areas, sigmas):
+    """[D, G] object-keypoint-similarity matrix (pycocotools computeOks):
+    ks(d, g) = mean over g's LABELED keypoints of exp(-dist² / (2 s² κ²))
+    with per-keypoint constants κ = 2·sigma and scale s² = the GT's area.
+    GT with zero labeled keypoints score 0 against everything (they are
+    ignore-marked by the caller, the pycocotools rule)."""
+    sig = np.asarray(sigmas, np.float64)
+    k = len(sig)
+    pred_kps = np.asarray(pred_kps, np.float64).reshape(len(pred_kps), k, 3)
+    gt_kps = np.asarray(gt_kps, np.float64).reshape(len(gt_kps), k, 3)
+    var = (2.0 * sig) ** 2  # [K]
+    vis = gt_kps[:, :, 2] > 0  # [G, K]
+    dx = pred_kps[:, None, :, 0] - gt_kps[None, :, :, 0]  # [D, G, K]
+    dy = pred_kps[:, None, :, 1] - gt_kps[None, :, :, 1]
+    d2 = dx * dx + dy * dy
+    denom = var[None, None, :] * (
+        np.asarray(gt_areas, np.float64)[None, :, None] + np.spacing(1.0)
+    ) * 2.0
+    e = np.exp(-d2 / denom) * vis[None, :, :]
+    cnt = np.maximum(vis.sum(axis=1), 1)  # [G]
+    return e.sum(axis=2) / cnt[None, :]
+
+
 def _match_dets(
     iou: Optional[np.ndarray],   # [D, G] for this class (score-sorted rows)
     g_ignore: np.ndarray,        # [G]
@@ -335,13 +358,27 @@ class CocoStyleEvaluator:
     }
 
     def __init__(self, num_classes: int, class_names=None,
-                 iou_type: str = "bbox"):
+                 iou_type: str = "bbox", keypoint_sigmas=None):
         """``iou_type="segm"`` scores instance segmentation: matching runs
         on pasted-mask IoU, detection areas are mask pixel counts, and GT
         areas prefer the annotation's own 'area' field (exactly
-        pycocotools' segm protocol)."""
-        if iou_type not in ("bbox", "segm"):
-            raise ValueError(f"iou_type must be 'bbox' or 'segm', got {iou_type!r}")
+        pycocotools' segm protocol).
+
+        ``iou_type="keypoints"`` scores pose estimation: matching runs on
+        OKS (``keypoint_sigmas`` required — the per-keypoint κ constants,
+        COCO-17 person values in DataConfig.keypoint_sigmas); GT with zero
+        labeled keypoints are ignore regions (the pycocotools rule, which
+        also covers crowds — crowd annotations carry no keypoints); the
+        area-range bins keep box/annotation areas."""
+        if iou_type not in ("bbox", "segm", "keypoints"):
+            raise ValueError(
+                f"iou_type must be 'bbox', 'segm' or 'keypoints', "
+                f"got {iou_type!r}")
+        if iou_type == "keypoints" and not keypoint_sigmas:
+            raise ValueError("iou_type='keypoints' needs keypoint_sigmas")
+        self.keypoint_sigmas = (
+            tuple(keypoint_sigmas) if keypoint_sigmas else None
+        )
         self.num_classes = num_classes
         self.class_names = class_names
         self.iou_type = iou_type
@@ -364,6 +401,8 @@ class CocoStyleEvaluator:
         gt_area: Optional[np.ndarray] = None,
         pred_masks=None,   # [D, m, m] box-frame probs (iou_type="segm")
         gt_masks=None,     # [G, M, M] box-frame crops (iou_type="segm")
+        pred_keypoints=None,  # [D, K, 3] (x, y, score) ("keypoints")
+        gt_keypoints=None,    # [G, K, 3] (x, y, v) ("keypoints")
     ):
         """``gt_area``: the annotation's own area field (COCO segmentation
         area) per GT, in the same coordinate space as the boxes; entries < 0
@@ -385,6 +424,18 @@ class CocoStyleEvaluator:
         if gt_area is not None:
             gt_area = np.asarray(gt_area, np.float64)
             gt_areas = np.where(gt_area >= 0, gt_area, gt_areas)
+        if self.iou_type == "keypoints":
+            if pred_keypoints is None or gt_keypoints is None:
+                raise ValueError(
+                    "iou_type='keypoints' needs pred_keypoints and "
+                    "gt_keypoints in add_image"
+                )
+            gt_keypoints = np.asarray(gt_keypoints, np.float64)
+            # pycocotools: GT without labeled keypoints are ignore regions
+            # (this also covers crowds, which carry no keypoints).
+            base_ignore = base_ignore | (
+                (gt_keypoints[:, :, 2] > 0).sum(axis=1) == 0
+            )
         for c in range(1, self.num_classes + 1):
             det_mask = pred_classes == c
             gt_mask = gt_classes == c
@@ -402,6 +453,11 @@ class CocoStyleEvaluator:
             if self.iou_type == "segm":
                 iou = (_segm_iou(pasted_d, pasted_g, det_mask, order,
                                  gt_mask, g_crowd)
+                       if len(g_boxes) else None)
+            elif self.iou_type == "keypoints":
+                iou = (_oks_matrix(pred_keypoints[det_mask][order],
+                                   gt_keypoints[gt_mask],
+                                   g_areas, self.keypoint_sigmas)
                        if len(g_boxes) else None)
             else:
                 iou = (_iou_matrix(d_boxes, g_boxes, g_crowd)

@@ -11,6 +11,7 @@ from tpudet.models.mask_rcnn import MaskRCNN  # noqa: F401
 from tpudet.models.retinanet import RetinaNet  # noqa: F401
 from tpudet.models.fcos import FCOS  # noqa: F401
 from tpudet.models.cascade_rcnn import CascadeRCNN  # noqa: F401
+from tpudet.models.keypoint_rcnn import KeypointRCNN  # noqa: F401
 
 
 def build_model(cfg):
@@ -28,7 +29,9 @@ def build_model(cfg):
         return FCOS(cfg)
     if cfg.model == "cascade_rcnn":
         return CascadeRCNN(cfg)
+    if cfg.model == "keypoint_rcnn":
+        return KeypointRCNN(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
-        "'retinanet', 'fcos', or 'cascade_rcnn'"
+        "'retinanet', 'fcos', 'cascade_rcnn', or 'keypoint_rcnn'"
     )

@@ -138,6 +138,16 @@ class DetectorCore(nn.Module):
                 channels=m.conv_channels,
                 dtype=dtype,
             )
+        if self.cfg.model == "keypoint_rcnn":
+            from tpudet.models.keypoint_head import KeypointHead
+
+            kc = self.cfg.keypoint
+            self.keypoint_head = KeypointHead(
+                num_keypoints=self.cfg.data.num_keypoints,
+                num_convs=kc.num_convs,
+                channels=kc.conv_channels,
+                dtype=dtype,
+            )
 
     def features(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         feats = self.backbone(images)
@@ -169,6 +179,10 @@ class DetectorCore(nn.Module):
         """Mask FCN over [N, s_m, s_m, C_feat] -> [N, 2*s_m, 2*s_m, C]."""
         return self.mask_head(pooled)
 
+    def keypoints(self, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Keypoint FCN over [N, s_k, s_k, C_feat] -> [N, 4*s_k, 4*s_k, K]."""
+        return self.keypoint_head(pooled)
+
     def __call__(self, images):  # used for parameter init only
         feats = self.features(images)
         logits, deltas = self.rpn(feats)
@@ -179,6 +193,11 @@ class DetectorCore(nn.Module):
             sm = self.cfg.mask.roi_output_size
             self.masks(
                 jnp.zeros((1, sm, sm, any_feat.shape[-1]), any_feat.dtype)
+            )
+        if self.cfg.model == "keypoint_rcnn":
+            sk = self.cfg.keypoint.roi_output_size
+            self.keypoints(
+                jnp.zeros((1, sk, sk, any_feat.shape[-1]), any_feat.dtype)
             )
         if self.cfg.model == "cascade_rcnn":
             for t in range(1, len(self.cfg.cascade.stage_iou_thresholds)):

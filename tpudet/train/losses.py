@@ -189,6 +189,24 @@ def mask_loss(
     return _safe_mean(per_roi, fg_valid.astype(jnp.float32))
 
 
+def keypoint_loss(
+    logits: jnp.ndarray,     # [R, S, S, K] heatmap logits
+    target_idx: jnp.ndarray,  # [R, K] int32 flat grid index of the keypoint
+    target_valid: jnp.ndarray,  # [R, K] bool — visible AND inside the RoI
+    fg_valid: jnp.ndarray,   # [R] bool — foreground AND valid sample
+) -> jnp.ndarray:
+    """Keypoint R-CNN loss (arXiv:1703.06870 §5): each visible keypoint is a
+    one-hot class over the S² heatmap grid — softmax cross-entropy per
+    (RoI, keypoint), averaged over the visible keypoints of foreground RoIs
+    (the paper/Detectron normalization). Safe for zero-visible images."""
+    r, s1, s2, k = logits.shape
+    flat = logits.reshape(r, s1 * s2, k).transpose(0, 2, 1)  # [R, K, S²]
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    ce = -jnp.take_along_axis(logp, target_idx[..., None], axis=-1)[..., 0]
+    use = (target_valid & fg_valid[:, None]).astype(jnp.float32)
+    return _safe_mean(ce, use)
+
+
 def detection_losses(
     cls_logits: jnp.ndarray,     # [R, C+1]
     deltas: jnp.ndarray,         # [R, C_box, 4] (C_box = C or 1 if agnostic)
