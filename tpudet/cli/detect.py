@@ -43,7 +43,16 @@ def detect_image(cfg, model, variables, image: np.ndarray):
     # Box-frame mask probabilities (Mask R-CNN): rescaling to original
     # coordinates is carried entirely by the boxes.
     masks = out["masks"][0][valid] if "masks" in out else None
-    return boxes, out["scores"][0][valid], out["classes"][0][valid], masks
+    if "keypoints" in out:
+        from tpudet.data.preprocess import rescale_keypoints_to_original
+
+        keypoints = rescale_keypoints_to_original(
+            out["keypoints"][0][valid], ex["image_scale"], ex["orig_hw"]
+        )
+    else:
+        keypoints = None
+    return (boxes, out["scores"][0][valid], out["classes"][0][valid],
+            masks, keypoints)
 
 
 def main(argv=None):
@@ -66,16 +75,18 @@ def main(argv=None):
     if args.checkpoint_dir:
         state = CheckpointManager(args.checkpoint_dir).restore(state)
 
-    boxes, scores, classes, masks = detect_image(
+    boxes, scores, classes, masks, keypoints = detect_image(
         cfg, model, state.eval_variables(args.ema), image
     )
     keep = scores >= args.score_thresh
     boxes, scores, classes = boxes[keep], scores[keep], classes[keep]
     if masks is not None:
         masks = masks[keep]
+    if keypoints is not None:
+        keypoints = keypoints[keep]
     names = VOC_CLASSES if cfg.data.dataset == "voc" else None
     annotated = draw_detections(image, boxes, classes, scores, names,
-                                masks=masks)
+                                masks=masks, keypoints=keypoints)
 
     Image.fromarray(annotated).save(args.output)
     print(f"{len(boxes)} detections -> {args.output}")

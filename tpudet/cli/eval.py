@@ -169,7 +169,19 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 classes_i = out["classes"][i][valid]
                 masks_i = (out["masks"][i][valid]
                            if "masks" in out else [None] * len(boxes))
-                for b, s, c, mk in zip(boxes, scores_i, classes_i, masks_i):
+                if "keypoints" in out:
+                    from tpudet.data.preprocess import (
+                        rescale_keypoints_to_original,
+                    )
+
+                    kps_i = rescale_keypoints_to_original(
+                        out["keypoints"][i][valid],
+                        batch["image_scale"][i], batch["orig_hw"][i],
+                    )
+                else:
+                    kps_i = [None] * len(boxes)
+                for b, s, c, mk, kp in zip(boxes, scores_i, classes_i,
+                                           masks_i, kps_i):
                     rec = {
                         "image_id": img_id,
                         "category_id": get_cat_id(int(c)),
@@ -185,6 +197,16 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                         rec["segmentation"] = mask_to_rle(
                             mk, b, batch["orig_hw"][i]
                         )
+                    if kp is not None:
+                        # COCO results format: flat [x1, y1, v1, ...] with
+                        # v = 2 (predictions are always "visible"); the
+                        # per-keypoint confidence lives in the canonical
+                        # flat triple slot anyway per loadRes convention.
+                        flat = np.asarray(kp, np.float64).copy()
+                        flat[:, 2] = 2.0
+                        rec["keypoints"] = [
+                            float(v) for v in flat.reshape(-1)
+                        ]
                     results.append(rec)
             gt_difficult = batch.get("gt_difficult")
             gt_crowd = batch.get("gt_crowd")

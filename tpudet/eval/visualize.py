@@ -21,12 +21,15 @@ def draw_detections(
     class_names: Optional[Sequence[str]] = None,
     color_by_class: bool = True,
     masks: Optional[np.ndarray] = None,
+    keypoints: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """[h,w,3] uint8 + [N,4]/[N] -> annotated uint8 image.
 
     ``masks`` (optional, [N, m, m] box-frame probabilities — the Mask R-CNN
     predict output) overlays each instance's pasted mask as a translucent
-    class-colored fill under the box outlines."""
+    class-colored fill under the box outlines. ``keypoints`` (optional,
+    [N, K, 3] (x, y, score) image coords — the Keypoint R-CNN output)
+    draws each instance's keypoints as class-colored dots."""
     from PIL import Image, ImageDraw
 
     img = Image.fromarray(image.astype(np.uint8)).convert("RGB")
@@ -67,4 +70,11 @@ def draw_detections(
             label = f"{label} {float(scores[i]):.2f}"
         tx, ty = x1 + 2, max(y1 - 12, 0)
         draw.text((tx, ty), label, fill=color)
+        if keypoints is not None:
+            for kx, ky, _ in keypoints[i]:
+                draw.ellipse(
+                    [float(kx) - 2, float(ky) - 2,
+                     float(kx) + 2, float(ky) + 2],
+                    fill=color, outline=(255, 255, 255),
+                )
     return np.asarray(img)
