@@ -92,21 +92,28 @@ def test_oks_matrix_hand_values():
 
     sigmas = (0.1, 0.1)
     gt = np.array([[[10.0, 10.0, 2.0], [20.0, 20.0, 2.0]]])
+    gt_box = np.array([[5.0, 5.0, 25.0, 25.0]])
     area = np.array([100.0])
     # Exact match -> OKS 1.
     np.testing.assert_allclose(
-        _oks_matrix(gt.copy(), gt, area, sigmas), [[1.0]], atol=1e-9)
+        _oks_matrix(gt.copy(), gt, gt_box, area, sigmas), [[1.0]], atol=1e-9)
     # One keypoint offset by d=2: mean(1, exp(-4 / (2*area*(2*0.1)^2))).
     pred = gt.copy()
     pred[0, 1, 0] += 2.0
     want = 0.5 * (1.0 + math.exp(-4.0 / (2.0 * 100.0 * 0.04)))
     np.testing.assert_allclose(
-        _oks_matrix(pred, gt, area, sigmas), [[want]], rtol=1e-9)
-    # GT with no labeled keypoints scores 0 against everything.
+        _oks_matrix(pred, gt, gt_box, area, sigmas), [[want]], rtol=1e-9)
+    # GT with NO labeled keypoints: pycocotools' fallback scores detection
+    # keypoints by their distance OUTSIDE the 2x-expanded GT box — inside
+    # it, pseudo-OKS is 1 (so detections over ignore regions can
+    # match-ignore); far away it decays toward 0.
     gt0 = gt.copy()
     gt0[0, :, 2] = 0.0
     np.testing.assert_allclose(
-        _oks_matrix(pred, gt0, area, sigmas), [[0.0]], atol=0)
+        _oks_matrix(pred, gt0, gt_box, area, sigmas), [[1.0]], atol=1e-9)
+    far = pred.copy()
+    far[0, :, :2] += 500.0
+    assert float(_oks_matrix(far, gt0, gt_box, area, sigmas)[0, 0]) < 1e-6
 
 
 def test_keypoint_evaluator_perfect_and_ignore():

@@ -37,6 +37,8 @@ def _make_batch(cfg, batch_size: int):
         num_classes=cfg.data.num_classes, num_examples=batch_size,
         image_size=min(cfg.data.canvas_height, 512),
         with_masks=cfg.data.load_masks,
+        with_keypoints=getattr(cfg.data, "load_keypoints", False),
+        num_keypoints=getattr(cfg.data, "num_keypoints", 5),
     )
     loader = DataLoader(cfg, ds, batch_size, shuffle=False, num_workers=8)
     raw = next(iter(loader.batches(0)))

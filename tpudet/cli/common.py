@@ -152,13 +152,15 @@ def preset_config(name: str) -> Config:
         # Keypoint R-CNN R50-FPN (arXiv:1703.06870 §5 canonical: person-only
         # keypoints, 14²-pooled branch, 8-conv 512ch FCN -> 56² one-hot
         # heatmaps, COCO-17 keypoints/sigmas — the DataConfig defaults).
+        # num_classes=1: keypoint training uses person_keypoints_*.json,
+        # which is a single-category (person) annotation file.
         import dataclasses as _dc
 
         base = preset_config("coco_r101_fpn")
         return base.replace(
             model="keypoint_rcnn",
             backbone=_dc.replace(base.backbone, name="resnet50"),
-            data=_dc.replace(base.data, load_keypoints=True),
+            data=_dc.replace(base.data, load_keypoints=True, num_classes=1),
         )
     if name == "coco_cascade_r50_fpn":
         # Cascade R-CNN R50-FPN on COCO (arXiv:1712.00726 §4 canonical:

@@ -163,23 +163,25 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 batch["gt_boxes"][i][gt_valid], batch["image_scale"][i],
                 batch["orig_hw"][i],
             )
+            # Keypoints rescale ONCE per image; both the results export and
+            # the OKS evaluator consume the same original-coordinate array.
+            det_kps = None
+            if "keypoints" in out:
+                from tpudet.data.preprocess import (
+                    rescale_keypoints_to_original,
+                )
+
+                det_kps = rescale_keypoints_to_original(
+                    out["keypoints"][i][valid],
+                    batch["image_scale"][i], batch["orig_hw"][i],
+                )
             if results is not None:
                 img_id = get_image_id(int(batch["example_index"][i]))
                 scores_i = out["scores"][i][valid]
                 classes_i = out["classes"][i][valid]
                 masks_i = (out["masks"][i][valid]
                            if "masks" in out else [None] * len(boxes))
-                if "keypoints" in out:
-                    from tpudet.data.preprocess import (
-                        rescale_keypoints_to_original,
-                    )
-
-                    kps_i = rescale_keypoints_to_original(
-                        out["keypoints"][i][valid],
-                        batch["image_scale"][i], batch["orig_hw"][i],
-                    )
-                else:
-                    kps_i = [None] * len(boxes)
+                kps_i = det_kps if det_kps is not None else [None] * len(boxes)
                 for b, s, c, mk, kp in zip(boxes, scores_i, classes_i,
                                            masks_i, kps_i):
                     rec = {
@@ -198,14 +200,14 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                             mk, b, batch["orig_hw"][i]
                         )
                     if kp is not None:
-                        # COCO results format: flat [x1, y1, v1, ...] with
-                        # v = 2 (predictions are always "visible"); the
-                        # per-keypoint confidence lives in the canonical
-                        # flat triple slot anyway per loadRes convention.
-                        flat = np.asarray(kp, np.float64).copy()
-                        flat[:, 2] = 2.0
+                        # COCO results format: flat [x1, y1, c1, ...] —
+                        # the third slot carries the per-keypoint softmax
+                        # confidence (the Detectron results convention;
+                        # COCOeval itself ignores it, so consumers can
+                        # threshold on it without affecting kp/mAP).
                         rec["keypoints"] = [
-                            float(v) for v in flat.reshape(-1)
+                            float(v)
+                            for v in np.asarray(kp, np.float64).reshape(-1)
                         ]
                     results.append(rec)
             gt_difficult = batch.get("gt_difficult")
@@ -249,10 +251,7 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                     boxes, out["scores"][i][valid],
                     out["classes"][i][valid],
                     gt_boxes, batch["gt_classes"][i][gt_valid],
-                    pred_keypoints=rescale_keypoints_to_original(
-                        out["keypoints"][i][valid],
-                        batch["image_scale"][i], batch["orig_hw"][i],
-                    ),
+                    pred_keypoints=det_kps,
                     gt_keypoints=rescale_keypoints_to_original(
                         batch["gt_keypoints"][i][gt_valid],
                         batch["image_scale"][i], batch["orig_hw"][i],

@@ -29,6 +29,7 @@ def build_dataset(cfg, split: str | None = None):
             seed=0 if split == "train" else 1,
             with_masks=d.load_masks,
             with_keypoints=getattr(d, "load_keypoints", False),
+            num_keypoints=getattr(d, "num_keypoints", 5),
         )
     if d.dataset == "voc":
         # Eval splits keep difficult objects WITH their flags (the VOC
@@ -41,8 +42,15 @@ def build_dataset(cfg, split: str | None = None):
         # Eval splits keep iscrowd annotations as ignore regions (the COCO
         # protocol ignores detections matched to a crowd); training drops
         # them — crowd regions are not usable as box-regression targets.
-        ds = CocoDataset(d.data_dir, split=split,
-                         keep_crowd=split in ("val", "val2017"))
+        ds = CocoDataset(
+            d.data_dir, split=split,
+            keep_crowd=split in ("val", "val2017"),
+            # Keypoints live only in person_keypoints_*.json (1 category);
+            # the instances files carry no 'keypoints' fields at all.
+            ann_prefix=("person_keypoints"
+                        if getattr(d, "load_keypoints", False)
+                        else "instances"),
+        )
     elif d.dataset == "nuimages":
         # nuScenes-style autonomous-driving annotations (SURVEY C1); no
         # crowd/difficult concept, so eval needs no ignore-region plumbing.

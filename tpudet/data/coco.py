@@ -16,12 +16,20 @@ import numpy as np
 
 class CocoDataset:
     def __init__(self, root: str, split: str = "train",
-                 min_box_size: float = 1.0, keep_crowd: bool = False):
+                 min_box_size: float = 1.0, keep_crowd: bool = False,
+                 ann_prefix: str = "instances"):
         """``keep_crowd`` carries iscrowd annotations through as ignore
         regions (emitted with ``difficult``/``crowd`` flags set) — required
         for protocol-faithful evaluation, where detections matched to a
         crowd are ignored rather than counted as false positives. Training
-        splits drop them (crowd regions are not usable as box targets)."""
+        splits drop them (crowd regions are not usable as box targets).
+
+        ``ann_prefix`` picks the annotation file:
+        ``annotations/{ann_prefix}_{split}2017.json``. The 'keypoints'
+        fields live ONLY in ``person_keypoints_*.json`` (a 1-category
+        person-only file) — the instances files carry none, so keypoint
+        training against them would silently see zero supervision;
+        ``build_dataset`` selects the prefix from ``data.load_keypoints``."""
         splits = {"train": "train2017", "val": "val2017",
                   "train2017": "train2017", "val2017": "val2017"}
         if split not in splits:
@@ -31,7 +39,9 @@ class CocoDataset:
             )
         name = splits[split]
         self.is_train = name.startswith("train")
-        ann_path = os.path.join(root, "annotations", f"instances_{name}.json")
+        ann_path = os.path.join(
+            root, "annotations", f"{ann_prefix}_{name}.json"
+        )
         with open(ann_path) as f:
             blob = json.load(f)
 

@@ -36,6 +36,7 @@ class SyntheticDataset:
         seed: int = 0,
         with_masks: bool = False,
         with_keypoints: bool = False,
+        num_keypoints: int = 5,
     ):
         """``with_masks`` draws objects as filled ELLIPSES inscribed in their
         boxes (instead of full rectangles) and emits per-instance full-image
@@ -57,6 +58,11 @@ class SyntheticDataset:
         # are identical to the other modes; a visual cue (bright corner dot
         # at the object center) makes the center keypoint learnable.
         self.with_keypoints = with_keypoints
+        # Emitted keypoint count: the 5 geometric points first, any extra
+        # slots unlabeled (v=0) — lets configs with a different
+        # data.num_keypoints (e.g. the COCO-17 presets) run on synthetic
+        # data for benchmarks/smoke without shape mismatches.
+        self.num_keypoints = num_keypoints
 
     def __len__(self) -> int:
         return self.num_examples
@@ -113,15 +119,17 @@ class SyntheticDataset:
         if self.with_masks:
             out["masks"] = masks
         if self.with_keypoints:
-            kps = []
-            for (x1, y1, x2, y2) in out["boxes"]:
+            kk = self.num_keypoints
+            kps = np.zeros((len(out["boxes"]), kk, 3), np.float32)
+            for i, (x1, y1, x2, y2) in enumerate(out["boxes"]):
                 cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
-                kps.append([
+                pts = [
                     [cx, cy, 2.0],
                     [x1, cy, 2.0],   # left-mid  (flip pair with right-mid)
                     [x2, cy, 2.0],   # right-mid
                     [cx, y1, 2.0],   # top-mid
                     [cx, y2, 2.0],   # bottom-mid
-                ])
-            out["keypoints"] = np.asarray(kps, np.float32)
+                ][:kk]
+                kps[i, : len(pts)] = pts
+            out["keypoints"] = kps
         return out

@@ -82,26 +82,46 @@ def _segm_iou(pasted_d, pasted_g, det_mask, order, gt_mask, g_crowd):
     )
 
 
-def _oks_matrix(pred_kps, gt_kps, gt_areas, sigmas):
+def _oks_matrix(pred_kps, gt_kps, gt_boxes, gt_areas, sigmas):
     """[D, G] object-keypoint-similarity matrix (pycocotools computeOks):
     ks(d, g) = mean over g's LABELED keypoints of exp(-dist² / (2 s² κ²))
     with per-keypoint constants κ = 2·sigma and scale s² = the GT's area.
-    GT with zero labeled keypoints score 0 against everything (they are
-    ignore-marked by the caller, the pycocotools rule)."""
+
+    GT with ZERO labeled keypoints (crowds, unlabeled persons) use
+    pycocotools' fallback: per-detection-keypoint distance to the GT box
+    expanded by its own width/height on each side, averaged over ALL K —
+    this is what lets a detection over an ignore region match-ignore it
+    instead of counting as a false positive (``gt_boxes`` x1y1x2y2)."""
     sig = np.asarray(sigmas, np.float64)
     k = len(sig)
     pred_kps = np.asarray(pred_kps, np.float64).reshape(len(pred_kps), k, 3)
     gt_kps = np.asarray(gt_kps, np.float64).reshape(len(gt_kps), k, 3)
+    gt_boxes = np.asarray(gt_boxes, np.float64).reshape(len(gt_kps), 4)
     var = (2.0 * sig) ** 2  # [K]
     vis = gt_kps[:, :, 2] > 0  # [G, K]
-    dx = pred_kps[:, None, :, 0] - gt_kps[None, :, :, 0]  # [D, G, K]
-    dy = pred_kps[:, None, :, 1] - gt_kps[None, :, :, 1]
+    xd = pred_kps[:, None, :, 0]  # [D, 1, K]
+    yd = pred_kps[:, None, :, 1]
+    dx = xd - gt_kps[None, :, :, 0]  # [D, G, K]
+    dy = yd - gt_kps[None, :, :, 1]
+    # k1 == 0 fallback: distance OUTSIDE the 2x-expanded GT box.
+    bw = gt_boxes[:, 2] - gt_boxes[:, 0]
+    bh = gt_boxes[:, 3] - gt_boxes[:, 1]
+    ex0 = (gt_boxes[:, 0] - bw)[None, :, None]
+    ex1 = (gt_boxes[:, 2] + bw)[None, :, None]
+    ey0 = (gt_boxes[:, 1] - bh)[None, :, None]
+    ey1 = (gt_boxes[:, 3] + bh)[None, :, None]
+    fdx = np.maximum(0.0, ex0 - xd) + np.maximum(0.0, xd - ex1)
+    fdy = np.maximum(0.0, ey0 - yd) + np.maximum(0.0, yd - ey1)
+    has_vis = vis.any(axis=1)  # [G]
+    dx = np.where(has_vis[None, :, None], dx, fdx)
+    dy = np.where(has_vis[None, :, None], dy, fdy)
     d2 = dx * dx + dy * dy
     denom = var[None, None, :] * (
         np.asarray(gt_areas, np.float64)[None, :, None] + np.spacing(1.0)
     ) * 2.0
-    e = np.exp(-d2 / denom) * vis[None, :, :]
-    cnt = np.maximum(vis.sum(axis=1), 1)  # [G]
+    use = np.where(has_vis[:, None], vis, True)  # [G, K]
+    e = np.exp(-d2 / denom) * use[None, :, :]
+    cnt = np.maximum(use.sum(axis=1), 1)  # [G]
     return e.sum(axis=2) / cnt[None, :]
 
 
@@ -456,7 +476,7 @@ class CocoStyleEvaluator:
                        if len(g_boxes) else None)
             elif self.iou_type == "keypoints":
                 iou = (_oks_matrix(pred_keypoints[det_mask][order],
-                                   gt_keypoints[gt_mask],
+                                   gt_keypoints[gt_mask], g_boxes,
                                    g_areas, self.keypoint_sigmas)
                        if len(g_boxes) else None)
             else:

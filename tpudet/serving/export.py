@@ -321,4 +321,15 @@ class ServingModel:
                         # data/masks.py::paste_mask against results[i]
                         # ["boxes"] to get image-space masks).
                         results[i]["masks"] = out["masks"][k][keep]
+                    if "keypoints" in out:
+                        from tpudet.data.preprocess import (
+                            rescale_keypoints_to_original,
+                        )
+
+                        results[i]["keypoints"] = (
+                            rescale_keypoints_to_original(
+                                out["keypoints"][k][keep].astype(np.float32),
+                                p["image_scale"], p["orig_hw"],
+                            )
+                        )
         return results  # type: ignore[return-value]
