@@ -789,3 +789,66 @@ def test_color_jitter_in_device_preprocess():
     np.testing.assert_allclose(
         np.asarray(jit_train["image"][1, 96:]),
         np.asarray(plain["image"][1, 96:]), atol=1e-6)
+
+
+def test_coco_person_keypoints_pipeline(tmp_path):
+    """Keypoint loading uses person_keypoints_*.json (the instances files
+    carry NO 'keypoints' fields): build_dataset selects the prefix from
+    data.load_keypoints, the flat [x,y,v]*K triples parse per instance, and
+    prepare_example scales them with the boxes."""
+    import json
+    from PIL import Image
+
+    from tpudet.data import build_dataset
+    from tpudet.data.preprocess import prepare_example
+
+    root = tmp_path
+    (root / "annotations").mkdir()
+    (root / "val2017").mkdir()
+    Image.new("RGB", (64, 48)).save(root / "val2017" / "img1.jpg")
+    kp = [10, 10, 2, 20, 12, 1, 0, 0, 0]  # 3 keypoints, last unlabeled
+    person = {
+        "images": [{"id": 7, "file_name": "img1.jpg",
+                    "height": 48, "width": 64}],
+        "categories": [{"id": 1, "name": "person"}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 1,
+             "bbox": [2, 2, 30, 30], "iscrowd": 0, "num_keypoints": 2,
+             "keypoints": kp},
+            # A person with no labeled keypoints: field absent -> None.
+            {"id": 2, "image_id": 7, "category_id": 1,
+             "bbox": [35, 2, 20, 20], "iscrowd": 0, "num_keypoints": 0},
+        ],
+    }
+    with open(root / "annotations" / "person_keypoints_val2017.json",
+              "w") as f:
+        json.dump(person, f)
+    # NO instances json on disk: loading must not touch it.
+    import dataclasses
+
+    from tpudet.config import Config, DataConfig
+
+    cfg = Config(data=DataConfig(
+        dataset="coco", data_dir=str(root), num_classes=1,
+        load_keypoints=True, num_keypoints=3,
+        keypoint_flip_pairs=(), keypoint_sigmas=(0.1, 0.1, 0.1),
+        min_size=96, max_size=128, canvas_height=128, canvas_width=128,
+    ))
+    ds = build_dataset(cfg, "val")
+    ex = ds.get_example(0)
+    assert ex["keypoints"][0].shape == (3, 3)
+    assert ex["keypoints"][1] is None
+    np.testing.assert_allclose(ex["keypoints"][0][0], [10, 10, 2])
+
+    out = prepare_example(cfg.data, ex["image"], ex["boxes"], ex["classes"],
+                          keypoints=ex["keypoints"])
+    # 48x64 -> min side 48*2=96: scale 2 both axes.
+    np.testing.assert_allclose(out["gt_keypoints"][0][0], [20, 20, 2])
+    np.testing.assert_allclose(out["gt_keypoints"][0][1], [40, 24, 1])
+    np.testing.assert_allclose(out["gt_keypoints"][1], 0.0)  # None -> zeros
+
+    # Without load_keypoints the factory reads instances_* (absent here).
+    plain = cfg.replace(data=dataclasses.replace(
+        cfg.data, load_keypoints=False))
+    with pytest.raises(FileNotFoundError):
+        build_dataset(plain, "val")
