@@ -27,9 +27,17 @@ from tpudet.train.step import make_eval_step
 from tpudet.data.preprocess import rescale_to_original  # noqa: F401,E402
 
 
+def _tta_knobs(cfg):
+    """(nms_thresh, max_detections) of the family's final postprocess — the
+    TTA merge re-runs the same suppression over the doubled candidate set."""
+    group = {"retinanet": cfg.retinanet,
+             "fcos": getattr(cfg, "fcos", None)}.get(cfg.model) or cfg.roi
+    return group.nms_thresh, group.max_detections
+
+
 def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
              class_names=None, verbose=True, metric_style="voc", mesh=None,
-             save_json="", eval_step=None):
+             save_json="", eval_step=None, tta=""):
     """Run 3c: batched inference + host-side mAP accumulation.
 
     With ``mesh`` the batch is data-parallel-sharded over the 'data' axis
@@ -38,9 +46,20 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
 
     ``eval_step`` lets callers that evaluate repeatedly (the train CLI's
     --eval-every) reuse one compiled step across calls instead of paying a
-    fresh XLA compile each interval."""
+    fresh XLA compile each interval.
+
+    ``tta="hflip"`` runs a second predict on each mirrored canvas and
+    merges the unflipped candidates with the originals through the
+    family's per-class NMS (tpudet/eval/tta.py) — roughly 2x eval cost."""
+    if tta not in ("", "hflip"):
+        raise ValueError(f"unknown tta {tta!r} (use '' or 'hflip')")
     if eval_step is None:
         eval_step = make_eval_step(model, cfg, mesh=mesh, fused_preprocess=True)
+    flip_fn = None
+    if tta:
+        from tpudet.eval.tta import flip_batch
+
+        flip_fn = jax.jit(flip_batch)
     # Commit host variables to device once, not once per batch.
     if mesh is None:
         variables = jax.device_put(variables)
@@ -124,7 +143,9 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 jb = jax.device_put(batch, sharding)
             else:
                 jb = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-            yield batch, batch_valid, eval_step(variables, jb)
+            flipped_out = (eval_step(variables, flip_fn(jb))
+                           if flip_fn is not None else None)
+            yield batch, batch_valid, eval_step(variables, jb), flipped_out
 
     # COCO-format results export: [{image_id, category_id, bbox xywh,
     # score}]. image_id comes from dataset.image_id(index) when available
@@ -147,16 +168,32 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 done = True
         if not pending:  # zero batches in the split
             break
-        batch, batch_valid, out_dev = pending.pop(0)
+        batch, batch_valid, out_dev, flip_dev = pending.pop(0)
         out = jax.device_get(out_dev)
+        fout = None
+        if flip_dev is not None:
+            from tpudet.eval.tta import unflip_detections
+
+            fout = unflip_detections(
+                jax.device_get(flip_dev), batch["image_hw"],
+                flip_pairs=getattr(cfg.data, "keypoint_flip_pairs", ()),
+            )
         for i in range(len(batch_valid)):
             if not batch_valid[i] or (0 <= max_images <= seen):
                 continue
             seen += 1
-            valid = out["valid"][i]
+            if fout is None:
+                v = out["valid"][i]
+                det = {k: np.asarray(out[k][i])[v]
+                       for k in ("boxes", "scores", "classes", "masks",
+                                 "keypoints") if k in out}
+            else:
+                from tpudet.eval.tta import merge_detections
+
+                nms_t, max_d = _tta_knobs(cfg)
+                det = merge_detections(out, fout, i, nms_t, max_d)
             boxes = rescale_to_original(
-                out["boxes"][i][valid], batch["image_scale"][i],
-                batch["orig_hw"][i],
+                det["boxes"], batch["image_scale"][i], batch["orig_hw"][i],
             )
             gt_valid = batch["gt_valid"][i]
             gt_boxes = rescale_to_original(
@@ -166,21 +203,21 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
             # Keypoints rescale ONCE per image; both the results export and
             # the OKS evaluator consume the same original-coordinate array.
             det_kps = None
-            if "keypoints" in out:
+            if "keypoints" in det:
                 from tpudet.data.preprocess import (
                     rescale_keypoints_to_original,
                 )
 
                 det_kps = rescale_keypoints_to_original(
-                    out["keypoints"][i][valid],
+                    det["keypoints"],
                     batch["image_scale"][i], batch["orig_hw"][i],
                 )
             if results is not None:
                 img_id = get_image_id(int(batch["example_index"][i]))
-                scores_i = out["scores"][i][valid]
-                classes_i = out["classes"][i][valid]
-                masks_i = (out["masks"][i][valid]
-                           if "masks" in out else [None] * len(boxes))
+                scores_i = det["scores"]
+                classes_i = det["classes"]
+                masks_i = (det["masks"]
+                           if "masks" in det else [None] * len(boxes))
                 kps_i = det_kps if det_kps is not None else [None] * len(boxes)
                 for b, s, c, mk, kp in zip(boxes, scores_i, classes_i,
                                            masks_i, kps_i):
@@ -227,7 +264,7 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 else gt_crowd[i][gt_valid],
             )
             evaluator.add_image(
-                boxes, out["scores"][i][valid], out["classes"][i][valid],
+                boxes, det["scores"], det["classes"],
                 gt_boxes, batch["gt_classes"][i][gt_valid],
                 **common, **extra,
             )
@@ -235,10 +272,9 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 # Masks are box-frame, so the original-coordinate rescale is
                 # carried entirely by the boxes; the crops paste unchanged.
                 segm_evaluator.add_image(
-                    boxes, out["scores"][i][valid],
-                    out["classes"][i][valid],
+                    boxes, det["scores"], det["classes"],
                     gt_boxes, batch["gt_classes"][i][gt_valid],
-                    pred_masks=out["masks"][i][valid],
+                    pred_masks=det["masks"],
                     gt_masks=batch["gt_masks"][i][gt_valid],
                     **common, **extra,
                 )
@@ -248,8 +284,7 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 )
 
                 kp_evaluator.add_image(
-                    boxes, out["scores"][i][valid],
-                    out["classes"][i][valid],
+                    boxes, det["scores"], det["classes"],
                     gt_boxes, batch["gt_classes"][i][gt_valid],
                     pred_keypoints=det_kps,
                     gt_keypoints=rescale_keypoints_to_original(
@@ -303,6 +338,9 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA average of the params "
                         "(train.ema_decay > 0 during training)")
+    p.add_argument("--tta", default="", choices=["", "hflip"],
+                   help="test-time augmentation: also predict on each "
+                        "mirrored image and merge the candidates (~2x cost)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -396,7 +434,7 @@ def main(argv=None):
         cfg, model, state.eval_variables(args.ema), dataset,
         batch_size=args.batch_size,
         max_images=args.max_images, class_names=names, metric_style=metric,
-        mesh=mesh, save_json=args.save_json,
+        mesh=mesh, save_json=args.save_json, tta=args.tta,
     )
     return summary
 
