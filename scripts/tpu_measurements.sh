@@ -113,3 +113,9 @@ run python -m tpudet.cli.benchmark --preset coco_cascade_r50_fpn --mode train --
 #     14^2 x 100 detections) + train b=8.
 run python -m tpudet.cli.benchmark --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8
+
+# 12. Panoptic FPN family on the real chip: R50-FPN COCO preset (Mask
+#     R-CNN + the 128ch semantic head over p2..p5 - the p2-scale convs are
+#     the widest semantic-branch cost). Infer b=16 + train b=8.
+run python -m tpudet.cli.benchmark --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8

@@ -500,3 +500,51 @@ def test_keypoint_rcnn_step_and_predict_on_tpu():
     out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
     assert out["keypoints"].shape == (2, cfg.roi.max_detections, 5, 3)
     assert np.isfinite(out["keypoints"]).all()
+
+
+def test_panoptic_fpn_step_and_predict_on_tpu():
+    """Panoptic family on the real chip: the semantic FCN (GN towers +
+    bilinear upsamples over p2..p5) and its CE train next to the full mask
+    pipeline in one program; predict emits the 1/4-scale argmax map."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import build_model
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = preset_config("coco_panoptic_r50_fpn")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", num_classes=8, aspect_buckets=(),
+            canvas_height=512, canvas_width=512, num_stuff_classes=1,
+        ),
+        roi=dataclasses.replace(cfg.roi, window=32),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, num_data_shards=1, bf16=True
+        ),
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+
+    from tpudet.data import DataLoader, SyntheticDataset
+    from tpudet.data.preprocess import device_preprocess
+
+    ds = SyntheticDataset(num_classes=8, num_examples=2, image_size=500,
+                          with_masks=True, with_semantic=True)
+    loader = DataLoader(cfg, ds, 2, shuffle=False, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    batch = device_preprocess(
+        cfg, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+
+    step = make_train_step(model, cfg)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    assert 0.0 < metrics["semantic_loss"] < 5.0
+    assert 0.0 < metrics["mask_loss"] < 2.0
+
+    out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
+    assert out["semantic"].shape == (2, 128, 128)
+    assert out["semantic"].min() >= 1

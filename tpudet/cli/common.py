@@ -148,6 +148,24 @@ def preset_config(name: str) -> Config:
         from tpudet.config import tiny_keypoint_config
 
         return tiny_keypoint_config()
+    if name == "panoptic_tiny":
+        from tpudet.config import tiny_panoptic_config
+
+        return tiny_panoptic_config()
+    if name == "coco_panoptic_r50_fpn":
+        # Panoptic FPN R50 (arXiv:1901.02446 §5 canonical: Mask R-CNN
+        # R50-FPN + 128ch semantic head, semantic loss weight 0.5). COCO
+        # panoptic: 80 things + 53 stuff classes from
+        # annotations/panoptic_{split}2017 (json + PNG id maps — see
+        # tpudet/data/coco_panoptic.py).
+        import dataclasses as _dc
+
+        base = preset_config("coco_maskrcnn_r50_fpn")
+        return base.replace(
+            model="panoptic_fpn",
+            data=_dc.replace(base.data, load_semantic=True,
+                             num_stuff_classes=53),
+        )
     if name == "coco_keypoint_r50_fpn":
         # Keypoint R-CNN R50-FPN (arXiv:1703.06870 §5 canonical: person-only
         # keypoints, 14²-pooled branch, 8-conv 512ch FCN -> 56² one-hot
@@ -205,7 +223,8 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_maskrcnn_r50_fpn", "fcos_tiny",
                             "coco_fcos_r50", "cascade_tiny",
                             "coco_cascade_r50_fpn", "keypoint_tiny",
-                            "coco_keypoint_r50_fpn"])
+                            "coco_keypoint_r50_fpn", "panoptic_tiny",
+                            "coco_panoptic_r50_fpn"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

@@ -109,8 +109,22 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                 iou_type="keypoints",
                 keypoint_sigmas=cfg.data.keypoint_sigmas,
             )
+    # Panoptic FPN: PQ/SQ/RQ + semantic mIoU under "panoptic/" — fusion and
+    # matching run host-side at the semantic branch's 1/4 scale.
+    pan_evaluator = None
+    if cfg.model == "panoptic_fpn" and metric_style in ("voc", "coco"):
+        if not (cfg.data.load_semantic and cfg.data.load_masks):
+            print("eval: panoptic model without load_semantic/load_masks — "
+                  "skipping PQ")
+        else:
+            from tpudet.eval.panoptic import PanopticEvaluator
+
+            pan_evaluator = PanopticEvaluator(
+                cfg.data.num_stuff_classes, cfg.data.num_classes
+            )
     segm_evaluator = None
-    if cfg.model == "mask_rcnn" and metric_style in ("voc", "coco"):
+    if cfg.model in ("mask_rcnn", "panoptic_fpn") \
+            and metric_style in ("voc", "coco"):
         if not cfg.data.load_masks:
             print("eval: model emits masks but data.load_masks=False — "
                   "skipping segm mAP (no GT masks in the batch)")
@@ -278,6 +292,32 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
                     gt_masks=batch["gt_masks"][i][gt_valid],
                     **common, **extra,
                 )
+            if pan_evaluator is not None:
+                from tpudet.eval.panoptic import fuse_panoptic, gt_panoptic
+
+                pc = cfg.panoptic
+                s_count = cfg.data.num_stuff_classes
+                # Fusion runs in CANVAS coordinates (det["boxes"] before
+                # the original-image rescale) against the 1/4-scale
+                # semantic map.
+                pseg, psegs = fuse_panoptic(
+                    det["boxes"], det["scores"], det["classes"],
+                    det["masks"], out["semantic"][i], s_count,
+                    overlap_thresh=pc.overlap_thresh,
+                    stuff_min_area=pc.stuff_min_area,
+                    score_thresh=pc.instance_score_thresh,
+                )
+                gseg, gsegs = gt_panoptic(
+                    batch["gt_boxes"][i][gt_valid],
+                    batch["gt_classes"][i][gt_valid],
+                    batch["gt_masks"][i][gt_valid],
+                    batch["gt_semantic"][i], s_count,
+                )
+                pan_evaluator.add_image(
+                    pseg, psegs, gseg, gsegs,
+                    pred_semantic=out["semantic"][i],
+                    gt_semantic=batch["gt_semantic"][i],
+                )
             if kp_evaluator is not None:
                 from tpudet.data.preprocess import (
                     rescale_keypoints_to_original,
@@ -311,6 +351,11 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     if kp_evaluator is not None:
         summary.update({
             f"kp/{k}": v for k, v in kp_evaluator.summarize().items()
+        })
+    if pan_evaluator is not None:
+        summary.update({
+            f"panoptic/{k}": v
+            for k, v in pan_evaluator.summarize().items()
         })
     if verbose:
         for k, v in sorted(summary.items()):

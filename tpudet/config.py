@@ -75,6 +75,15 @@ class DataConfig:
     # tpudet/data/masks.py). Datasets without mask annotations emit zeros.
     load_masks: bool = False
     gt_mask_size: int = 112
+    # Semantic-segmentation loading (Panoptic FPN): emit gt_semantic
+    # [canvas_h/4, canvas_w/4] int32 class maps (0 = the void/unlabeled
+    # ignore label, 1..num_stuff_classes = stuff, then things rendered on
+    # top as num_stuff_classes + thing_class). Stored at the semantic
+    # branch's 1/4-scale loss resolution (nearest-neighbor downsample,
+    # host-side) — a full-res map would be 16x the bytes for no extra
+    # training signal.
+    load_semantic: bool = False
+    num_stuff_classes: int = 1  # synthetic: one background-stuff class
     # Keypoint loading (Keypoint R-CNN): emit gt_keypoints [max_gt_boxes,
     # num_keypoints, 3] = (x, y, v) in canvas coords, v the COCO visibility
     # (0 unlabeled, 1 labeled-invisible, 2 visible). Datasets without
@@ -502,6 +511,30 @@ class MaskConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class PanopticConfig:
+    """Panoptic FPN branch (Kirillov et al., arXiv:1901.02446 — a build
+    extra beyond the box-only reference): a lightweight semantic FCN over
+    the FPN levels fused with the Mask R-CNN instance branch by the paper's
+    deterministic merge heuristic.
+
+    Semantic head (paper §3): each of p2..p5 goes through (n_l) 3x3
+    conv+GN+ReLU stages, the coarser levels bilinearly 2x-upsampled per
+    stage, all summed at 1/4 scale, then a 1x1 conv to the semantic classes
+    (stuff + things + void at index 0 as the ignore label). Loss is
+    per-pixel CE at 1/4 resolution against the loader's downsampled map."""
+
+    conv_channels: int = 128
+    loss_weight: float = 0.5  # paper's lambda for the semantic term
+    # Panoptic fusion (paper §4 / the panoptic-API heuristic, host-side):
+    # paste instances by score, drop an instance when more than
+    # overlap_thresh of it is already claimed; keep a stuff segment only if
+    # >= stuff_min_area pixels survive.
+    overlap_thresh: float = 0.5
+    stuff_min_area: int = 64
+    instance_score_thresh: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
 class KeypointConfig:
     """Keypoint R-CNN branch (He et al., arXiv:1703.06870 §5 — a build extra
     beyond the box-only reference): a per-RoI FCN predicting one heatmap per
@@ -553,6 +586,7 @@ class Config:
     cascade: CascadeConfig = CascadeConfig()
     mask: MaskConfig = MaskConfig()
     keypoint: KeypointConfig = KeypointConfig()
+    panoptic: PanopticConfig = PanopticConfig()
     train: TrainConfig = TrainConfig()
     eval: EvalConfig = EvalConfig()
     # Use Pallas kernels for NMS / RoI Align / decode+top-k where available;
@@ -693,6 +727,19 @@ def tiny_keypoint_config(canvas: int = 128, num_classes: int = 3) -> Config:
         ),
         keypoint=KeypointConfig(num_convs=2, conv_channels=32,
                                 roi_output_size=7),
+    )
+
+
+def tiny_panoptic_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small Panoptic FPN config for unit tests / CPU: the tiny Mask R-CNN
+    config (FPN on — the semantic head consumes p2..p5) + semantic loading
+    and a narrow semantic FCN."""
+    base = tiny_maskrcnn_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="panoptic_fpn",
+        backbone=dataclasses.replace(base.backbone, use_fpn=True),
+        data=dataclasses.replace(base.data, load_semantic=True),
+        panoptic=PanopticConfig(conv_channels=32, stuff_min_area=16),
     )
 
 

@@ -30,6 +30,8 @@ def build_dataset(cfg, split: str | None = None):
             with_masks=d.load_masks,
             with_keypoints=getattr(d, "load_keypoints", False),
             num_keypoints=getattr(d, "num_keypoints", 5),
+            with_semantic=getattr(d, "load_semantic", False),
+            num_stuff_classes=getattr(d, "num_stuff_classes", 1),
         )
     if d.dataset == "voc":
         # Eval splits keep difficult objects WITH their flags (the VOC
@@ -38,6 +40,21 @@ def build_dataset(cfg, split: str | None = None):
         keep_difficult = split in ("test", "val")
         ds = VOCDataset(d.data_dir, split=split,
                         keep_difficult=keep_difficult)
+    elif d.dataset == "coco" and getattr(d, "load_semantic", False):
+        # Panoptic training/eval reads the panoptic annotation set (json +
+        # PNG id maps) — the only COCO file carrying stuff segments.
+        from tpudet.data.coco_panoptic import CocoPanopticDataset
+
+        ds = CocoPanopticDataset(
+            d.data_dir, split=split,
+            keep_crowd=split in ("val", "val2017"),
+        )
+        if ds.num_stuff_classes != d.num_stuff_classes:
+            raise ValueError(
+                f"data.num_stuff_classes={d.num_stuff_classes} but the "
+                f"panoptic annotations define {ds.num_stuff_classes} stuff "
+                "categories"
+            )
     elif d.dataset == "coco":
         # Eval splits keep iscrowd annotations as ignore regions (the COCO
         # protocol ignores detections matched to a crowd); training drops

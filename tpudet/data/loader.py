@@ -275,6 +275,7 @@ class DataLoader:
                         area=ex.get("area"),
                         masks=ex.get("masks"),
                         keypoints=ex.get("keypoints"),
+                        semantic=ex.get("semantic"),
                         scale_factor=factor,
                     )
                 except NativeDecodeError:
@@ -298,6 +299,7 @@ class DataLoader:
                 area=ex.get("area"),
                 masks=ex.get("masks"),
                 keypoints=ex.get("keypoints"),
+                semantic=ex.get("semantic"),
                 scale_factor=factor,
             )
         examples = list(pool.map(one, indices))

@@ -103,6 +103,7 @@ def _finalize_example(
     area: np.ndarray | None = None,
     masks=None,
     keypoints=None,
+    semantic=None,
 ) -> Dict[str, np.ndarray]:
     """Shared tail of the host front-end: pack GT to fixed shapes + scale
     boxes by the exact per-axis resize factors (rounding differs per axis).
@@ -161,6 +162,29 @@ def _finalize_example(
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
 
+    if getattr(cfg, "load_semantic", False):
+        # Semantic map at the branch's 1/4-scale loss resolution: each
+        # quarter-res cell samples the ORIGINAL map nearest to its canvas
+        # center; padded cells carry the void/ignore label 0.
+        ch, cw = canvas.shape[:2]
+        s4h, s4w = -(-ch // 4), -(-cw // 4)
+        gt_semantic = np.zeros((s4h, s4w), np.int32)
+        if semantic is not None:
+            sem = np.asarray(semantic)
+            cyc = np.arange(s4h) * 4.0 + 1.5  # canvas-y of each cell center
+            cxc = np.arange(s4w) * 4.0 + 1.5
+            vy = cyc < nh
+            vx = cxc < nw
+            oy = np.clip((cyc * (h / nh)).astype(np.int64), 0, h - 1)
+            ox = np.clip((cxc * (w / nw)).astype(np.int64), 0, w - 1)
+            sampled = sem[oy[:, None], ox[None, :]].astype(np.int32)
+            gt_semantic = np.where(
+                vy[:, None] & vx[None, :], sampled, 0
+            ).astype(np.int32)
+        out_semantic = gt_semantic
+    else:
+        out_semantic = None
+
     if getattr(cfg, "load_keypoints", False):
         kk = cfg.num_keypoints
         gt_keypoints = np.zeros((g, kk, 3), np.float32)
@@ -213,6 +237,8 @@ def _finalize_example(
         **({"gt_masks": out_masks} if out_masks is not None else {}),
         **({"gt_keypoints": out_keypoints}
            if out_keypoints is not None else {}),
+        **({"gt_semantic": out_semantic}
+           if out_semantic is not None else {}),
     }
 
 
@@ -226,6 +252,7 @@ def prepare_example(
     area: np.ndarray | None = None,
     masks=None,
     keypoints=None,
+    semantic=None,
     scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Host-side C2+C4 for one example -> fixed-shape arrays.
@@ -251,7 +278,7 @@ def prepare_example(
     canvas[:nh, :nw] = image
     return _finalize_example(
         cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
-        masks=masks, keypoints=keypoints,
+        masks=masks, keypoints=keypoints, semantic=semantic,
     )
 
 
@@ -265,6 +292,7 @@ def prepare_example_jpeg(
     area: np.ndarray | None = None,
     masks=None,
     keypoints=None,
+    semantic=None,
     scale_factor: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Native-decoder variant of ``prepare_example``: the C++ front-end fuses
@@ -291,7 +319,7 @@ def prepare_example_jpeg(
     )
     return _finalize_example(
         cfg, canvas, nh, nw, h, w, boxes, classes, difficult, crowd, area,
-        masks=masks, keypoints=keypoints,
+        masks=masks, keypoints=keypoints, semantic=semantic,
     )
 
 
@@ -428,6 +456,23 @@ def device_preprocess(
             )
         else:
             out_masks = None
+        if "gt_semantic" in batch:
+            # Quarter-resolution class map: mirror the valid cells (those
+            # whose canvas-center 4x + 1.5 lies inside the image width).
+            gs = batch["gt_semantic"]  # [B, H4, W4] int32
+
+            def _flip_sem(sem, hw):
+                w4 = jnp.ceil((hw[1] - 1.5) / 4.0).astype(jnp.int32)
+                cols = jnp.arange(sem.shape[1])
+                src = jnp.where(cols < w4, w4 - 1 - cols, cols).astype(
+                    jnp.int32
+                )
+                return sem[:, src]
+
+            f_sem = jax.vmap(_flip_sem)(gs, batch["image_hw"])
+            out_semantic = jnp.where(do_flip[:, None, None], f_sem, gs)
+        else:
+            out_semantic = None
         if "gt_keypoints" in batch:
             # Mirror x (same convention as the box flip) and swap the
             # left/right keypoint pairs; v == 0 rows keep their zero coords.
@@ -450,12 +495,15 @@ def device_preprocess(
     else:
         out_masks = None
         out_keypoints = None
+        out_semantic = None
 
     out = dict(batch)
     if out_masks is not None:
         out["gt_masks"] = out_masks
     if out_keypoints is not None:
         out["gt_keypoints"] = out_keypoints
+    if out_semantic is not None:
+        out["gt_semantic"] = out_semantic
     normalized = (image - mean) / std
     # Emit the image directly in the backbone's compute dtype: the backbone
     # casts on entry anyway, and writing/re-reading the [B, H, W, 3] canvas

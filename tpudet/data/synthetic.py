@@ -37,6 +37,8 @@ class SyntheticDataset:
         with_masks: bool = False,
         with_keypoints: bool = False,
         num_keypoints: int = 5,
+        with_semantic: bool = False,
+        num_stuff_classes: int = 1,
     ):
         """``with_masks`` draws objects as filled ELLIPSES inscribed in their
         boxes (instead of full rectangles) and emits per-instance full-image
@@ -63,6 +65,13 @@ class SyntheticDataset:
         # data.num_keypoints (e.g. the COCO-17 presets) run on synthetic
         # data for benchmarks/smoke without shape mismatches.
         self.num_keypoints = num_keypoints
+        # Panoptic GT: a [h, w] uint8 class map — stuff class 1 everywhere
+        # (synthetic has one background stuff class), each object drawn on
+        # top as num_stuff_classes + its thing class, in draw order (later
+        # objects occlude). Ellipse-shaped when with_masks, box-filled
+        # otherwise — matching the rendered pixels exactly.
+        self.with_semantic = with_semantic
+        self.num_stuff_classes = num_stuff_classes
 
     def __len__(self) -> int:
         return self.num_examples
@@ -78,6 +87,8 @@ class SyntheticDataset:
 
         n = int(rng.integers(1, self.max_objects + 1))
         boxes, classes, masks = [], [], []
+        semantic = (np.ones((s, s), np.uint8) if self.with_semantic
+                    else None)
         for _ in range(n):
             w = int(rng.integers(s // 8, s // 2))
             h = int(rng.integers(s // 8, s // 2))
@@ -100,8 +111,15 @@ class SyntheticDataset:
                 mask = np.zeros((s, s), np.uint8)
                 mask[y1 : y1 + h, x1 : x1 + w] = inside
                 masks.append(mask)
+                if semantic is not None:
+                    sem_region = semantic[y1 : y1 + h, x1 : x1 + w]
+                    sem_region[inside] = self.num_stuff_classes + c
             else:
                 image[y1 : y1 + h, x1 : x1 + w] = fill
+                if semantic is not None:
+                    semantic[y1 : y1 + h, x1 : x1 + w] = (
+                        self.num_stuff_classes + c
+                    )
             if self.with_keypoints:
                 # Bright marker at the object center so the keypoint is a
                 # visual feature, not just box geometry.
@@ -118,6 +136,8 @@ class SyntheticDataset:
         }
         if self.with_masks:
             out["masks"] = masks
+        if semantic is not None:
+            out["semantic"] = semantic
         if self.with_keypoints:
             kk = self.num_keypoints
             kps = np.zeros((len(out["boxes"]), kk, 3), np.float32)

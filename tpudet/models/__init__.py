@@ -12,6 +12,7 @@ from tpudet.models.retinanet import RetinaNet  # noqa: F401
 from tpudet.models.fcos import FCOS  # noqa: F401
 from tpudet.models.cascade_rcnn import CascadeRCNN  # noqa: F401
 from tpudet.models.keypoint_rcnn import KeypointRCNN  # noqa: F401
+from tpudet.models.panoptic_fpn import PanopticFPN  # noqa: F401
 
 
 def build_model(cfg):
@@ -31,7 +32,10 @@ def build_model(cfg):
         return CascadeRCNN(cfg)
     if cfg.model == "keypoint_rcnn":
         return KeypointRCNN(cfg)
+    if cfg.model == "panoptic_fpn":
+        return PanopticFPN(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
-        "'retinanet', 'fcos', 'cascade_rcnn', or 'keypoint_rcnn'"
+        "'retinanet', 'fcos', 'cascade_rcnn', 'keypoint_rcnn', or "
+        "'panoptic_fpn'"
     )

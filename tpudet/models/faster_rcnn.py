@@ -127,7 +127,7 @@ class DetectorCore(nn.Module):
                 )
                 for t in range(1, len(self.cfg.cascade.stage_iou_thresholds))
             )
-        if self.cfg.model == "mask_rcnn":
+        if self.cfg.model in ("mask_rcnn", "panoptic_fpn"):
             from tpudet.models.mask_head import MaskHead
 
             m = self.cfg.mask
@@ -136,6 +136,16 @@ class DetectorCore(nn.Module):
                 else self.cfg.data.num_classes,
                 num_convs=m.num_convs,
                 channels=m.conv_channels,
+                dtype=dtype,
+            )
+        if self.cfg.model == "panoptic_fpn":
+            from tpudet.models.semantic_head import SemanticHead
+
+            pc = self.cfg.panoptic
+            self.semantic_head = SemanticHead(
+                num_classes=(self.cfg.data.num_stuff_classes
+                             + self.cfg.data.num_classes),
+                channels=pc.conv_channels,
                 dtype=dtype,
             )
         if self.cfg.model == "keypoint_rcnn":
@@ -183,17 +193,23 @@ class DetectorCore(nn.Module):
         """Keypoint FCN over [N, s_k, s_k, C_feat] -> [N, 4*s_k, 4*s_k, K]."""
         return self.keypoint_head(pooled)
 
+    def semantic(self, feats: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """Panoptic semantic FCN: {p2..p5} -> [B, H/4, W/4, S + C] logits."""
+        return self.semantic_head(feats)
+
     def __call__(self, images):  # used for parameter init only
         feats = self.features(images)
         logits, deltas = self.rpn(feats)
         any_feat = next(iter(feats.values()))
         s = self.cfg.roi.output_size
         dummy = jnp.zeros((1, s, s, any_feat.shape[-1]), any_feat.dtype)
-        if self.cfg.model == "mask_rcnn":
+        if self.cfg.model in ("mask_rcnn", "panoptic_fpn"):
             sm = self.cfg.mask.roi_output_size
             self.masks(
                 jnp.zeros((1, sm, sm, any_feat.shape[-1]), any_feat.dtype)
             )
+        if self.cfg.model == "panoptic_fpn":
+            self.semantic(feats)
         if self.cfg.model == "keypoint_rcnn":
             sk = self.cfg.keypoint.roi_output_size
             self.keypoints(

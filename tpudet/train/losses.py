@@ -189,6 +189,21 @@ def mask_loss(
     return _safe_mean(per_roi, fg_valid.astype(jnp.float32))
 
 
+def semantic_loss(
+    logits: jnp.ndarray,   # [B, H, W, C] semantic logits
+    targets: jnp.ndarray,  # [B, H, W] int32 labels, 0 = void/ignore
+) -> jnp.ndarray:
+    """Panoptic FPN semantic term (arXiv:1901.02446 §3): per-pixel softmax
+    cross-entropy; label 0 (void — canvas padding, unlabeled COCO pixels)
+    drops out of the mean. Safe for all-void images."""
+    c = logits.shape[-1]
+    valid = (targets > 0).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    slot = jnp.clip(targets - 1, 0, c - 1)
+    ce = -jnp.take_along_axis(logp, slot[..., None], axis=-1)[..., 0]
+    return _safe_mean(ce, valid)
+
+
 def keypoint_loss(
     logits: jnp.ndarray,     # [R, S, S, K] heatmap logits
     target_idx: jnp.ndarray,  # [R, K] int32 flat grid index of the keypoint
