@@ -87,7 +87,11 @@ def _axis_weights(params_ref, j, col, origin, s, r, window, dtype):
     start = params_ref[j, col]
     scale = params_ref[j, col + 1]
     size = params_ref[j, col + 2]
-    bins = jax.lax.broadcasted_iota(jnp.float32, (s, window), 0)
+    # int32 iota + cast: Mosaic's tpu.iota verifier rejects float results
+    # (caught on the real chip; interpret mode never verifies Mosaic ops).
+    bins = jax.lax.broadcasted_iota(jnp.int32, (s, window), 0).astype(
+        jnp.float32
+    )
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, (s, window), 1) + origin
     ).astype(jnp.float32)
