@@ -212,6 +212,31 @@ def preset_config(name: str) -> Config:
             # Same focal-normalizer spike rationale as RetinaNet.
             train=TrainConfig(grad_clip_norm=10.0),
         )
+    if name == "detr_tiny":
+        from tpudet.config import tiny_detr_config
+
+        return tiny_detr_config()
+    if name == "coco_detr_r50":
+        # DETR-R50 on COCO (paper arXiv:2005.12872 §4 canonical: d=256,
+        # 8 heads, 6+6 layers, 100 queries, costs/weights 1/5/2, eos 0.1,
+        # aux losses). Single-scale C5 — no FPN, no anchors, no NMS. The
+        # paper trains with AdamW at 1e-4 (1e-5 backbone) for 300 epochs;
+        # set train.* accordingly for a real run.
+        from tpudet.config import DETRConfig
+
+        return Config(
+            model="detr",
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344,
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS,
+                            max_gt_boxes=100),
+            backbone=BackboneConfig(name="resnet50", use_fpn=False,
+                                    dtype="bfloat16"),
+            detr=DETRConfig(),
+            # The paper's recipe: AdamW, transformer lr 1e-4, grad clip 0.1.
+            train=TrainConfig(optimizer="adam", learning_rate=1e-4,
+                              weight_decay=1e-4, grad_clip_norm=0.1),
+        )
     raise ValueError(f"unknown preset {name!r}")
 
 
@@ -224,7 +249,8 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_fcos_r50", "cascade_tiny",
                             "coco_cascade_r50_fpn", "keypoint_tiny",
                             "coco_keypoint_r50_fpn", "panoptic_tiny",
-                            "coco_panoptic_r50_fpn"])
+                            "coco_panoptic_r50_fpn", "detr_tiny",
+                            "coco_detr_r50"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

@@ -556,6 +556,48 @@ class KeypointConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DETRConfig:
+    """DETR set-prediction branch (Carion et al., arXiv:2005.12872 — a
+    build extra beyond the convolutional reference families): transformer
+    encoder over the C5 token grid + decoder over learned object queries,
+    trained with Hungarian-matched set losses, NO anchors / NMS / RoI
+    pooling anywhere.
+
+    TPU-first formulation: the bipartite matching runs INSIDE the jitted
+    step (exact Jonker–Volgenant in ``ops/hungarian.py`` — the canonical
+    implementations host-callback scipy every step), attention masks and
+    sine embeddings derive from each image's true extent so geometry is
+    canvas-padding-invariant, and the whole program is dense static-shape
+    batched matmuls on the MXU."""
+
+    # Transformer (paper appendix: d=256, 8 heads, 6+6 layers, FFN 2048).
+    d_model: int = 256
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 2048
+    num_queries: int = 100
+    dropout: float = 0.1
+    # Matching cost weights (paper §2: class prob + L1 + GIoU at 1/5/2).
+    cost_class: float = 1.0
+    cost_bbox: float = 5.0
+    cost_giou: float = 2.0
+    # Loss weights mirror the costs; eos_coef down-weights the no-object
+    # class in the CE (paper: 0.1 — queries are mostly unmatched).
+    loss_weight_class: float = 1.0
+    loss_weight_bbox: float = 5.0
+    loss_weight_giou: float = 2.0
+    eos_coef: float = 0.1
+    # Deep supervision: the set loss on every decoder layer's output
+    # through the shared heads (paper §3.4, ~+2 mAP).
+    aux_loss: bool = True
+    # Inference: top-k over the (query, class) posterior; no NMS (the set
+    # loss trains queries not to duplicate).
+    score_thresh: float = 0.05
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
 class EvalConfig:
     """mAP evaluation (SURVEY.md C20)."""
 
@@ -584,6 +626,7 @@ class Config:
     retinanet: RetinaNetConfig = RetinaNetConfig()
     fcos: FCOSConfig = FCOSConfig()
     cascade: CascadeConfig = CascadeConfig()
+    detr: DETRConfig = DETRConfig()
     mask: MaskConfig = MaskConfig()
     keypoint: KeypointConfig = KeypointConfig()
     panoptic: PanopticConfig = PanopticConfig()
@@ -740,6 +783,21 @@ def tiny_panoptic_config(canvas: int = 128, num_classes: int = 3) -> Config:
         backbone=dataclasses.replace(base.backbone, use_fpn=True),
         data=dataclasses.replace(base.data, load_semantic=True),
         panoptic=PanopticConfig(conv_channels=32, stuff_min_area=16),
+    )
+
+
+def tiny_detr_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small DETR config for unit tests / CPU: tiny backbone (C5 stride 32
+    -> a 4x4 token grid at 128px), a narrow 2+2-layer transformer, 20
+    queries, dropout off (CPU tests are deterministic; the paper's 0.1 is
+    for the 300-epoch COCO recipe)."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="detr",
+        detr=DETRConfig(
+            d_model=32, num_heads=4, enc_layers=2, dec_layers=2,
+            ffn_dim=64, num_queries=20, dropout=0.0, max_detections=20,
+        ),
     )
 
 

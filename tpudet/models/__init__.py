@@ -13,6 +13,7 @@ from tpudet.models.fcos import FCOS  # noqa: F401
 from tpudet.models.cascade_rcnn import CascadeRCNN  # noqa: F401
 from tpudet.models.keypoint_rcnn import KeypointRCNN  # noqa: F401
 from tpudet.models.panoptic_fpn import PanopticFPN  # noqa: F401
+from tpudet.models.detr import DETR  # noqa: F401
 
 
 def build_model(cfg):
@@ -34,8 +35,10 @@ def build_model(cfg):
         return KeypointRCNN(cfg)
     if cfg.model == "panoptic_fpn":
         return PanopticFPN(cfg)
+    if cfg.model == "detr":
+        return DETR(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
-        "'retinanet', 'fcos', 'cascade_rcnn', 'keypoint_rcnn', or "
-        "'panoptic_fpn'"
+        "'retinanet', 'fcos', 'cascade_rcnn', 'keypoint_rcnn', "
+        "'panoptic_fpn', or 'detr'"
     )

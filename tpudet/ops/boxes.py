@@ -122,6 +122,47 @@ def elementwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     return iou - (hull - union) / jnp.maximum(hull, 1e-9)
 
 
+def pairwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """[N, M] generalized IoU between every pair (same formula as
+    ``elementwise_giou``; used as the GIoU term of the DETR matching cost,
+    where every GT must be scored against every query)."""
+    b1 = boxes1[:, None, :]  # [N, 1, 4]
+    b2 = boxes2[None, :, :]  # [1, M, 4]
+    x1 = jnp.maximum(b1[..., 0], b2[..., 0])
+    y1 = jnp.maximum(b1[..., 1], b2[..., 1])
+    x2 = jnp.minimum(b1[..., 2], b2[..., 2])
+    y2 = jnp.minimum(b1[..., 3], b2[..., 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    union = area(boxes1)[:, None] + area(boxes2)[None, :] - inter
+    iou = inter / jnp.maximum(union, 1e-9)
+    hx1 = jnp.minimum(b1[..., 0], b2[..., 0])
+    hy1 = jnp.minimum(b1[..., 1], b2[..., 1])
+    hx2 = jnp.maximum(b1[..., 2], b2[..., 2])
+    hy2 = jnp.maximum(b1[..., 3], b2[..., 3])
+    hull = jnp.maximum(hx2 - hx1, 0) * jnp.maximum(hy2 - hy1, 0)
+    return iou - (hull - union) / jnp.maximum(hull, 1e-9)
+
+
+def xyxy_to_cxcywh(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Corner boxes -> (center_x, center_y, width, height) — the DETR
+    regression parameterization."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    return jnp.stack(
+        [boxes[..., 0] + 0.5 * w, boxes[..., 1] + 0.5 * h, w, h], axis=-1
+    )
+
+
+def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(center_x, center_y, width, height) -> corner boxes."""
+    cx, cy, w, h = (
+        boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    )
+    return jnp.stack(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], axis=-1
+    )
+
+
 def clip_boxes(boxes: jnp.ndarray, image_hw: Tuple[int, int] | jnp.ndarray) -> jnp.ndarray:
     """Clip boxes to [0, W] x [0, H]. ``image_hw`` = (height, width)."""
     h, w = image_hw[0], image_hw[1]

@@ -55,9 +55,11 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
     buckets = _canvas_buckets(cfg)
     # Postprocess knobs live in the family-specific config group.
     family = getattr(cfg, "model", "faster_rcnn")
-    pp = {"retinanet": cfg.retinanet, "fcos": getattr(cfg, "fcos", None)}.get(
-        family
-    ) or cfg.roi
+    pp = {
+        "retinanet": cfg.retinanet,
+        "fcos": getattr(cfg, "fcos", None),
+        "detr": getattr(cfg, "detr", None),
+    }.get(family) or cfg.roi
     return {
         "artifact_version": ARTIFACT_VERSION,
         "model": getattr(cfg, "model", "faster_rcnn"),

@@ -222,6 +222,76 @@ def keypoint_loss(
     return _safe_mean(ce, use)
 
 
+def detr_set_loss(
+    logits: jnp.ndarray,      # [Q, C+1] query class logits (0 = no-object)
+    pred_boxes: jnp.ndarray,  # [Q, 4] normalized (cx, cy, w, h) in [0, 1]
+    gt_boxes: jnp.ndarray,    # [G, 4] normalized (cx, cy, w, h), padded
+    gt_classes: jnp.ndarray,  # [G] int32 1..C (padding rows arbitrary)
+    gt_valid: jnp.ndarray,    # [G] bool
+    cost_class: float,
+    cost_bbox: float,
+    cost_giou: float,
+    eos_coef: float,
+):
+    """One image's DETR set-prediction loss (Carion et al.,
+    arXiv:2005.12872 §2): Hungarian-match queries↔GT under the
+    class-prob + L1 + GIoU cost, then CE over ALL queries (no-object
+    down-weighted by ``eos_coef``) + L1 + (1 − GIoU) on the matched pairs.
+
+    Static shapes throughout: the padded GT rows enter the cost matrix with
+    CONSTANT cost (indifferent across queries — see ops/hungarian.py for
+    why that cannot perturb the real matches) and are masked out of the box
+    terms; their matched queries scatter class 0, the same no-object target
+    every unmatched query gets.
+
+    Returns per-image SUMS (``ce_sum, ce_weight_sum, l1_sum, giou_sum,
+    num_pos``) so the caller can apply the paper's batch-level
+    normalization (CE: weighted mean over every query in the batch; box
+    terms: total matched-pair count across the batch)."""
+    from tpudet.ops.boxes import (
+        cxcywh_to_xyxy,
+        elementwise_giou,
+        pairwise_giou,
+    )
+
+    num_queries = logits.shape[0]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    # --- matching cost [G, Q] (gradients never flow through the matcher) --
+    c_class = -probs[:, gt_classes].T                       # [G, Q]
+    c_bbox = jnp.sum(
+        jnp.abs(gt_boxes[:, None, :] - pred_boxes[None, :, :]), axis=-1
+    )
+    c_giou = -pairwise_giou(
+        cxcywh_to_xyxy(gt_boxes), cxcywh_to_xyxy(pred_boxes)
+    )
+    cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
+    cost = jnp.where(gt_valid[:, None], cost, 0.0)
+    from tpudet.ops.hungarian import hungarian
+
+    match = hungarian(jax.lax.stop_gradient(cost))          # [G] query idx
+
+    # --- classification: CE over all queries, eos_coef on no-object -------
+    tgt_cls = jnp.zeros((num_queries,), jnp.int32).at[match].set(
+        jnp.where(gt_valid, gt_classes, 0)
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -logp[jnp.arange(num_queries), tgt_cls]
+    w = jnp.where(tgt_cls > 0, 1.0, eos_coef)
+    ce_sum = jnp.sum(ce * w)
+    ce_weight_sum = jnp.sum(w)
+
+    # --- box terms on the matched valid pairs -----------------------------
+    matched = pred_boxes[match]                             # [G, 4]
+    valid_f = gt_valid.astype(jnp.float32)
+    l1 = jnp.sum(jnp.abs(matched - gt_boxes), axis=-1)
+    giou = elementwise_giou(cxcywh_to_xyxy(matched), cxcywh_to_xyxy(gt_boxes))
+    l1_sum = jnp.sum(l1 * valid_f)
+    giou_sum = jnp.sum((1.0 - giou) * valid_f)
+    num_pos = jnp.sum(valid_f)
+    return ce_sum, ce_weight_sum, l1_sum, giou_sum, num_pos
+
+
 def detection_losses(
     cls_logits: jnp.ndarray,     # [R, C+1]
     deltas: jnp.ndarray,         # [R, C_box, 4] (C_box = C or 1 if agnostic)
