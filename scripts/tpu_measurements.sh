@@ -14,7 +14,9 @@ log=${1:-/tmp/tpu_meas.log}
 run() { echo "== $*" | tee -a "$log"; timeout 580 "$@" 2>&1 | tail -4 | tee -a "$log"; }
 
 # 0. Tunnel probe (fail fast instead of hanging a full benchmark).
-timeout 120 python -c "import jax, jax.numpy as jnp; print('probe', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" | tee -a "$log"
+# 300s, not 120: a HEALTHY tunnel has been measured taking ~80s to compile
+# + dispatch even an 8x8 matmul (2026-08-19); 120s false-negatived.
+timeout 300 python -c "import jax, jax.numpy as jnp; print('probe', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" | tee -a "$log"
 
 # 1. Blocked exact pre-NMS top-k vs the one-wide sort (coco_r101_fpn b=32):
 #    expectation from the roofline: up to ~6 ms/batch of per-level lax.top_k
@@ -119,3 +121,10 @@ run python -m tpudet.cli.benchmark --preset coco_keypoint_r50_fpn --mode train -
 #     the widest semantic-branch cost). Infer b=16 + train b=8.
 run python -m tpudet.cli.benchmark --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10
 run python -m tpudet.cli.benchmark --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8
+
+# 13. DETR family on the real chip: R50 COCO preset (single-scale C5 ->
+#     1092-token encoder at 1344px, 6+6 layers, 100 queries — the MXU
+#     attention path none of the conv families touch). Infer b=16 +
+#     train b=8 (training adds the in-jit Hungarian matching + aux losses).
+run python -m tpudet.cli.benchmark --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10
+run python -m tpudet.cli.benchmark --preset coco_detr_r50 --mode train --batch-size 8 --iters 8
