@@ -642,3 +642,78 @@ def test_ema_restore_reconciliation(tmp_path):
         np.asarray(warm.params["w"]), np.asarray(st0.params["w"]))
     warm, _ = step(warm, {"x": x})
     assert np.isfinite(float(warm.ema_params["w"].sum()))
+
+
+def test_backbone_lr_factor_scales_updates():
+    """train.backbone_lr_factor multiplies the backbone subtree's effective
+    step exactly (torch param-group-lr semantics: the whole update, decay
+    included) while leaving every other subtree bit-identical."""
+    import flax.traverse_util as tu
+
+    def one_step(factor):
+        cfg = small_cfg(momentum=0.0, backbone_lr_factor=factor)
+        model = FasterRCNN(cfg)
+        state = create_train_state(model, cfg.train, jax.random.key(0))
+        init = jax.device_get(state.params)
+        step = make_train_step(model, cfg)
+        raw = make_train_batch(cfg)
+        batch = device_preprocess(cfg, raw, jax.random.key(0), training=False)
+        state, _ = step(state, batch)
+        final = jax.device_get(state.params)
+        i = tu.flatten_dict(init, sep="/")
+        f = tu.flatten_dict(final, sep="/")
+        return {k: f[k] - i[k] for k in i}
+
+    base = one_step(1.0)
+    half = one_step(0.5)
+    for k in base:
+        if k.startswith("backbone/"):
+            # atol: the deltas are read back through f32 params (magnitude
+            # up to ~1), so each carries ~eps(1) = 1.2e-7 of quantization.
+            np.testing.assert_allclose(half[k], 0.5 * base[k],
+                                       rtol=1e-3, atol=3e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(half[k], base[k], err_msg=k)
+    assert any(np.abs(v).max() > 0 for k, v in base.items()
+               if k.startswith("backbone/"))
+
+
+def test_train_step_tensor_parallel_detr():
+    """dp=4 x tp=2 over 8 fake devices for the transformer family: the
+    Megatron attention/FFN rules shard q/k/v/out over heads and fc1/fc2
+    column/row over 'model' (optimizer state included), the step runs, and
+    the TP layout survives donation."""
+    import dataclasses
+
+    from tpudet.config import tiny_detr_config
+    from tpudet.models import build_model
+    from tpudet.parallel.sharding_rules import shard_train_state
+
+    cfg = tiny_detr_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=4, learning_rate=1e-3, optimizer="adam",
+        warmup_steps=0, checkpoint_every=10**9,
+    ))
+    model = build_model(cfg)
+    mesh = make_mesh(num_data=4, num_model=2)
+    state = shard_train_state(
+        mesh, create_train_state(model, cfg.train, jax.random.key(0))
+    )
+    qkv = state.params["enc0"]["self_attn"]["query"]["kernel"]
+    ffn = state.params["dec1"]["ffn"]["fc1"]["kernel"]
+    out = state.params["dec0"]["cross_attn"]["out"]["kernel"]
+    for leaf in (qkv, ffn, out):
+        assert not leaf.sharding.is_fully_replicated
+
+    step = make_train_step(model, cfg, mesh=mesh, state_example=state)
+    raw = make_train_batch(cfg, b=4)
+    batch = device_preprocess(cfg, raw, jax.random.key(0), training=False)
+    batch = shard_batch(mesh, batch)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    qkv = state.params["enc0"]["self_attn"]["query"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    # Backbone and the tiny class head stay replicated.
+    stem = jax.tree_util.tree_leaves(state.params["backbone"])[0]
+    assert stem.sharding.is_fully_replicated
+    assert state.params["class_head"]["kernel"].sharding.is_fully_replicated

@@ -334,6 +334,13 @@ class TrainConfig:
     learning_rate: float = 1e-3
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # Per-group LR: scale the backbone subtree's updates by this factor
+    # (fine-tuning recipes train a pretrained backbone slower — DETR's
+    # canonical recipe is transformer 1e-4 / backbone 1e-5, i.e. 0.1).
+    # 1.0 = single LR. Applied after the optimizer core, so it scales the
+    # whole update (weight-decay step included), matching torch
+    # param-group-lr semantics.
+    backbone_lr_factor: float = 1.0
     # LR schedule after warmup: "step" (lr * gamma at each milestone, the
     # reference's schedule) or "cosine" (half-cosine from learning_rate to
     # lr_min_factor * learning_rate at total_steps; milestones/gamma unused).

@@ -28,6 +28,31 @@ def _spec_for_path(path: str, leaf) -> P:
             return P("model")
         if path.endswith("fc2/kernel") and leaf.ndim == 2:
             return P("model", None)
+    # DETR transformer: Megatron attention + MLP sharding. Attention
+    # projections shard over the HEADS axis (each shard computes its heads'
+    # attention end-to-end, zero communication inside the block); the out
+    # projection is row-parallel over heads, so XLA all-reduces its output
+    # once per block. The FFN follows the same column->row pattern as the
+    # det-head MLP above. Flax MHA kernels are DenseGeneral 3-tensors:
+    # q/k/v [d_model, heads, head_dim], out [heads, head_dim, d_model].
+    if "self_attn" in path or "cross_attn" in path:
+        if path.endswith("out/kernel") and leaf.ndim == 3:
+            return P("model", None, None)
+        if leaf.ndim == 3 and any(
+            path.endswith(f"{p}/kernel") for p in ("query", "key", "value")
+        ):
+            return P(None, "model", None)
+        if leaf.ndim == 2 and any(
+            path.endswith(f"{p}/bias") for p in ("query", "key", "value")
+        ):
+            return P("model", None)
+    if "/ffn/" in path:
+        if path.endswith("fc1/kernel") and leaf.ndim == 2:
+            return P(None, "model")
+        if path.endswith("fc1/bias") and leaf.ndim == 1:
+            return P("model")
+        if path.endswith("fc2/kernel") and leaf.ndim == 2:
+            return P("model", None)
     return P()
 
 

@@ -147,6 +147,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         parts += [optax.adam(schedule)]
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.backbone_lr_factor != 1.0:
+        # Per-group LR (DETR-style backbone fine-tuning): scale the
+        # backbone subtree's UPDATES after the optimizer core, so the
+        # factor multiplies the effective step (decay included) exactly
+        # like a torch param-group lr.
+        backbone = lambda params: freeze_mask(params, ("backbone",))
+        parts.append(
+            optax.masked(optax.scale(cfg.backbone_lr_factor), backbone)
+        )
     if frozen is not None:
         # ... and zero frozen UPDATES last, so weight decay (which adds
         # wd * p regardless of the gradient) cannot move a frozen param:
