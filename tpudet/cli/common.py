@@ -80,8 +80,14 @@ def preset_config(name: str) -> Config:
             # Detectron 1000-test setting costs ~3x the RoI-head compute
             # for a sub-point of AP; --set rpn.post_nms_topk_test=1000
             # restores it (the pooler auto-chunks to fit HBM).
+            # Blocked exact pre-NMS top-k: bit-identical to lax.top_k
+            # (tie order included — legal for training and the eval
+            # referee), measured +3.2% (250.0 -> 258.0 img/s/chip b=32 on
+            # the real chip) by replacing P2's one ~130k-wide sort with 16
+            # parallel 8k-row sorts. Inherited by every preset derived
+            # from this one (mask/cascade/keypoint/panoptic).
             rpn=RPNConfig(conv_channels=256, post_nms_topk_train=1000,
-                          post_nms_topk_test=300),
+                          post_nms_topk_test=300, topk_method="blocked"),
             # Pool-once-per-RoI windowed pooler (no-pack Pallas DMA kernel;
             # window=56 covers these 1344-px canvases at p5): 203 -> 252
             # img/s/chip at b=32 over the all-level masked sum it replaces

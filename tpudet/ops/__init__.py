@@ -21,6 +21,7 @@ from tpudet.ops.matchers import match_boxes  # noqa: F401
 from tpudet.ops.samplers import sample_balanced  # noqa: F401
 from tpudet.ops.roi_align import crop_and_resize  # noqa: F401
 from tpudet.ops.selection import blocked_top_k  # noqa: F401
+from tpudet.ops.hungarian import hungarian  # noqa: F401
 
 # Restore submodule bindings shadowed by same-named functions.
 from tpudet.ops import nms, roi_align  # noqa: F401,E402
