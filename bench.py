@@ -14,6 +14,7 @@ timeout — a fresh process after a pause is the documented recovery
 procedure (.claude/skills/verify)."""
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -23,8 +24,54 @@ import time
 ATTEMPT_TIMEOUTS_S = (12 * 60, 8 * 60)
 RETRY_PAUSE_S = 90
 
+# Last known-good measurement, updated on every successful run and attached
+# (clearly labeled, never substituting "value") when every attempt fails —
+# so a wedged-tunnel round still records "framework last measured X at
+# commit Y" vs "framework regressed" (VERDICT r2 weak #1).
+LAST_GOOD_PATH = os.environ.get(
+    "TPUDET_BENCH_LAST_GOOD",
+    os.path.join(os.path.dirname(__file__), "BENCH_LAST_GOOD.json"),
+)
+
+
+def _read_last_good():
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 — missing/corrupt file is "no record"
+        return None
+
+
+def _write_last_good(line: dict):
+    rec = {
+        "value": line.get("value"),
+        "unit": line.get("unit"),
+        "nms_kernel_us_per_img": line.get("nms_kernel_us_per_img"),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    try:
+        rec["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(__file__) or ".",
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        rec["commit"] = None
+    try:
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(rec, f)
+            f.write("\n")
+    except OSError:
+        pass
+
 
 def inner():
+    if os.environ.get("TPUDET_BENCH_SIMULATE_WEDGE"):
+        # Test hook: behave exactly like a wedged tunnel (hang forever)
+        # WITHOUT creating a TPU client — lets the failure artifact be
+        # tested while a real measurement holds the chip.
+        time.sleep(3600)
+
     import dataclasses
 
     from tpudet.cli.benchmark import bench_infer
@@ -61,8 +108,18 @@ def main():
     if "--inner" in sys.argv:
         return inner()
 
+    # Test hook: TPUDET_BENCH_TIMEOUTS="2,2" shrinks the attempt windows so
+    # the wedge path is testable without waiting 20 minutes.
+    timeouts = ATTEMPT_TIMEOUTS_S
+    retry_pause = RETRY_PAUSE_S
+    if os.environ.get("TPUDET_BENCH_TIMEOUTS"):
+        timeouts = tuple(
+            float(t) for t in os.environ["TPUDET_BENCH_TIMEOUTS"].split(",")
+        )
+        retry_pause = float(os.environ.get("TPUDET_BENCH_RETRY_PAUSE", "1"))
+
     last_rc = 1
-    for i, timeout_s in enumerate(ATTEMPT_TIMEOUTS_S):
+    for i, timeout_s in enumerate(timeouts):
         proc = subprocess.Popen(
             [sys.executable, __file__, "--inner"],
             stdout=subprocess.PIPE,
@@ -78,8 +135,8 @@ def main():
                 "(wedged TPU tunnel?) — killed",
                 file=sys.stderr,
             )
-            if i + 1 < len(ATTEMPT_TIMEOUTS_S):
-                time.sleep(RETRY_PAUSE_S)  # tunnel recovery window
+            if i + 1 < len(timeouts):
+                time.sleep(retry_pause)  # tunnel recovery window
             continue
         # Forward the child's JSON line (the last stdout line starting with
         # "{" — NOT rfind("{"), which would slice mid-line whenever the
@@ -89,7 +146,14 @@ def main():
             json_lines = [
                 ln for ln in out.splitlines() if ln.startswith("{")
             ]
-            sys.stdout.write((json_lines[-1] if json_lines else out) + "\n")
+            line = json_lines[-1] if json_lines else out
+            try:
+                parsed = json.loads(line)
+                if parsed.get("value") is not None:
+                    _write_last_good(parsed)
+            except (json.JSONDecodeError, AttributeError):
+                pass
+            sys.stdout.write(line + "\n")
             return 0
         last_rc = proc.returncode or 1
         print(
@@ -97,18 +161,25 @@ def main():
             f"with output: {out.strip()[:200]!r}",
             file=sys.stderr,
         )
-        if i + 1 < len(ATTEMPT_TIMEOUTS_S):
-            time.sleep(RETRY_PAUSE_S)
+        if i + 1 < len(timeouts):
+            time.sleep(retry_pause)
     # Total failure (e.g. the TPU tunnel wedged through every attempt):
     # still emit the one JSON line so the round's bench artifact records
     # WHY there is no number instead of being empty.
-    print(json.dumps({
+    failure = {
         "metric": "images_per_sec_per_chip",
         "value": None,
         "unit": "img/s",
         "vs_baseline": None,
         "error": "all bench attempts failed or hung (wedged TPU tunnel?)",
-    }))
+    }
+    # Attach the last known-good number (clearly labeled as historical —
+    # value stays null) so the artifact distinguishes "environment down"
+    # from "framework regressed".
+    last_good = _read_last_good()
+    if last_good is not None:
+        failure["last_good"] = last_good
+    print(json.dumps(failure))
     return last_rc
 
 

@@ -35,6 +35,46 @@ if not TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
 
 
+if TPU_MODE:
+    # Per-test on-hardware provenance (VERDICT r2 weak #5): every tpu-tier
+    # test APPENDS one JSON line {test, outcome, commit, date, duration_s}
+    # to a checked-in log as it finishes — so "what is proven on hardware,
+    # at which commit" survives a tunnel wedge mid-run and is auditable
+    # across rounds. Appended incrementally, never rewritten.
+    import json as _json
+    import subprocess as _sp
+    import time as _time
+
+    _PROV_PATH = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "TPU_PROVENANCE.jsonl",
+    )
+    try:
+        _COMMIT = _sp.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(_PROV_PATH),
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        _COMMIT = None
+
+    def pytest_runtest_logreport(report):
+        if report.when != "call":
+            return
+        rec = {
+            "test": report.nodeid,
+            "outcome": report.outcome,
+            "commit": _COMMIT,
+            "date": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+            "duration_s": round(report.duration, 1),
+        }
+        try:
+            with open(_PROV_PATH, "a") as f:
+                f.write(_json.dumps(rec) + "\n")
+        except OSError:
+            pass
+
+
 def pytest_collection_modifyitems(config, items):
     if TPU_MODE:
         skip = pytest.mark.skip(

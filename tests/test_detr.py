@@ -177,6 +177,66 @@ def test_set_loss_prefers_confident_query():
     assert float(ce_s) < 0.01
 
 
+def test_e2e_canvas_invariance():
+    """END-TO-END bucket invariance: the same image + GT placed on two
+    different canvases must produce identical losses AND identical decoded
+    predictions. The pieces: padded tokens are masked as attention keys,
+    the sine embedding normalizes over the valid extent, boxes are
+    normalized/decoded by the TRUE image extent (not the canvas), and a
+    frozen-BN backbone is positionally local. GN would fold padding pixels
+    into its statistics, so the tiny config's backbone norm is swapped to
+    frozen_bn here — with it, nothing in the pipeline can see the canvas."""
+    base = tiny_detr_config()
+    bb = dataclasses.replace(base.backbone, norm="frozen_bn")
+    cfg_a = base.replace(backbone=bb)
+    cfg_b = cfg_a.replace(data=dataclasses.replace(
+        cfg_a.data, canvas_height=160, canvas_width=192
+    ))
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 96, 3).astype(np.float32)
+    g = cfg_a.data.max_gt_boxes
+
+    def batch_for(cfg):
+        h, w = cfg.data.canvas_height, cfg.data.canvas_width
+        canvas = np.zeros((1, h, w, 3), np.float32)
+        canvas[0, :96, :96] = img
+        gt = np.zeros((1, g, 4), np.float32)
+        gt[0, 0] = [10.0, 20.0, 60.0, 80.0]
+        gt[0, 1] = [30.0, 5.0, 90.0, 50.0]
+        cls = np.zeros((1, g), np.int32)
+        cls[0, :2] = [1, 2]
+        valid = np.zeros((1, g), bool)
+        valid[0, :2] = True
+        return {
+            "image": jnp.asarray(canvas),
+            "image_hw": jnp.asarray([[96.0, 96.0]]),
+            "gt_boxes": jnp.asarray(gt),
+            "gt_classes": jnp.asarray(cls),
+            "gt_valid": jnp.asarray(valid),
+        }
+
+    m_a, m_b = DETR(cfg_a), DETR(cfg_b)
+    v = m_a.init(jax.random.key(0))  # param shapes are canvas-independent
+
+    loss_a, met_a = m_a.loss(v, batch_for(cfg_a), jax.random.key(1))
+    loss_b, met_b = m_b.loss(v, batch_for(cfg_b), jax.random.key(1))
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-4)
+
+    out_a = m_a.predict(v, batch_for(cfg_a))
+    out_b = m_b.predict(v, batch_for(cfg_b))
+    np.testing.assert_allclose(
+        np.asarray(out_a["boxes"]), np.asarray(out_b["boxes"]),
+        atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["scores"]), np.asarray(out_b["scores"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a["classes"]), np.asarray(out_b["classes"])
+    )
+
+
 def test_predict_recovers_planted_box():
     """Craft decoder outputs that encode one box at one query: the
     postprocess (top-k over (query, class) posteriors, cxcywh decode, clip)
@@ -191,7 +251,7 @@ def test_predict_recovers_planted_box():
         jnp.array([48 / 128, 48 / 128, 32 / 128, 32 / 128])
     )
     boxes, scores, classes, valid = m._predict_single(
-        (128, 128), logits, boxes_n, jnp.array([128.0, 128.0])
+        logits, boxes_n, jnp.array([128.0, 128.0])
     )
     assert bool(valid[0]) and int(jnp.sum(valid)) == 1
     assert int(classes[0]) == 2
@@ -207,7 +267,7 @@ def test_loss_and_predict_shapes():
     loss, metrics = m.loss(v, batch, jax.random.key(1))
     assert np.isfinite(float(loss))
     for k in ("class_ce_loss", "l1_box_loss", "giou_box_loss",
-              "num_matched"):
+              "num_gt"):
         assert np.isfinite(float(metrics[k])), k
     out = m.predict(v, batch)
     d = cfg.detr.max_detections

@@ -590,7 +590,7 @@ def test_detr_step_and_predict_on_tpu():
     state, metrics = step(state, batch)
     metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
     assert np.isfinite(metrics["loss"]), metrics
-    assert metrics["num_matched"] > 0
+    assert metrics["num_gt"] > 0
     assert 0.0 < metrics["giou_box_loss"] <= 2.0
 
     out = jax.device_get(jax.jit(model.predict)(state.variables, batch))

@@ -32,6 +32,37 @@ def make_train_batch(cfg, b=2):
     return {k: jnp.asarray(v) for k, v in raw.items()}
 
 
+def test_adamw_decoupled_decay():
+    """optimizer='adamw' applies DECOUPLED decay (torch-AdamW semantics,
+    Loshchilov & Hutter): with a ZERO gradient the ndim>=2 leaves still
+    shrink by exactly lr*wd*param (decay on the update, never through the
+    Adam moments) and biases are untouched. The coupled 'adam' +
+    add_decayed_weights path, by contrast, feeds the decay through the
+    adaptive denominator: the same zero gradient yields a ~full -lr step."""
+    from tpudet.train.state import make_optimizer
+
+    lr, wd = 0.01, 0.1
+    params = {"w": jnp.full((2, 2), 3.0), "b": jnp.full((2,), 3.0)}
+    grads = jax.tree.map(jnp.zeros_like, params)
+
+    tx = make_optimizer(TrainConfig(
+        optimizer="adamw", learning_rate=lr, weight_decay=wd, warmup_steps=0
+    ))
+    upd, _ = tx.update(grads, tx.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(upd["w"]), -lr * wd * 3.0, rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(upd["b"]), 0.0, atol=0.0)
+
+    tx2 = make_optimizer(TrainConfig(
+        optimizer="adam", learning_rate=lr, weight_decay=wd, warmup_steps=0
+    ))
+    upd2, _ = tx2.update(grads, tx2.init(params), params)
+    # Coupled: g_eff = wd*p, first Adam step ~ -lr * g/|g| = -lr, i.e. 30x
+    # the decoupled step at these values.
+    assert float(upd2["w"][0, 0]) == pytest.approx(-lr, rel=1e-3)
+
+
 def test_lr_schedule():
     cfg = TrainConfig(learning_rate=1.0, warmup_steps=10, warmup_factor=0.1,
                       lr_milestones=(100, 200), lr_gamma=0.1)

@@ -239,9 +239,9 @@ def preset_config(name: str) -> Config:
             backbone=BackboneConfig(name="resnet50", use_fpn=False,
                                     dtype="bfloat16"),
             detr=DETRConfig(),
-            # The paper's recipe: AdamW, transformer lr 1e-4, backbone
-            # 1e-5 (factor 0.1), grad clip 0.1.
-            train=TrainConfig(optimizer="adam", learning_rate=1e-4,
+            # The paper's recipe: AdamW (decoupled decay), transformer lr
+            # 1e-4, backbone 1e-5 (factor 0.1), grad clip 0.1.
+            train=TrainConfig(optimizer="adamw", learning_rate=1e-4,
                               weight_decay=1e-4, grad_clip_norm=0.1,
                               backbone_lr_factor=0.1),
         )

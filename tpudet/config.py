@@ -330,7 +330,10 @@ class TrainConfig:
     # remat recompute. batch_size % accum_steps == 0 and the microbatch must
     # still divide the data-parallel mesh axis.
     accum_steps: int = 1
-    optimizer: str = "sgd"  # "sgd" | "adam"
+    # "sgd" | "adam" | "adamw" — adamw is DECOUPLED decay (optax.adamw,
+    # torch-AdamW semantics); sgd/adam apply weight_decay as coupled L2
+    # added to the gradient before the optimizer core.
+    optimizer: str = "sgd"
     learning_rate: float = 1e-3
     momentum: float = 0.9
     weight_decay: float = 5e-4

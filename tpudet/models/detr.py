@@ -22,8 +22,10 @@ Conventions match the other families: one Flax module owns backbone +
 transformer + heads; the batch and detection dict contracts are identical,
 so the trainer/evaluator/serving/CLIs stay model-agnostic via
 ``models.build_model``. Boxes regress as sigmoid (cx, cy, w, h) normalized
-by the canvas; inference is a plain top-k over (query, class) posteriors —
-the set loss makes predictions non-overlapping by training, not by NMS.
+by each image's TRUE extent (canonical DETR: "relative to the image size"
+— NOT the padded canvas, which the canvas-invariant inputs cannot
+recover); inference is a plain top-k over (query, class) posteriors — the
+set loss makes predictions non-overlapping by training, not by NMS.
 """
 
 from __future__ import annotations
@@ -298,7 +300,6 @@ class DETR:
         cfg = self.cfg
         d = cfg.detr
         images = batch["image"]
-        h, w = images.shape[1], images.shape[2]
         deterministic = d.dropout == 0.0
         kwargs = {} if deterministic else {"rngs": {"dropout": rng}}
         logits, boxes = self.core.apply(
@@ -308,9 +309,18 @@ class DETR:
         if not d.aux_loss:
             logits, boxes = logits[-1:], boxes[-1:]
 
-        # GT -> normalized cxcywh in the canvas frame (the same frame the
-        # sigmoid box head predicts in).
-        norm = jnp.array([w, h, w, h], jnp.float32)
+        # GT -> normalized cxcywh in each image's TRUE extent (canonical
+        # DETR: boxes are relative to the image size). Normalizing by the
+        # padded canvas would make the target scale depend on the aspect
+        # bucket's fill ratio — the inputs are deliberately canvas-invariant
+        # (masked attention keys + valid-extent sine embedding), so the
+        # network could only recover the canvas by memorizing the bucket
+        # table, and a checkpoint would silently rescale if the buckets
+        # differed between train and eval/export.
+        hw = batch["image_hw"].astype(jnp.float32)           # [B, 2] (h, w)
+        norm = jnp.stack(
+            [hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], axis=-1
+        )[:, None, :]                                         # [B, 1, 4]
         gt_n = box_ops.xyxy_to_cxcywh(batch["gt_boxes"]) / norm
 
         per_image = functools.partial(
@@ -344,15 +354,19 @@ class DETR:
             "class_ce_loss": cls_loss[-1],
             "l1_box_loss": l1_loss[-1],
             "giou_box_loss": giou_loss[-1],
-            "num_matched": jnp.mean(npos[-1]),
+            # Mean valid-GT count per image (the matcher assigns every
+            # valid GT a query, so this is a batch property, not a
+            # matching-quality signal — named accordingly).
+            "num_gt": jnp.mean(npos[-1]),
         }
 
     # ----------------------------------------------------------- inference
-    def _predict_single(self, canvas_hw, logits, boxes_n, image_hw):
+    def _predict_single(self, logits, boxes_n, image_hw):
         """Per-image postprocess (paper §4 eval protocol): top-k over the
         (query, class) posterior — softmax includes no-object, foreground
-        columns only — decode to canvas coords, clip. NO NMS: the set loss
-        trains queries to not duplicate."""
+        columns only — decode by the image's TRUE extent (the frame the
+        boxes are normalized in), clip. NO NMS: the set loss trains queries
+        to not duplicate."""
         d = self.cfg.detr
         num_classes = self.cfg.data.num_classes
         probs = jax.nn.softmax(logits, axis=-1)[:, 1:]   # [Q, C]
@@ -361,10 +375,9 @@ class DETR:
         scores, idx = jax.lax.top_k(flat, k)
         query = idx // num_classes
         classes = (idx % num_classes).astype(jnp.int32) + 1
-        norm = jnp.array(
-            [canvas_hw[1], canvas_hw[0], canvas_hw[1], canvas_hw[0]],
-            jnp.float32,
-        )
+        norm = jnp.stack(
+            [image_hw[1], image_hw[0], image_hw[1], image_hw[0]]
+        ).astype(jnp.float32)
         boxes = box_ops.cxcywh_to_xyxy(boxes_n[query]) * norm
         boxes = box_ops.clip_boxes(boxes, image_hw)
         valid = scores > d.score_thresh
@@ -384,11 +397,9 @@ class DETR:
             variables, images, batch["image_hw"],
             deterministic=True, method=DETRCore.forward,
         )
-        boxes, scores, classes, valid = jax.vmap(
-            functools.partial(
-                self._predict_single, (images.shape[1], images.shape[2])
-            )
-        )(logits[-1], boxes_n[-1], batch["image_hw"])
+        boxes, scores, classes, valid = jax.vmap(self._predict_single)(
+            logits[-1], boxes_n[-1], batch["image_hw"]
+        )
         return {
             "boxes": boxes,
             "scores": scores,

@@ -235,7 +235,10 @@ def build_backbone(name: str, norm: str, dtype: Any, freeze_stem: bool,
                    s2d_stem: bool = False, remat: bool = False,
                    stride_in_1x1: bool = True) -> nn.Module:
     if name == "tiny":
-        return TinyBackbone(norm=norm if norm != "frozen_bn" else "gn", dtype=dtype)
+        # Honor the requested norm (frozen_bn is identity at random init but
+        # positionally LOCAL, which canvas-invariance tests rely on; GN folds
+        # padding pixels into its statistics).
+        return TinyBackbone(norm=norm, dtype=dtype)
     if name in STAGE_BLOCKS:
         return ResNet(
             blocks=STAGE_BLOCKS[name], norm=norm, dtype=dtype,

@@ -137,7 +137,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         parts.append(optax.masked(optax.set_to_zero(), frozen))
     if cfg.grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    if cfg.weight_decay > 0:
+    if cfg.weight_decay > 0 and cfg.optimizer != "adamw":
+        # Coupled L2: the decay term is added to the GRADIENT before the
+        # optimizer core (for Adam that means it flows through the moment
+        # estimates). "adamw" below decays decoupled instead.
         parts.append(
             optax.masked(optax.add_decayed_weights(cfg.weight_decay), decay_mask)
         )
@@ -145,6 +148,18 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         parts += [optax.sgd(schedule, momentum=cfg.momentum)]
     elif cfg.optimizer == "adam":
         parts += [optax.adam(schedule)]
+    elif cfg.optimizer == "adamw":
+        # Decoupled weight decay (Loshchilov & Hutter, arXiv:1711.05101):
+        # the decay is applied to the UPDATE after the Adam moments — NOT
+        # fed through the adaptive denominator like add_decayed_weights +
+        # adam would. This is torch.optim.AdamW's semantics, which the DETR
+        # recipe (arXiv:2005.12872 §4) trains with. Same ndim>=2 decay mask
+        # as the coupled path (biases/norms exempt).
+        parts += [
+            optax.adamw(
+                schedule, weight_decay=cfg.weight_decay, mask=decay_mask
+            )
+        ]
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     if cfg.backbone_lr_factor != 1.0:
