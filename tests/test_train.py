@@ -154,6 +154,44 @@ def test_checkpoint_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_restore_eval_across_optimizer_configs(tmp_path):
+    """The eval path must load a checkpoint regardless of the train-time
+    optimizer config (VERDICT r3 session: a checkpoint trained with --set
+    train.optimizer=adamw failed eval's StandardRestore structure match
+    against the preset-default SGD template). restore_eval is template-free:
+    params/constants/step land, opt_state is ignored."""
+    from tpudet.train.checkpoint import CheckpointManager
+
+    cfg = small_cfg(optimizer="adamw")
+    model = FasterRCNN(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+    step = make_train_step(model, cfg)
+    raw = make_train_batch(cfg)
+    batch = device_preprocess(cfg, raw)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=1)
+    assert mgr.save(state, force=True)
+    mgr.wait()
+    mgr.close()
+
+    # Fresh manager + an SGD-configured template (the eval CLI's default).
+    sgd_cfg = small_cfg(optimizer="sgd")
+    fresh = create_train_state(FasterRCNN(sgd_cfg), sgd_cfg.train,
+                               jax.random.key(7))
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    # The strict trainer-resume restore rejects the structure mismatch...
+    with pytest.raises(ValueError):
+        mgr2.restore(fresh)
+    # ...the eval restore does not.
+    restored = mgr2.restore_eval(fresh)
+    mgr2.close()
+    assert int(restored.step) == 1
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_freeze_subtrees_bit_identical():
     """train.freeze pins the named subtrees exactly: nonzero weight decay +
     momentum must not move a frozen param by even one ulp (the paper's

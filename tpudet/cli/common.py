@@ -5,6 +5,21 @@ from __future__ import annotations
 
 import argparse
 import ast
+import os
+
+# Platform pin for CLI runs: ``TPUDET_PLATFORM=cpu python -m tpudet.cli...``
+# forces the backend. Needed because some environments (e.g. this one's
+# axon sitecustomize) register a TPU plugin and pin JAX_PLATFORMS at
+# interpreter start, overriding the env var a user sets on the command
+# line; jax backends initialize lazily, so re-pointing jax.config here —
+# the first tpudet import every CLI performs, before any array op — still
+# takes effect. Keeps CPU-side jobs (learning proofs, smoke runs) from
+# silently becoming TPU clients.
+_plat = os.environ.get("TPUDET_PLATFORM")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 from tpudet.config import (
     AnchorConfig,

@@ -73,7 +73,7 @@ def main(argv=None):
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
     if args.checkpoint_dir:
-        state = CheckpointManager(args.checkpoint_dir).restore(state)
+        state = CheckpointManager(args.checkpoint_dir).restore_eval(state)
 
     boxes, scores, classes, masks, keypoints = detect_image(
         cfg, model, state.eval_variables(args.ema), image

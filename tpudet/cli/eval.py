@@ -414,13 +414,14 @@ def main(argv=None):
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))
-    # EMA reconciliation happens inside CheckpointManager.restore: a
-    # checkpoint carrying an average restores it even when the eval config
-    # didn't enable EMA; --ema on an average-less checkpoint fails with the
-    # clean eval_variables error below.
+    # Template-free eval restore: loads params/constants/EMA regardless of
+    # the train-time optimizer config (no opt_state structure match), and a
+    # checkpoint carrying an EMA average restores it even when the eval
+    # config didn't enable EMA; --ema on an average-less checkpoint fails
+    # with the clean eval_variables error below.
     if args.checkpoint_dir:
         mgr = CheckpointManager(args.checkpoint_dir)
-        state = mgr.restore(state)
+        state = mgr.restore_eval(state)
         print(f"restored step {mgr.latest_step}")
 
     dataset = build_dataset(cfg, split=args.split)

@@ -53,7 +53,7 @@ def main(argv=None):
                 "--checkpoint-dir explicitly to export a random-weight "
                 "smoke-test artifact)"
             )
-        state = mgr.restore(state)
+        state = mgr.restore_eval(state)
     else:
         print("WARNING: no --checkpoint-dir given — exporting RANDOMLY "
               "INITIALIZED weights (fine for smoke tests, useless for "

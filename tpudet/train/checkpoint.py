@@ -80,6 +80,29 @@ class CheckpointManager:
             )
         return restored
 
+    def restore_eval(
+        self, state: TrainState, step: Optional[int] = None
+    ) -> TrainState:
+        """Eval-path restore: params + constants (+ the EMA average and the
+        step counter when present), IGNORING opt_state. Evaluating/exporting
+        a checkpoint must not require replicating the train-time optimizer
+        config — a checkpoint trained with ``--set train.optimizer=adamw``
+        would otherwise fail StandardRestore's structure match against a
+        preset-default SGD template. Template-free like ``restore_params``,
+        but keeps the checkpoint's EMA average (eval --ema's input) instead
+        of restarting it."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            return state
+        raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+        return state.replace(
+            params=raw["params"],
+            constants=raw["constants"],
+            ema_params=raw.get("ema_params"),
+            step=raw["step"],
+        )
+
     def restore_params(
         self, state: TrainState, step: Optional[int] = None
     ) -> TrainState:
