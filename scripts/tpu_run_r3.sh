@@ -1,0 +1,153 @@
+#!/bin/bash
+# Round-3 resumable real-chip measurement runner (VERDICT r2 item #1).
+#
+# Differences from scripts/tpu_measurements.sh (which set -e'd the whole
+# queue and ran the 14-test tpu tier under ONE 580 s timeout that could
+# never fit ~14 x ~7 min compiles):
+#   - every step is guarded by a done-marker in /tmp/tpu_r3_done/, so the
+#     runner is resumable across tunnel wedges and restarts;
+#   - each tpu-tier test runs as its OWN pytest invocation with its own
+#     timeout, so a wedge loses one test, not the tier, and the
+#     TPU_PROVENANCE.jsonl hook records each test individually;
+#   - after any failure the tunnel is re-probed; if the probe fails the
+#     runner sleeps and retries pending steps (observed wedge recovery:
+#     60 s .. 6+ min; probes use 300 s — a HEALTHY tunnel has taken ~80 s
+#     to compile+dispatch an 8x8 matmul);
+#   - a step that fails twice with a healthy tunnel is marked .skip and
+#     reported, instead of blocking the queue.
+#
+# SERIALIZE: this runner must be the only TPU client on the machine.
+cd "$(dirname "$0")/.."
+log=${1:-/tmp/tpu_meas_r3.log}
+D=/tmp/tpu_r3_done
+mkdir -p "$D"
+
+probe() {
+  timeout 300 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" >> "$log" 2>&1
+}
+
+# step <id> <timeout_s (0 = none)> <cmd...> ; returns 0 if done/ok
+step() {
+  local id=$1 to=$2 rc
+  shift 2
+  [ -e "$D/$id" ] && return 0
+  [ -e "$D/$id.skip" ] && return 0
+  echo "== [$id] $* ($(date -u +%FT%TZ))" | tee -a "$log"
+  if [ "$to" = "0" ]; then
+    "$@" >> "$log" 2>&1
+    rc=$?
+  else
+    timeout "$to" "$@" >> "$log" 2>&1
+    rc=$?
+  fi
+  if [ "$rc" -eq 0 ]; then
+    touch "$D/$id"
+    echo "   [$id] OK ($(date -u +%T))" | tee -a "$log"
+    return 0
+  fi
+  echo "   [$id] FAIL rc=$rc ($(date -u +%T))" | tee -a "$log"
+  echo x >> "$D/$id.fails"
+  if [ "$(wc -l < "$D/$id.fails")" -ge 2 ]; then
+    mv "$D/$id.fails" "$D/$id.skip"
+    echo "   [$id] SKIPPED after 2 failures" | tee -a "$log"
+  fi
+  return 1
+}
+
+bm() { python -m tpudet.cli.benchmark "$@"; }
+
+run_pending() {
+  # Highest-value first: the round bench artifact, then the queued perf
+  # measurements, then the on-TPU correctness tier, then family benchmarks,
+  # then the cross-host artifact.
+  step bench      0   python bench.py || return 1
+  step q2a        580 bm --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
+  step q2b        580 bm --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
+  step q3         580 bm --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
+  step q3c        580 bm --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
+  for t in test_nms_pallas_real_shapes test_nms_pallas_presorted_real_shapes \
+           test_nms_pallas_ragged_padded_4507 test_roi_align_backends_match_on_tpu \
+           test_roi_align_window_pallas_real_shapes test_predict_flagship_pallas_vs_xla \
+           test_train_step_flagship test_train_step_fpn_windowed_accum \
+           test_mask_rcnn_step_and_predict_on_tpu test_fcos_step_and_predict_on_tpu \
+           test_cascade_rcnn_step_and_predict_on_tpu test_keypoint_rcnn_step_and_predict_on_tpu \
+           test_panoptic_fpn_step_and_predict_on_tpu test_detr_step_and_predict_on_tpu; do
+    step "tier_$t" 750 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
+  done
+  step q7a        580 bm --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q7b        580 bm --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8a        580 bm --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q8b        580 bm --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9a        580 bm --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q9b        580 bm --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q10a       580 bm --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q10b       580 bm --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q11a       580 bm --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q11b       580 bm --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q12a       580 bm --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q12b       580 bm --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q13a       580 bm --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q13b       580 bm --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q6export   300 env TPUDET_PLATFORM=cpu python -c "
+from tpudet.config import tiny_test_config
+from tpudet.models import FasterRCNN
+from tpudet.serving.export import save_artifact
+import jax
+cfg = tiny_test_config().replace(use_pallas=True)
+m = FasterRCNN(cfg)
+save_artifact('/tmp/crosshost_tiny.tpudet', cfg, m.init(jax.random.key(0)),
+              batch_size=1, platforms=('tpu',))
+print('exported')
+" || return 1
+  step q6run      580 python -c "
+import numpy as np
+from tpudet.serving import ServingModel
+m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
+dets = m.detect([np.zeros((100, 120, 3), np.uint8)])
+print('cross-host artifact ran on TPU:', type(dets), len(dets))
+" || return 1
+  return 0
+}
+
+all_done() {
+  # done when every id has a marker (done or skip)
+  local pending=0
+  for id in bench q2a q2b q3 q3c q7a q7b q8a q8b q9a q9b q10a q10b q11a q11b \
+            q12a q12b q13a q13b q6export q6run \
+            tier_test_nms_pallas_real_shapes tier_test_nms_pallas_presorted_real_shapes \
+            tier_test_nms_pallas_ragged_padded_4507 tier_test_roi_align_backends_match_on_tpu \
+            tier_test_roi_align_window_pallas_real_shapes tier_test_predict_flagship_pallas_vs_xla \
+            tier_test_train_step_flagship tier_test_train_step_fpn_windowed_accum \
+            tier_test_mask_rcnn_step_and_predict_on_tpu tier_test_fcos_step_and_predict_on_tpu \
+            tier_test_cascade_rcnn_step_and_predict_on_tpu tier_test_keypoint_rcnn_step_and_predict_on_tpu \
+            tier_test_panoptic_fpn_step_and_predict_on_tpu tier_test_detr_step_and_predict_on_tpu; do
+    [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || pending=$((pending + 1))
+  done
+  [ "$pending" -eq 0 ]
+}
+
+for attempt in $(seq 1 60); do
+  if all_done; then
+    echo "ALL STEPS DONE ($(date -u +%FT%TZ))" | tee -a "$log"
+    ls "$D" | tee -a "$log"
+    exit 0
+  fi
+  echo "-- runner pass $attempt: probing tunnel ($(date -u +%FT%TZ))" | tee -a "$log"
+  if probe; then
+    echo "-- tunnel healthy, running pending steps" | tee -a "$log"
+    run_pending && continue
+    # a step failed; probe to distinguish wedge from real failure
+    if probe; then
+      echo "-- tunnel still healthy after failure (real failure, will retry/skip)" | tee -a "$log"
+      sleep 30
+    else
+      echo "-- tunnel wedged after failure; sleeping 300" | tee -a "$log"
+      sleep 300
+    fi
+  else
+    echo "-- tunnel wedged; sleeping 240" | tee -a "$log"
+    sleep 240
+  fi
+done
+echo "RUNNER EXHAUSTED 60 PASSES ($(date -u +%FT%TZ))" | tee -a "$log"
+exit 1
