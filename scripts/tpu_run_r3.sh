@@ -54,17 +54,19 @@ step() {
   return 1
 }
 
-bm() { python -m tpudet.cli.benchmark "$@"; }
+# step() hands the command to `timeout`, which needs a real executable —
+# a shell function does not work; spell the module runner out.
+BM="python -m tpudet.cli.benchmark"
 
 run_pending() {
   # Highest-value first: the round bench artifact, then the queued perf
   # measurements, then the on-TPU correctness tier, then family benchmarks,
   # then the cross-host artifact.
   step bench      0   python bench.py || return 1
-  step q2a        580 bm --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
-  step q2b        580 bm --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
-  step q3         580 bm --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
-  step q3c        580 bm --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
+  step q2a        580 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
+  step q2b        580 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
+  step q3         580 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
+  step q3c        580 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
   for t in test_nms_pallas_real_shapes test_nms_pallas_presorted_real_shapes \
            test_nms_pallas_ragged_padded_4507 test_roi_align_backends_match_on_tpu \
            test_roi_align_window_pallas_real_shapes test_predict_flagship_pallas_vs_xla \
@@ -74,20 +76,20 @@ run_pending() {
            test_panoptic_fpn_step_and_predict_on_tpu test_detr_step_and_predict_on_tpu; do
     step "tier_$t" 750 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
   done
-  step q7a        580 bm --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q7b        580 bm --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q8a        580 bm --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q8b        580 bm --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q9a        580 bm --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q9b        580 bm --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q10a       580 bm --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q10b       580 bm --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q11a       580 bm --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q11b       580 bm --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q12a       580 bm --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q12b       580 bm --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q13a       580 bm --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
-  step q13b       580 bm --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q7a        580 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q7b        580 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8a        580 $BM --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q8b        580 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9a        580 $BM --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q9b        580 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q10a       580 $BM --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q10b       580 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q11a       580 $BM --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q11b       580 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q12a       580 $BM --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q12b       580 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q13a       580 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q13b       580 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q6export   300 env TPUDET_PLATFORM=cpu python -c "
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
