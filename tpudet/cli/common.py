@@ -260,6 +260,33 @@ def preset_config(name: str) -> Config:
                               weight_decay=1e-4, grad_clip_norm=0.1,
                               backbone_lr_factor=0.1),
         )
+    if name == "deformable_detr_tiny":
+        from tpudet.config import tiny_deformable_detr_config
+
+        return tiny_deformable_detr_config()
+    if name == "coco_deformable_detr_r50":
+        # Deformable-DETR-R50 on COCO (paper arXiv:2010.04159 §5 canonical:
+        # d=256, 8 heads, 6+6 layers, FFN 1024, 300 queries, 4 levels x 4
+        # points, focal matching at cost 2/5/2, iterative box refinement).
+        # Multi-scale C3..C5 + a stride-64 extra level via its OWN
+        # projections — no FPN module, no anchors, no NMS. The paper trains
+        # AdamW at 2e-4 (backbone and offset/reference heads at 0.1x) for
+        # 50 epochs.
+        from tpudet.config import DeformableDETRConfig
+
+        return Config(
+            model="deformable_detr",
+            data=DataConfig(dataset="coco", num_classes=80, min_size=800,
+                            max_size=1333, canvas_height=1344,
+                            canvas_width=1344, aspect_buckets=_COCO_BUCKETS,
+                            max_gt_boxes=100),
+            backbone=BackboneConfig(name="resnet50", use_fpn=False,
+                                    dtype="bfloat16"),
+            deformable_detr=DeformableDETRConfig(with_box_refine=True),
+            train=TrainConfig(optimizer="adamw", learning_rate=2e-4,
+                              weight_decay=1e-4, grad_clip_norm=0.1,
+                              backbone_lr_factor=0.1),
+        )
     raise ValueError(f"unknown preset {name!r}")
 
 
@@ -273,7 +300,8 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_cascade_r50_fpn", "keypoint_tiny",
                             "coco_keypoint_r50_fpn", "panoptic_tiny",
                             "coco_panoptic_r50_fpn", "detr_tiny",
-                            "coco_detr_r50"])
+                            "coco_detr_r50", "deformable_detr_tiny",
+                            "coco_deformable_detr_r50"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",
                    help="override dataset type (voc|coco|nuimages|synthetic)")

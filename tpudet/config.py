@@ -608,6 +608,51 @@ class DETRConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DeformableDETRConfig:
+    """Deformable DETR branch (Zhu et al., arXiv:2010.04159 — a build extra
+    beyond the convolutional reference families): multi-scale deformable
+    attention over C3..C5 + extra strided levels, focal-matched set loss,
+    reference-point box regression with optional per-layer iterative
+    refinement.
+
+    TPU-first formulation shared with ``detr``: exact in-jit Hungarian
+    matching, canvas-padding-invariant geometry via valid-extent positional
+    embeddings and per-level valid-ratio coordinate scaling, dense
+    static-shape programs throughout (the deformable sampling is one fused
+    XLA gather per head — see ``ops/deform_attn.py``)."""
+
+    # Transformer (paper §5: d=256, 8 heads, 6+6 layers, FFN 1024,
+    # 300 queries, 4 levels x 4 points).
+    d_model: int = 256
+    num_heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    ffn_dim: int = 1024
+    num_queries: int = 300
+    num_levels: int = 4
+    num_points: int = 4
+    dropout: float = 0.1
+    # Iterative bounding-box refinement (paper §4.4): per-layer heads,
+    # each decoder layer re-estimates the box around the previous layer's
+    # detached output.
+    with_box_refine: bool = False
+    # Matching cost weights (appendix A.4: focal class cost at 2, L1 5,
+    # GIoU 2) and the matching loss weights (same ratios).
+    cost_class: float = 2.0
+    cost_bbox: float = 5.0
+    cost_giou: float = 2.0
+    loss_weight_class: float = 2.0
+    loss_weight_bbox: float = 5.0
+    loss_weight_giou: float = 2.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    aux_loss: bool = True
+    # Inference: top-k over the flattened (query, class) sigmoid scores.
+    score_thresh: float = 0.05
+    max_detections: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
 class EvalConfig:
     """mAP evaluation (SURVEY.md C20)."""
 
@@ -637,6 +682,7 @@ class Config:
     fcos: FCOSConfig = FCOSConfig()
     cascade: CascadeConfig = CascadeConfig()
     detr: DETRConfig = DETRConfig()
+    deformable_detr: DeformableDETRConfig = DeformableDETRConfig()
     mask: MaskConfig = MaskConfig()
     keypoint: KeypointConfig = KeypointConfig()
     panoptic: PanopticConfig = PanopticConfig()
@@ -807,6 +853,24 @@ def tiny_detr_config(canvas: int = 128, num_classes: int = 3) -> Config:
         detr=DETRConfig(
             d_model=32, num_heads=4, enc_layers=2, dec_layers=2,
             ffn_dim=64, num_queries=20, dropout=0.0, max_detections=20,
+        ),
+    )
+
+
+def tiny_deformable_detr_config(
+    canvas: int = 128, num_classes: int = 3
+) -> Config:
+    """Small Deformable DETR config for unit tests / CPU: tiny backbone
+    (C3..C5 at strides 8/16/32 -> 16x16 / 8x8 / 4x4 token grids at 128px +
+    one extra stride-64 level), a narrow 2+2-layer transformer, 20 queries,
+    2 points, dropout off."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        model="deformable_detr",
+        deformable_detr=DeformableDETRConfig(
+            d_model=32, num_heads=4, enc_layers=2, dec_layers=2,
+            ffn_dim=64, num_queries=20, num_levels=4, num_points=2,
+            dropout=0.0, max_detections=20,
         ),
     )
 

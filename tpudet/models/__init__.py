@@ -14,6 +14,7 @@ from tpudet.models.cascade_rcnn import CascadeRCNN  # noqa: F401
 from tpudet.models.keypoint_rcnn import KeypointRCNN  # noqa: F401
 from tpudet.models.panoptic_fpn import PanopticFPN  # noqa: F401
 from tpudet.models.detr import DETR  # noqa: F401
+from tpudet.models.deformable_detr import DeformableDETR  # noqa: F401
 
 
 def build_model(cfg):
@@ -37,8 +38,10 @@ def build_model(cfg):
         return PanopticFPN(cfg)
     if cfg.model == "detr":
         return DETR(cfg)
+    if cfg.model == "deformable_detr":
+        return DeformableDETR(cfg)
     raise ValueError(
         f"unknown model {cfg.model!r}: expected 'faster_rcnn', 'mask_rcnn', "
         "'retinanet', 'fcos', 'cascade_rcnn', 'keypoint_rcnn', "
-        "'panoptic_fpn', or 'detr'"
+        "'panoptic_fpn', 'detr', or 'deformable_detr'"
     )

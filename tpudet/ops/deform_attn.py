@@ -1,0 +1,156 @@
+"""Multi-scale deformable attention sampling (Zhu et al., Deformable DETR,
+arXiv:2010.04159 §4.1) — the sparse-attention primitive that replaces dense
+encoder/decoder attention: each query attends to ``points`` bilinearly
+sampled locations per head per feature level instead of every key.
+
+TPU-first formulation (a build extra beyond the TF2 reference's
+convolutional pipeline): the canonical implementation is a handwritten CUDA
+gather kernel (``MSDeformAttnFunction``); here the whole op is ONE fused
+XLA program per head — corner indices and bilinear/attention weights are
+computed vectorized on the VPU, the four corner reads collapse into a
+single flat gather over the level-concatenated token axis, and the weighted
+reduction over (levels x points x corners) is a plain einsum. Everything is
+static-shape: the level geometry is a compile-time constant, and
+out-of-bounds corners contribute through a zeroed WEIGHT (grid_sample's
+``padding_mode='zeros'`` semantics) rather than through control flow, so
+the program contains no data-dependent branching for XLA to choke on.
+
+Why not a Pallas kernel: the access pattern is a data-dependent random
+gather over HBM-resident value maps. Pallas TPU kernels excel when DMA
+patterns are computable at tile granularity (see kernels/roi_align_window
+— RoIs map to contiguous windows); per-sample random access degenerates to
+scalar-granularity DMA with no locality to exploit, which is exactly the
+shape XLA's native gather already lowers well. Measured decision, same
+policy as KERNELS.md's "anchor kernel" entry: the op belongs inside the
+surrounding XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def level_start_offsets(level_shapes: Sequence[Tuple[int, int]]):
+    """Static start offset of each (h, w) level in the concatenated token
+    axis."""
+    offsets, start = [], 0
+    for h, w in level_shapes:
+        offsets.append(start)
+        start += h * w
+    return tuple(offsets), start
+
+
+def ms_deform_attn(
+    values: jnp.ndarray,       # [N, H, D] level-concatenated value tokens
+    level_shapes: Sequence[Tuple[int, int]],  # static ((h, w), ...) rows sum to N
+    locations: jnp.ndarray,    # [Q, H, L, P, 2] (x, y) in [0,1] of each
+                               #   level's FULL grid (grid_sample convention)
+    weights: jnp.ndarray,      # [Q, H, L, P] attention weights (softmaxed
+                               #   over the L*P axis by the caller)
+) -> jnp.ndarray:              # [Q, H, D]
+    """One image's multi-scale deformable attention (paper Eq. 3).
+
+    Bilinear sampling follows ``F.grid_sample(align_corners=False,
+    padding_mode='zeros')``, which the reference CUDA kernel implements:
+    pixel-center coordinates are ``x * W - 0.5``, and samples whose corner
+    falls outside the level grid contribute zero (their bilinear weight is
+    zeroed; the gather index is clamped so the read stays in bounds).
+    """
+    q, h, l, p, _ = locations.shape
+    n, heads, d = values.shape
+    offsets, total = level_start_offsets(level_shapes)
+    if total != n:
+        raise ValueError(
+            f"level_shapes {tuple(level_shapes)} sum to {total} tokens, "
+            f"values carry {n}"
+        )
+    if h != heads or len(level_shapes) != l:
+        raise ValueError("locations/values head or level count mismatch")
+
+    flat_idx, corner_w = [], []
+    for li, (hl, wl) in enumerate(level_shapes):
+        loc = locations[:, :, li]                     # [Q, H, P, 2]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cx = x0 + dx
+                cy = y0 + dy
+                wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+                inb = (cx >= 0) & (cx < wl) & (cy >= 0) & (cy < hl)
+                cxc = jnp.clip(cx, 0, wl - 1)
+                cyc = jnp.clip(cy, 0, hl - 1)
+                flat_idx.append(offsets[li] + cyc * wl + cxc)  # [Q, H, P]
+                corner_w.append(jnp.where(inb, wgt, 0.0))
+    # [Q, H, L*4, P] -> [Q, H, K] with K = L*P*4 (order irrelevant: the
+    # reduction below is a plain weighted sum over K).
+    idx = jnp.stack(flat_idx, axis=2).reshape(q, h, -1)
+    cw = jnp.stack(corner_w, axis=2).reshape(q, h, -1)
+    # Fold the attention weight into the bilinear corner weight: weights is
+    # [Q, H, L, P] and the stack above interleaves (level, corner) on axis
+    # 2, i.e. element (li*4 + c, p) — broadcast accordingly.
+    aw = jnp.repeat(weights.astype(cw.dtype), 4, axis=2)  # [Q, H, L*4, P]
+    cw = cw * aw.reshape(q, h, -1)
+
+    # One gather per head over the level-concatenated token axis, then the
+    # weighted reduction as an einsum (a [Q, K] x [Q, K, D] contraction per
+    # head — MXU-friendly batched matmul).
+    vals_h = values.transpose(1, 0, 2)                # [H, N, D]
+    idx_h = idx.transpose(1, 0, 2)                    # [H, Q, K]
+    gathered = jax.vmap(lambda v, i: v[i])(vals_h, idx_h)  # [H, Q, K, D]
+    out = jnp.einsum(
+        "hqk,hqkd->qhd", cw.transpose(1, 0, 2).astype(gathered.dtype),
+        gathered,
+    )
+    return out
+
+
+def level_reference_points(
+    level_shapes: Sequence[Tuple[int, int]],
+) -> jnp.ndarray:
+    """[N, 2] (x, y) normalized centers of every token of every level in
+    its OWN full grid — the encoder's per-token reference points before
+    valid-ratio correction (paper's ``get_reference_points``)."""
+    refs = []
+    for hl, wl in level_shapes:
+        ys = (jnp.arange(hl, dtype=jnp.float32) + 0.5) / hl
+        xs = (jnp.arange(wl, dtype=jnp.float32) + 0.5) / wl
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        refs.append(jnp.stack([gx, gy], axis=-1).reshape(-1, 2))
+    return jnp.concatenate(refs, axis=0)
+
+
+def sampling_offset_init_bias(
+    num_heads: int, num_levels: int, num_points: int
+) -> jnp.ndarray:
+    """The paper's sampling-offset bias init: head k starts by looking along
+    direction 2πk/H, at radius p+1 for its p-th point, identically at every
+    level — so the zero-weight-initialized offset layer begins as a fixed
+    directional probe instead of collapsing all samples onto the reference
+    point. Shape [H * L * P * 2] matching the Dense bias layout."""
+    thetas = jnp.arange(num_heads, dtype=jnp.float32) * (
+        2.0 * math.pi / num_heads
+    )
+    grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], axis=-1)  # [H, 2]
+    grid = grid / jnp.max(jnp.abs(grid), axis=-1, keepdims=True)
+    grid = jnp.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    scale = jnp.arange(1, num_points + 1, dtype=jnp.float32)
+    grid = grid * scale[None, None, :, None]
+    return grid.reshape(-1)
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Logit with the official implementation's clamping (stable around the
+    iterative box-refinement updates)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.maximum(x, eps)) - jnp.log(jnp.maximum(1.0 - x, eps))

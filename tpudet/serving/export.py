@@ -59,6 +59,7 @@ def _serving_metadata(cfg, batch_size: int, platforms) -> Dict[str, Any]:
         "retinanet": cfg.retinanet,
         "fcos": getattr(cfg, "fcos", None),
         "detr": getattr(cfg, "detr", None),
+        "deformable_detr": getattr(cfg, "deformable_detr", None),
     }.get(family) or cfg.roi
     return {
         "artifact_version": ARTIFACT_VERSION,

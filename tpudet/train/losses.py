@@ -319,3 +319,87 @@ def detection_losses(
     box_per = jnp.sum(smooth_l1(sel, target_deltas, beta), axis=-1)
     box_loss = _safe_mean(box_per, fg_f, denom=num_samples)
     return cls_loss, box_loss
+
+
+def deformable_detr_set_loss(
+    logits: jnp.ndarray,      # [Q, C] sigmoid class logits (NO no-object col)
+    pred_boxes: jnp.ndarray,  # [Q, 4] normalized (cx, cy, w, h) in [0, 1]
+    gt_boxes: jnp.ndarray,    # [G, 4] normalized (cx, cy, w, h), padded
+    gt_classes: jnp.ndarray,  # [G] int32 1..C (padding rows arbitrary)
+    gt_valid: jnp.ndarray,    # [G] bool
+    cost_class: float,
+    cost_bbox: float,
+    cost_giou: float,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+):
+    """One image's Deformable-DETR set loss (Zhu et al., arXiv:2010.04159
+    §4.4 + appendix A.4): Hungarian matching under the FOCAL-style class
+    cost (the paper replaces DETR's softmax + no-object column with
+    per-class sigmoids), then sigmoid focal loss over ALL (query, class)
+    elements — matched queries target their GT class one-hot, everything
+    else zero — plus L1 + (1 − GIoU) on the matched pairs.
+
+    Same static-shape contract as ``detr_set_loss``: padded GT rows enter
+    the cost matrix with constant cost (cannot perturb real matches — see
+    ops/hungarian.py) and are masked out of the box terms; their matched
+    queries keep the all-zero (background) focal target. Returns per-image
+    SUMS (``focal_sum, l1_sum, giou_sum, num_pos``) for the paper's
+    batch-level normalization (every term / total matched pairs)."""
+    from tpudet.ops.boxes import (
+        cxcywh_to_xyxy,
+        elementwise_giou,
+        pairwise_giou,
+    )
+    from tpudet.ops.hungarian import hungarian
+
+    num_queries, num_classes = logits.shape
+    logits = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits)
+
+    # --- focal matching cost [G, Q] (appendix A.4: the cost of class c is
+    # the positive focal term minus the negative one, so a confident right
+    # class is strongly negative and a confident wrong one positive) -------
+    eps = 1e-8
+    pos_cost = alpha * jnp.power(1.0 - p, gamma) * (-jnp.log(p + eps))
+    neg_cost = (
+        (1.0 - alpha) * jnp.power(p, gamma) * (-jnp.log(1.0 - p + eps))
+    )
+    cls_col = jnp.clip(gt_classes - 1, 0, num_classes - 1)
+    c_class = (pos_cost - neg_cost)[:, cls_col].T            # [G, Q]
+    c_bbox = jnp.sum(
+        jnp.abs(gt_boxes[:, None, :] - pred_boxes[None, :, :]), axis=-1
+    )
+    c_giou = -pairwise_giou(
+        cxcywh_to_xyxy(gt_boxes), cxcywh_to_xyxy(pred_boxes)
+    )
+    cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
+    cost = jnp.where(gt_valid[:, None], cost, 0.0)
+    match = hungarian(jax.lax.stop_gradient(cost))           # [G] query idx
+
+    # --- classification: sigmoid focal over every (query, class) ----------
+    tgt_cls = jnp.zeros((num_queries,), jnp.int32).at[match].set(
+        jnp.where(gt_valid, gt_classes, 0)
+    )
+    onehot = (
+        jax.nn.one_hot(tgt_cls - 1, num_classes, dtype=jnp.float32)
+        * (tgt_cls > 0)[:, None]
+    )
+    bce = (
+        jnp.maximum(logits, 0)
+        - logits * onehot
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    p_t = p * onehot + (1.0 - p) * (1.0 - onehot)
+    alpha_t = alpha * onehot + (1.0 - alpha) * (1.0 - onehot)
+    focal_sum = jnp.sum(alpha_t * jnp.power(1.0 - p_t, gamma) * bce)
+
+    # --- box terms on the matched valid pairs -----------------------------
+    matched = pred_boxes[match]                              # [G, 4]
+    valid_f = gt_valid.astype(jnp.float32)
+    l1 = jnp.sum(jnp.abs(matched - gt_boxes), axis=-1)
+    giou = elementwise_giou(cxcywh_to_xyxy(matched), cxcywh_to_xyxy(gt_boxes))
+    l1_sum = jnp.sum(l1 * valid_f)
+    giou_sum = jnp.sum((1.0 - giou) * valid_f)
+    num_pos = jnp.sum(valid_f)
+    return focal_sum, l1_sum, giou_sum, num_pos
