@@ -63,10 +63,10 @@ run_pending() {
   # measurements, then the on-TPU correctness tier, then family benchmarks,
   # then the cross-host artifact.
   step bench      0   python bench.py || return 1
-  step q2a        580 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
-  step q2b        580 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
-  step q3         580 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
-  step q3c        580 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
+  step q2a        900 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
+  step q2b        900 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
+  step q3         900 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
+  step q3c        700 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
   for t in test_nms_pallas_real_shapes test_nms_pallas_presorted_real_shapes \
            test_nms_pallas_ragged_padded_4507 test_roi_align_backends_match_on_tpu \
            test_roi_align_window_pallas_real_shapes test_predict_flagship_pallas_vs_xla \
@@ -74,22 +74,24 @@ run_pending() {
            test_mask_rcnn_step_and_predict_on_tpu test_fcos_step_and_predict_on_tpu \
            test_cascade_rcnn_step_and_predict_on_tpu test_keypoint_rcnn_step_and_predict_on_tpu \
            test_panoptic_fpn_step_and_predict_on_tpu test_detr_step_and_predict_on_tpu; do
-    step "tier_$t" 750 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
+    step "tier_$t" 800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
   done
-  step q7a        580 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q7b        580 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q8a        580 $BM --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q8b        580 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q9a        580 $BM --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q9b        580 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q10a       580 $BM --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q10b       580 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q11a       580 $BM --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q11b       580 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q12a       580 $BM --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q12b       580 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q13a       580 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
-  step q13b       580 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q7a        700 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q7b        900 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8a        700 $BM --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q8b        900 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9a        700 $BM --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step q9b        900 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q10a       700 $BM --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q10b       900 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q11a       700 $BM --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q11b       900 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q12a       700 $BM --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
+  step q12b       900 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q13a       700 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q13b       900 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q14a       900 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q14b      1100 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q6export   300 env TPUDET_PLATFORM=cpu python -c "
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
@@ -101,7 +103,7 @@ save_artifact('/tmp/crosshost_tiny.tpudet', cfg, m.init(jax.random.key(0)),
               batch_size=1, platforms=('tpu',))
 print('exported')
 " || return 1
-  step q6run      580 python -c "
+  step q6run      700 python -c "
 import numpy as np
 from tpudet.serving import ServingModel
 m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
@@ -115,7 +117,7 @@ all_done() {
   # done when every id has a marker (done or skip)
   local pending=0
   for id in bench q2a q2b q3 q3c q7a q7b q8a q8b q9a q9b q10a q10b q11a q11b \
-            q12a q12b q13a q13b q6export q6run \
+            q12a q12b q13a q13b q14a q14b q6export q6run \
             tier_test_nms_pallas_real_shapes tier_test_nms_pallas_presorted_real_shapes \
             tier_test_nms_pallas_ragged_padded_4507 tier_test_roi_align_backends_match_on_tpu \
             tier_test_roi_align_window_pallas_real_shapes tier_test_predict_flagship_pallas_vs_xla \
