@@ -412,3 +412,45 @@ def test_serving_export_roundtrip(tmp_path):
     )
     want = jax.device_get(model.predict(variables, batch))
     np.testing.assert_array_equal(got["valid"], want["valid"])
+
+
+@pytest.mark.slow
+def test_train_step_tensor_parallel_deformable():
+    """dp=4 x tp=2 over 8 fake devices: the deform-attention TP rules shard
+    the value projection column-wise (= over heads after the reshape) and
+    the out projection row-wise, the decoder's dense self-attention gets
+    the Megatron MHA rules, FFNs shard column/row — optimizer state
+    included — the step runs, and the TP layout survives donation."""
+    from tpudet.parallel import make_mesh, shard_batch
+    from tpudet.parallel.sharding_rules import shard_train_state
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = tiny_deformable_detr_config()
+    cfg = cfg.replace(train=dataclasses.replace(
+        cfg.train, batch_size=4, learning_rate=1e-3, optimizer="adamw",
+        warmup_steps=0, checkpoint_every=10**9,
+    ))
+    model = build_model(cfg)
+    mesh = make_mesh(num_data=4, num_model=2)
+    state = shard_train_state(
+        mesh, create_train_state(model, cfg.train, jax.random.key(0))
+    )
+    val = state.params["enc0"]["deform_attn"]["value"]["kernel"]
+    out = state.params["dec0"]["cross_attn"]["out"]["kernel"]
+    qkv = state.params["dec0"]["self_attn"]["query"]["kernel"]
+    ffn = state.params["dec1"]["ffn"]["fc1"]["kernel"]
+    for leaf in (val, out, qkv, ffn):
+        assert not leaf.sharding.is_fully_replicated
+    # Offset / attention-weight layers are query-sized: replicated.
+    off = state.params["enc0"]["deform_attn"]["sampling_offsets"]["kernel"]
+    assert off.sharding.is_fully_replicated
+
+    step = make_train_step(model, cfg, mesh=mesh, state_example=state)
+    batch = shard_batch(mesh, make_batch(cfg, batch_size=4))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    val = state.params["enc0"]["deform_attn"]["value"]["kernel"]
+    assert not val.sharding.is_fully_replicated
+    stem = jax.tree_util.tree_leaves(state.params["backbone"])[0]
+    assert stem.sharding.is_fully_replicated

@@ -46,6 +46,21 @@ def _spec_for_path(path: str, leaf) -> P:
             path.endswith(f"{p}/bias") for p in ("query", "key", "value")
         ):
             return P("model", None)
+    # Deformable DETR's MSDeformAttn (models/deformable_detr.py): the value
+    # projection is column-parallel [d, d] whose output reshapes to
+    # [N, heads, head_dim] — sharding the output columns over 'model'
+    # shards the HEADS axis (model must divide num_heads x head_dim at a
+    # head boundary, which holds whenever model divides num_heads); the
+    # per-head sampling gather then runs shard-local, and the out
+    # projection is row-parallel (one all-reduce per block). The offset /
+    # attention-weight layers are query-sized and stay replicated.
+    if "deform_attn" in path or "cross_attn" in path:
+        if path.endswith("value/kernel") and leaf.ndim == 2:
+            return P(None, "model")
+        if path.endswith("value/bias") and leaf.ndim == 1:
+            return P("model")
+        if path.endswith("out/kernel") and leaf.ndim == 2:
+            return P("model", None)
     if "/ffn/" in path:
         if path.endswith("fc1/kernel") and leaf.ndim == 2:
             return P(None, "model")
