@@ -135,9 +135,9 @@ class MSDeformAttn(nn.Module):
         out = jax.vmap(
             functools.partial(ms_deform_attn, level_shapes=level_shapes)
         )(
-            value.astype(jnp.float32).reshape(b, -1, h, head_dim),
-            locations=loc,
-            weights=attn,
+            value,                # gathered in the value dtype (bf16-safe):
+            locations=loc,        # this op is HBM-gather-bound, and the
+            weights=attn,         # f32 reduction happens inside the einsum
         )                                              # [B, Nq, H, head_dim]
         out = out.reshape(b, nq, self.d_model).astype(self.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)

@@ -104,13 +104,16 @@ def ms_deform_attn(
 
     # One gather per head over the level-concatenated token axis, then the
     # weighted reduction as an einsum (a [Q, K] x [Q, K, D] contraction per
-    # head — MXU-friendly batched matmul).
+    # head — MXU-friendly batched matmul). The gather stays in the VALUE
+    # dtype (bf16 in the bf16 presets — this op is gather-bound, so HBM
+    # bytes ARE the cost); the einsum promotes to the f32 weights, keeping
+    # the bilinear reduction in full precision.
     vals_h = values.transpose(1, 0, 2)                # [H, N, D]
     idx_h = idx.transpose(1, 0, 2)                    # [H, Q, K]
     gathered = jax.vmap(lambda v, i: v[i])(vals_h, idx_h)  # [H, Q, K, D]
     out = jnp.einsum(
-        "hqk,hqkd->qhd", cw.transpose(1, 0, 2).astype(gathered.dtype),
-        gathered,
+        "hqk,hqkd->qhd", cw.transpose(1, 0, 2), gathered,
+        preferred_element_type=jnp.float32,
     )
     return out
 
