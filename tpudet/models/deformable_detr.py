@@ -36,7 +36,7 @@ stay model-agnostic via ``models.build_model``.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
