@@ -205,6 +205,51 @@ def test_roi_align_window_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_align_window_pallas_batched_matches_per_image(rng):
+    """The batched windowed kernel (one grid over all B*N RoIs, image index
+    riding the scalar-prefetched origins) == the per-image XLA windowed
+    path on every image — images carry DIFFERENT features and RoIs, so a
+    wrong image index or a cross-image tile DMA shows up immediately.
+    B*N deliberately not a multiple of rois_per_step."""
+    from tpudet.kernels.roi_align_window import (
+        roi_align_window_pallas_batched,
+    )
+    from tpudet.ops.roi_align import fpn_assign_levels, roi_align_window
+
+    b, n = 3, 5  # B*N = 15, not a multiple of kk=4
+    all_feats, all_rois = [], []
+    for _ in range(b):
+        feats, strides = _pyramid(rng)
+        xy1 = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+        wh = rng.uniform(8, 250, (n, 2)).astype(np.float32)
+        rois = np.concatenate([xy1, np.minimum(xy1 + wh, 330.0)], -1)
+        all_feats.append(feats)
+        all_rois.append(rois.astype(np.float32))
+    # Hard cases on image 1 so they sit mid-batch in the flat grid.
+    all_rois[1][0] = [0.0, 0.0, 3.0, 200.0]
+    all_rois[1][1] = [0.0, 0.0, 208.0, 330.0]
+
+    window = 24
+    feats_b = [
+        jnp.stack([f[l] for f in all_feats]) for l in range(len(all_feats[0]))
+    ]
+    rois_b = jnp.asarray(np.stack(all_rois))
+    levels_b = jax.vmap(
+        lambda r: fpn_assign_levels(r, fit_window=window) - 2
+    )(rois_b)
+    got = np.asarray(roi_align_window_pallas_batched(
+        feats_b, strides, rois_b, levels_b, 7, 2, window=window,
+        interpret=True,
+    ))
+    assert got.shape == (b, n, 7, 7, all_feats[0][0].shape[-1])
+    for i in range(b):
+        want = np.asarray(roi_align_window(
+            all_feats[i], strides, rois_b[i], levels_b[i], 7, 2,
+            window=window,
+        ))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("window", [24, 32, 56])
 def test_roi_align_window_fuzz(rng, window):
     """Windowed pooling == masked-sum oracle across window sizes on random

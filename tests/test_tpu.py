@@ -152,6 +152,38 @@ def test_roi_align_window_pallas_real_shapes(rng):
         want = want + p * (lv == li)[:, None, None, None]
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
+    # Batched entry at the same real shapes: b=2 images sharing the grid of
+    # ONE pallas_call (image index rides the prefetched origins). Image 0
+    # reuses the RoIs above, image 1 a shifted set, features distinct per
+    # image — a wrong image index shows up as a tolerance blowout.
+    from tpudet.kernels.roi_align_window import (
+        roi_align_window_pallas_batched,
+    )
+
+    feats2 = [
+        jnp.asarray(rng.normal(0, 1, f.shape).astype(np.float32))
+        for f in feats
+    ]
+    rois2 = jnp.clip(rois + 64.0, 0.0, 1344.0)
+    levels2 = fpn_assign_levels(rois2, fit_window=window) - 2
+    feats_b = [jnp.stack([a, b]) for a, b in zip(feats, feats2)]
+    rois_b = jnp.stack([rois, rois2])
+    levels_b = jnp.stack([levels, levels2])
+    got_b = np.asarray(jax.jit(
+        lambda f, r, l: roi_align_window_pallas_batched(
+            list(f), strides, r, l, 7, 2, window=window
+        )
+    )(feats_b, rois_b, levels_b))
+    np.testing.assert_allclose(got_b[0], want, rtol=1e-3, atol=1e-3)
+    lv2 = np.asarray(levels2)
+    want2 = 0.0
+    for li, (f, s) in enumerate(zip(feats2, strides)):
+        p = np.asarray(jax.jit(
+            lambda f, r: roi_align_mxu(f, r, 7, 2)
+        )(f, rois2 / s))
+        want2 = want2 + p * (lv2 == li)[:, None, None, None]
+    np.testing.assert_allclose(got_b[1], want2, rtol=1e-3, atol=1e-3)
+
 
 # --------------------------------------------------------------- full model
 def _flagship_cfg():

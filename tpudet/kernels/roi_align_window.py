@@ -61,7 +61,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpudet.ops.roi_align import window_pool_params_nopack
+from tpudet.ops.roi_align import window_pool_params_nopack_batched
 
 
 def _expansion_constants(window: int, dtype):
@@ -116,12 +116,12 @@ def _kernel(
     c: int,
     *refs,
 ):
-    (origins_ref,   # SMEM [N_pad, 3] int32 (oy, ox, level) — scalar prefetch
+    (origins_ref,   # SMEM [N_pad, 4] int32 (oy, ox, level, image) — prefetch
      params_ref,    # SMEM [N_pad, 6] f32 (start, scale, size) per axis
      e_ref,         # VMEM [window, window*window] constant
      t_ref,         # VMEM [window, window*window] constant
      *rest) = refs
-    level_refs = rest[:n_levels]   # ANY (HBM) [H_pad_l, W_pad_l, C] each
+    level_refs = rest[:n_levels]   # ANY (HBM) [B, H_pad_l, W_pad_l, C] each
     (out_ref,      # VMEM block [K, s*s, C]
      tiles,        # scratch VMEM [2, K, window, window, C]
      left,         # scratch VMEM [s*s, window*window]
@@ -137,6 +137,7 @@ def _kernel(
         ox = pl.multiple_of(origins_ref[j, 1], 8)
         return pltpu.make_async_copy(
             fref.at[
+                origins_ref[j, 3],
                 pl.ds(origins_ref[j, 0], window),
                 pl.ds(ox, window),
                 :,
@@ -216,7 +217,7 @@ def _kernel(
         run(1)
 
 
-def roi_align_window_pallas(
+def roi_align_window_pallas_batched(
     features,
     strides,
     boxes: jnp.ndarray,
@@ -228,18 +229,29 @@ def roi_align_window_pallas(
     rois_per_step: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in for ``ops.roi_align.roi_align_window`` (same contract:
-    ``levels`` from ``fpn_assign_levels(..., fit_window=window)``, 0-based).
-    Returns [N, s, s, C] in the feature dtype."""
+    """Batched windowed pooler: features ``[B, H_l, W_l, C]`` per level,
+    boxes ``[B, N, 4]``, levels ``[B, N]`` (0-based, from
+    ``fpn_assign_levels(..., fit_window=window)``) → ``[B, N, s, s, C]``.
+
+    ONE ``pallas_call`` whose grid covers all ``B*N`` RoIs — the image
+    index rides the scalar-prefetched origins as a 4th column and selects
+    the leading dim of each level's HBM ref. A ``jax.vmap`` over the
+    single-image kernel instead lowers to a per-image ``while`` loop
+    (scalar-prefetch operands can't be batched into the grid), costing
+    ~2.2 ms/step of loop scaffolding plus a double-buffer pipeline drain
+    at every image boundary (b=32 COCO trace, KERNELS.md round-3 entry)."""
     s = output_size
     c = features[0].shape[-1]
     dtype = features[0].dtype
-    n = boxes.shape[0]
+    b, n_img = boxes.shape[:2]
+    n = b * n_img
 
-    padded, params, oy, ox = window_pool_params_nopack(
+    padded, params, oy, ox = window_pool_params_nopack_batched(
         features, strides, boxes, levels, output_size, sampling_ratio,
         aligned, window,
     )
+    img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_img)
+    flat_levels = levels.reshape(n)
     kk = min(rois_per_step, n)
     pad = (-n) % kk
     if pad:
@@ -248,14 +260,17 @@ def roi_align_window_pallas(
         )
         oy = jnp.concatenate([oy, jnp.zeros((pad,), oy.dtype)])
         ox = jnp.concatenate([ox, jnp.zeros((pad,), ox.dtype)])
-        levels = jnp.concatenate([levels, jnp.zeros((pad,), levels.dtype)])
+        flat_levels = jnp.concatenate(
+            [flat_levels, jnp.zeros((pad,), flat_levels.dtype)]
+        )
+        img = jnp.concatenate([img, jnp.zeros((pad,), img.dtype)])
     n_pad = n + pad
     n_steps = n_pad // kk
 
     e_const, t_const = _expansion_constants(window, dtype)
     origins = jnp.stack(
-        [oy, ox, levels.astype(jnp.int32)], axis=-1
-    )  # [N_pad, 3] int32
+        [oy, ox, flat_levels.astype(jnp.int32), img], axis=-1
+    )  # [N_pad, 4] int32
 
     kernel = functools.partial(
         _kernel, n_steps, kk, len(padded), s, sampling_ratio, window, c
@@ -290,4 +305,28 @@ def roi_align_window_pallas(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
     )(origins, params, e_const, t_const, *padded)
-    return out[:n].reshape(n, s, s, c)
+    return out[:n].reshape(b, n_img, s, s, c)
+
+
+def roi_align_window_pallas(
+    features,
+    strides,
+    boxes: jnp.ndarray,
+    levels: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    window: int = 48,
+    rois_per_step: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``ops.roi_align.roi_align_window`` (same contract:
+    ``levels`` from ``fpn_assign_levels(..., fit_window=window)``, 0-based).
+    Returns [N, s, s, C] in the feature dtype. Single-image view of
+    :func:`roi_align_window_pallas_batched` (B=1)."""
+    out = roi_align_window_pallas_batched(
+        [f[None] for f in features], strides, boxes[None], levels[None],
+        output_size, sampling_ratio, aligned, window, rois_per_step,
+        interpret,
+    )
+    return out[0]

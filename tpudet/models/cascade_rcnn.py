@@ -102,9 +102,7 @@ class CascadeRCNN(FasterRCNN):
         """Pool the stage's boxes and run its head: [B, K, 4] ->
         (cls_logits [B, K, C+1], deltas [B, K, 1, 4])."""
         b, k = boxes.shape[:2]
-        pooled = jax.vmap(
-            functools.partial(self._pool_single, training=training)
-        )(feats, boxes)
+        pooled = self._pool_batch(feats, boxes, training=training)
         pooled_flat = pooled.reshape((b * k,) + pooled.shape[2:])
         cls_logits, deltas = self.core.apply(
             variables, pooled_flat, method=DetectorCore.roi_head, stage=stage

@@ -474,6 +474,41 @@ class FasterRCNN:
             )
         return roi_align_mxu(feat, fboxes, s, roi.sampling_ratio)
 
+    def _pool_batch(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray,
+                    training: bool = False, out_size: int | None = None):
+        """Batch-level C12 pooling: feats ``[B, H, W, C]`` per level, rois
+        ``[B, N, 4]`` → ``[B, N, s, s, C]``.
+
+        When the windowed Pallas pooler is eligible (FPN inference on a TPU
+        lowering), pools ALL ``B*N`` RoIs in ONE ``pallas_call`` — a
+        ``jax.vmap`` over the per-image kernel lowers to a per-image
+        ``while`` loop instead (scalar-prefetch operands can't join the
+        grid), measured at 2.2 ms/step of scaffolding plus a pipeline drain
+        per image in the b=32 COCO trace (KERNELS.md round-3). Everything
+        else keeps the vmapped per-image path."""
+        roi = self.cfg.roi
+        if (self.cfg.backbone.use_fpn and roi.pooler == "roi_align_window"
+                and not training and self.cfg.use_pallas
+                and kernels.on_tpu_lowering()):
+            from tpudet.kernels.roi_align_window import (
+                roi_align_window_pallas_batched,
+            )
+
+            k = jax.vmap(
+                functools.partial(fpn_assign_levels, fit_window=roi.window)
+            )(rois)
+            return roi_align_window_pallas_batched(
+                [feats[f"p{l}"] for l in (2, 3, 4, 5)],
+                (4.0, 8.0, 16.0, 32.0), rois, k - 2,
+                out_size or roi.output_size, roi.sampling_ratio,
+                window=roi.window,
+            )
+        return jax.vmap(
+            functools.partial(
+                self._pool_single, training=training, out_size=out_size
+            )
+        )(feats, rois)
+
     def _pool_single(self, feats: Dict[str, jnp.ndarray], rois: jnp.ndarray,
                      training: bool = False, out_size: int | None = None):
         """Chunked wrapper over :meth:`_pool_single_impl` — bounds the
@@ -919,7 +954,7 @@ class FasterRCNN:
                 "num_detections": jnp.sum(prop_valid[:, :d], axis=1).astype(jnp.int32),
             }
         b, r = prop_boxes.shape[:2]
-        pooled = jax.vmap(self._pool_single)(feats, prop_boxes)
+        pooled = self._pool_batch(feats, prop_boxes)
         pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])
         cls_logits, det_deltas = self.core.apply(
             variables, pooled_flat, method=DetectorCore.roi_head

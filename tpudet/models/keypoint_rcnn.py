@@ -128,9 +128,7 @@ class KeypointRCNN(FasterRCNN):
         k = self.cfg.keypoint
         boxes = out["boxes"]
         b, d = boxes.shape[:2]
-        pooled = jax.vmap(
-            functools.partial(self._pool_single, out_size=k.roi_output_size)
-        )(feats, boxes)
+        pooled = self._pool_batch(feats, boxes, out_size=k.roi_output_size)
         pooled_flat = pooled.reshape((b * d,) + pooled.shape[2:])
         logits = self.core.apply(
             variables, pooled_flat, method=DetectorCore.keypoints

@@ -109,9 +109,7 @@ class MaskRCNN(FasterRCNN):
         m = self.cfg.mask
         boxes, classes = out["boxes"], out["classes"]
         b, d = boxes.shape[:2]
-        pooled = jax.vmap(
-            functools.partial(self._pool_single, out_size=m.roi_output_size)
-        )(feats, boxes)
+        pooled = self._pool_batch(feats, boxes, out_size=m.roi_output_size)
         pooled_flat = pooled.reshape((b * d,) + pooled.shape[2:])
         from tpudet.models.faster_rcnn import DetectorCore
 

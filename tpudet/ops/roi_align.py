@@ -677,3 +677,58 @@ def window_pool_params_nopack(
         [start_y, scale_y, sizes_y, start_x, scale_x, sizes_x], axis=-1
     ).astype(jnp.float32)
     return padded, params, oy, ox
+
+
+def window_pool_params_nopack_batched(
+    features, strides, boxes, levels, output_size, sampling_ratio,
+    aligned, window,
+):
+    """Batch-flattened :func:`window_pool_params_nopack`: features
+    ``[B, H_l, W_l, C]`` per level, boxes ``[B, N, 4]``, levels ``[B, N]``.
+    Every per-RoI quantity is elementwise in the RoI, so the batch axis
+    flattens into the RoI axis and the single-image ``_window_axis_params``
+    math (and its in-bounds proof) applies verbatim; only the feature pads
+    move to dims 1–2. Feeds the batched Pallas kernel, whose grid covers
+    all ``B*N`` RoIs in ONE call — a vmap of the single-image kernel would
+    lower to a per-image ``while`` loop (measured 2.2 ms/step of loop
+    scaffolding + a pipeline drain per image at b=32 COCO).
+
+    Returns (padded batched features, params ``[B*N, 6]`` f32,
+    oy ``[B*N]`` int32, ox ``[B*N]`` int32)."""
+    if window % 8:
+        raise ValueError(f"window must be a multiple of 8, got {window}")
+    s, r = output_size, sampling_ratio
+    offset = 0.5 if aligned else 0.0
+    padded = []
+    for f in features:
+        hp = max(f.shape[1], window)
+        wp = max(-(-f.shape[2] // 8) * 8, window)
+        if (hp, wp) != f.shape[1:3]:
+            f = jnp.pad(
+                f,
+                ((0, 0), (0, hp - f.shape[1]), (0, wp - f.shape[2]), (0, 0)),
+            )
+        padded.append(f)
+    b, n = boxes.shape[:2]
+    flat_boxes = boxes.reshape(b * n, 4)
+    flat_levels = levels.reshape(b * n)
+    h_arr = jnp.asarray([f.shape[1] for f in features], boxes.dtype)
+    w_arr = jnp.asarray([f.shape[2] for f in features], boxes.dtype)
+    max_oy = jnp.asarray([p.shape[1] - window for p in padded], boxes.dtype)
+    max_ox = jnp.asarray([p.shape[2] - window for p in padded], boxes.dtype)
+    st = jnp.asarray(strides, boxes.dtype)[flat_levels][:, None]
+    fboxes = flat_boxes / st
+    sizes_y = h_arr[flat_levels]
+    sizes_x = w_arr[flat_levels]
+    start_y, scale_y, oy = _window_axis_params(
+        fboxes[:, (1, 3)], sizes_y, s, r, offset,
+        max_origin=max_oy[flat_levels],
+    )
+    start_x, scale_x, ox = _window_axis_params(
+        fboxes[:, (0, 2)], sizes_x, s, r, offset,
+        max_origin=max_ox[flat_levels], align=8,
+    )
+    params = jnp.stack(
+        [start_y, scale_y, sizes_y, start_x, scale_x, sizes_x], axis=-1
+    ).astype(jnp.float32)
+    return padded, params, oy, ox
