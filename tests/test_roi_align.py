@@ -249,6 +249,15 @@ def test_roi_align_window_pallas_batched_matches_per_image(rng):
         ))
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
+    # RoI chunking (the SMEM budget for the [4/6, N] scalar operands caps
+    # each pallas_call at rois_per_chunk RoIs): forcing 3 chunks of <=8
+    # over the same 15 RoIs must be bit-identical to the single-call path.
+    chunked = np.asarray(roi_align_window_pallas_batched(
+        feats_b, strides, rois_b, levels_b, 7, 2, window=window,
+        interpret=True, rois_per_chunk=8,
+    ))
+    np.testing.assert_array_equal(chunked, got)
+
 
 @pytest.mark.parametrize("window", [24, 32, 56])
 def test_roi_align_window_fuzz(rng, window):
@@ -334,6 +343,63 @@ def test_roi_align_window_train_vjp(rng):
     # Boxes get an exactly-zero cotangent on the custom-VJP path
     # (proposals are stop_gradient'ed upstream in training).
     np.testing.assert_array_equal(np.asarray(gw_b), 0.0)
+
+
+def test_roi_align_window_train_batched_vjp(rng):
+    """roi_align_window_train_batched (ONE Pallas grid over B*N RoIs
+    forward, batched masked-sum-transpose backward) == the per-image
+    roi_align_window_train under vmap: same values, same feature grads,
+    exactly-zero box grads."""
+    from tpudet.ops.roi_align import (
+        roi_align_window_train,
+        roi_align_window_train_batched,
+    )
+
+    b, n = 2, 9
+    window = 24
+    all_feats, all_rois = [], []
+    for _ in range(b):
+        feats, strides = _pyramid(rng)
+        xy1 = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+        wh = rng.uniform(8, 250, (n, 2)).astype(np.float32)
+        rois = np.concatenate([xy1, np.minimum(xy1 + wh, 330.0)], -1)
+        all_feats.append(feats)
+        all_rois.append(rois.astype(np.float32))
+    all_rois[1][0] = [0.0, 0.0, 3.0, 200.0]
+    all_rois[1][1] = [0.0, 0.0, 208.0, 330.0]
+    feats_b = tuple(
+        jnp.stack([f[l] for f in all_feats]) for l in range(len(all_feats[0]))
+    )
+    rois_b = jnp.asarray(np.stack(all_rois))
+    c = feats_b[0].shape[-1]
+    cot = jnp.asarray(rng.standard_normal((b, n, 7, 7, c)).astype(np.float32))
+
+    def loss_batched(feats_t, rois_t):
+        out = roi_align_window_train_batched(
+            feats_t, strides, rois_t, 7, 2, window=window, interpret=True
+        )
+        return jnp.sum(out * cot)
+
+    def loss_vmapped(feats_t, rois_t):
+        out = jax.vmap(
+            lambda fs, rs: roi_align_window_train(
+                fs, strides, rs, 7, 2, window=window, interpret=True
+            )
+        )(feats_t, rois_t)
+        return jnp.sum(out * cot)
+
+    np.testing.assert_allclose(
+        float(loss_batched(feats_b, rois_b)),
+        float(loss_vmapped(feats_b, rois_b)),
+        rtol=1e-4, atol=1e-3,
+    )
+    gb_f, gb_b = jax.grad(loss_batched, argnums=(0, 1))(feats_b, rois_b)
+    gv_f, _ = jax.grad(loss_vmapped, argnums=(0, 1))(feats_b, rois_b)
+    for a, bb in zip(gb_f, gv_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_array_equal(np.asarray(gb_b), 0.0)
 
 
 def test_fpn_assign_levels_fit_bumping(rng):

@@ -80,13 +80,13 @@ def _expansion_constants(window: int, dtype):
 
 def _axis_weights(params_ref, j, col, origin, s, r, window, dtype):
     """One RoI's [s, window] folded bin-weight rows, built on the VPU from
-    the three sample-line scalars at ``params_ref[j, col:col+3]`` — the
+    the three sample-line scalars at ``params_ref[col:col+3, j]`` — the
     exact op-order of ``ops.roi_align._window_axis_weights``'s dense build
     (sample position -> validity -> clip -> hat weight -> mean over r), so
     the two builders agree to ulps."""
-    start = params_ref[j, col]
-    scale = params_ref[j, col + 1]
-    size = params_ref[j, col + 2]
+    start = params_ref[col, j]
+    scale = params_ref[col + 1, j]
+    size = params_ref[col + 2, j]
     # int32 iota + cast: Mosaic's tpu.iota verifier rejects float results
     # (caught on the real chip; interpret mode never verifies Mosaic ops).
     bins = jax.lax.broadcasted_iota(jnp.int32, (s, window), 0).astype(
@@ -116,8 +116,8 @@ def _kernel(
     c: int,
     *refs,
 ):
-    (origins_ref,   # SMEM [N_pad, 4] int32 (oy, ox, level, image) — prefetch
-     params_ref,    # SMEM [N_pad, 6] f32 (start, scale, size) per axis
+    (origins_ref,   # SMEM [4, N_pad] int32 (oy, ox, level, image) — prefetch
+     params_ref,    # SMEM [6, N_pad] f32 (start, scale, size) per axis
      e_ref,         # VMEM [window, window*window] constant
      t_ref,         # VMEM [window, window*window] constant
      *rest) = refs
@@ -134,11 +134,11 @@ def _kernel(
     def tile_copy(fref, slot, j):
         # x origins are 8-aligned by window_pool_setup_nopack; Mosaic needs
         # the divisibility asserted to slice the (8, 128)-tiled HBM memref.
-        ox = pl.multiple_of(origins_ref[j, 1], 8)
+        ox = pl.multiple_of(origins_ref[1, j], 8)
         return pltpu.make_async_copy(
             fref.at[
-                origins_ref[j, 3],
-                pl.ds(origins_ref[j, 0], window),
+                origins_ref[3, j],
+                pl.ds(origins_ref[0, j], window),
                 pl.ds(ox, window),
                 :,
             ],
@@ -148,7 +148,7 @@ def _kernel(
 
     def tile_start(slot, step, k):
         j = step * kk + k
-        lvl = origins_ref[j, 2]
+        lvl = origins_ref[2, j]
         for l, fref in enumerate(level_refs):
             @pl.when(lvl == l)
             def _():
@@ -175,11 +175,11 @@ def _kernel(
             # engine is moving the NEXT step's tiles meanwhile) — [s, window]
             # per axis from six SMEM scalars instead of two HBM operands.
             wy = _axis_weights(
-                params_ref, j, 0, origins_ref[j, 0], s, r, window,
+                params_ref, j, 0, origins_ref[0, j], s, r, window,
                 out_ref.dtype,
             )
             wx = _axis_weights(
-                params_ref, j, 3, origins_ref[j, 1], s, r, window,
+                params_ref, j, 3, origins_ref[1, j], s, r, window,
                 out_ref.dtype,
             )
             # f32 inputs get full-precision MXU passes to match the XLA
@@ -228,6 +228,7 @@ def roi_align_window_pallas_batched(
     window: int = 48,
     rois_per_step: int = 4,
     interpret: bool = False,
+    rois_per_chunk: int = 8192,
 ) -> jnp.ndarray:
     """Batched windowed pooler: features ``[B, H_l, W_l, C]`` per level,
     boxes ``[B, N, 4]``, levels ``[B, N]`` (0-based, from
@@ -239,7 +240,18 @@ def roi_align_window_pallas_batched(
     single-image kernel instead lowers to a per-image ``while`` loop
     (scalar-prefetch operands can't be batched into the grid), costing
     ~2.2 ms/step of loop scaffolding plus a double-buffer pipeline drain
-    at every image boundary (b=32 COCO trace, KERNELS.md round-3 entry)."""
+    at every image boundary (b=32 COCO trace, KERNELS.md round-3 entry).
+
+    SMEM layout: the per-RoI scalars ride SMEM TRANSPOSED — origins
+    ``[4, N]`` int32, params ``[6, N]`` f32 — because SMEM pads the MINOR
+    dim to 128 lanes: a ``[N, 4]`` layout costs 512 B/RoI and blew the
+    1 MB SMEM at N=4800 on the chip (mask-head pooling, b=16 x 300 dets:
+    2.4 MB requested — q8a/q8b in the round-3 measurement log); ``[4, N]``
+    costs ~40 B/RoI total. The grid is additionally CHUNKED over RoIs so
+    the largest producers (b=32 x 1000 proposals = 32k RoIs, ~1.25 MB of
+    scalars) stay under budget: each chunk is its own ``pallas_call`` over
+    ``rois_per_chunk`` RoIs (~320 KB of SMEM), the double-buffer drain at
+    the seam amortized over thousands of RoIs."""
     s = output_size
     c = features[0].shape[-1]
     dtype = features[0].dtype
@@ -265,46 +277,60 @@ def roi_align_window_pallas_batched(
         )
         img = jnp.concatenate([img, jnp.zeros((pad,), img.dtype)])
     n_pad = n + pad
-    n_steps = n_pad // kk
 
     e_const, t_const = _expansion_constants(window, dtype)
     origins = jnp.stack(
-        [oy, ox, flat_levels.astype(jnp.int32), img], axis=-1
-    )  # [N_pad, 4] int32
+        [oy, ox, flat_levels.astype(jnp.int32), img], axis=0
+    )  # [4, N_pad] int32
+    params_t = params.T  # [6, N_pad] f32
 
-    kernel = functools.partial(
-        _kernel, n_steps, kk, len(padded), s, sampling_ratio, window, c
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params [N_pad, 6] f32
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # E
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # T
-        ] + [
-            pl.BlockSpec(memory_space=pl.ANY)       # per-level maps (HBM)
-            for _ in padded
-        ],
-        out_specs=pl.BlockSpec(
-            (kk, s * s, c), lambda i, og: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, kk, window, window, c), dtype),
-            pltpu.VMEM((s * s, window * window), dtype),
-            pltpu.SemaphoreType.DMA((2, kk)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, s * s, c), dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-    )(origins, params, e_const, t_const, *padded)
+    rois_per_chunk = max(kk, rois_per_chunk - rois_per_chunk % kk)
+
+    def one_chunk(origins_c, params_c, n_chunk):
+        n_steps = n_chunk // kk
+        kernel = functools.partial(
+            _kernel, n_steps, kk, len(padded), s, sampling_ratio, window, c
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # params [6, n] f32
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # E
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # T
+            ] + [
+                pl.BlockSpec(memory_space=pl.ANY)       # per-level maps (HBM)
+                for _ in padded
+            ],
+            out_specs=pl.BlockSpec(
+                (kk, s * s, c), lambda i, og: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, kk, window, window, c), dtype),
+                pltpu.VMEM((s * s, window * window), dtype),
+                pltpu.SemaphoreType.DMA((2, kk)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_chunk, s * s, c), dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(origins_c, params_c, e_const, t_const, *padded)
+
+    outs = [
+        one_chunk(
+            origins[:, lo : min(lo + rois_per_chunk, n_pad)],
+            params_t[:, lo : min(lo + rois_per_chunk, n_pad)],
+            min(lo + rois_per_chunk, n_pad) - lo,
+        )
+        for lo in range(0, n_pad, rois_per_chunk)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return out[:n].reshape(b, n_img, s, s, c)
 
 

@@ -488,8 +488,21 @@ class FasterRCNN:
         else keeps the vmapped per-image path."""
         roi = self.cfg.roi
         if (self.cfg.backbone.use_fpn and roi.pooler == "roi_align_window"
-                and not training and self.cfg.use_pallas
-                and kernels.on_tpu_lowering()):
+                and self.cfg.use_pallas and kernels.on_tpu_lowering()):
+            level_feats = [feats[f"p{l}"] for l in (2, 3, 4, 5)]
+            strides = (4.0, 8.0, 16.0, 32.0)
+            if training:
+                # Batched train entry: Pallas windowed forward over the one
+                # flat grid, masked-sum-transpose backward (custom VJP).
+                from tpudet.ops.roi_align import (
+                    roi_align_window_train_batched,
+                )
+
+                return roi_align_window_train_batched(
+                    level_feats, strides, rois,
+                    out_size or roi.output_size, roi.sampling_ratio,
+                    window=roi.window,
+                )
             from tpudet.kernels.roi_align_window import (
                 roi_align_window_pallas_batched,
             )
@@ -498,8 +511,7 @@ class FasterRCNN:
                 functools.partial(fpn_assign_levels, fit_window=roi.window)
             )(rois)
             return roi_align_window_pallas_batched(
-                [feats[f"p{l}"] for l in (2, 3, 4, 5)],
-                (4.0, 8.0, 16.0, 32.0), rois, k - 2,
+                level_feats, strides, rois, k - 2,
                 out_size or roi.output_size, roi.sampling_ratio,
                 window=roi.window,
             )
@@ -796,9 +808,7 @@ class FasterRCNN:
             batch["gt_valid"], roi_keys,
         )
 
-        pooled = jax.vmap(
-            functools.partial(self._pool_single, training=True)
-        )(feats, roi_boxes)
+        pooled = self._pool_batch(feats, roi_boxes, training=True)
         r = roi_boxes.shape[1]
         pooled_flat = pooled.reshape((b * r,) + pooled.shape[2:])
         cls_logits, det_deltas = self.core.apply(

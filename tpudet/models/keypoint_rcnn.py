@@ -105,11 +105,9 @@ class KeypointRCNN(FasterRCNN):
         tgt_idx = jax.lax.stop_gradient(tgt_idx)
         tgt_valid = jax.lax.stop_gradient(tgt_valid)
 
-        pooled = jax.vmap(
-            functools.partial(
-                self._pool_single, training=True, out_size=k.roi_output_size
-            )
-        )(feats, rois)
+        pooled = self._pool_batch(
+            feats, rois, training=True, out_size=k.roi_output_size
+        )
         pooled_flat = pooled.reshape((b * kf,) + pooled.shape[2:])
         logits = self.core.apply(
             variables, pooled_flat, method=DetectorCore.keypoints

@@ -90,11 +90,9 @@ class MaskRCNN(FasterRCNN):
         # constants but the RoI coords feed the resample weights).
         targets = jax.lax.stop_gradient(targets)
 
-        pooled = jax.vmap(
-            functools.partial(
-                self._pool_single, training=True, out_size=m.roi_output_size
-            )
-        )(feats, rois)
+        pooled = self._pool_batch(
+            feats, rois, training=True, out_size=m.roi_output_size
+        )
         pooled_flat = pooled.reshape((b * kf,) + pooled.shape[2:])
         from tpudet.models.faster_rcnn import DetectorCore
 

@@ -573,6 +573,71 @@ def roi_align_window_train(
     return pool(features, boxes)
 
 
+def roi_align_window_train_batched(
+    features,
+    strides,
+    boxes: jnp.ndarray,
+    output_size: int,
+    sampling_ratio: int = 2,
+    aligned: bool = True,
+    window: int = 48,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched :func:`roi_align_window_train`: features ``[B, H_l, W_l, C]``
+    per level, boxes ``[B, N, 4]`` → ``[B, N, s, s, C]``.
+
+    Same custom-VJP structure — Pallas windowed FORWARD, masked-sum-
+    transpose BACKWARD — but the forward is ONE ``pallas_call`` over all
+    ``B*N`` RoIs (a vmap of the per-image custom VJP lowers its forward to
+    a per-image ``while`` loop; the backward einsum transpose batches fine
+    either way and stays a batched XLA program here via one
+    ``linear_transpose`` of the vmapped dense formulation)."""
+    features = tuple(features)
+    strides_t = tuple(float(v) for v in strides)
+    shapes = tuple(jax.ShapeDtypeStruct(f.shape, f.dtype) for f in features)
+    s, r = output_size, sampling_ratio
+
+    def levels_of(b):  # [B, N] 0-based, fit-bumped like the masked sum
+        return jax.vmap(
+            lambda bb: fpn_assign_levels(bb, fit_window=window) - 2
+        )(b)
+
+    def dense_batched(feats, b, lv):
+        def one(fs, bb, lvv):
+            pooled = 0.0
+            for i, (f, st) in enumerate(zip(fs, strides_t)):
+                p = roi_align_mxu(f, bb / st, s, r, aligned)
+                pooled = pooled + p * (lvv == i)[:, None, None, None]
+            return pooled
+
+        return jax.vmap(one)(feats, b, lv)
+
+    @jax.custom_vjp
+    def pool(feats, b):
+        from tpudet.kernels.roi_align_window import (
+            roi_align_window_pallas_batched,
+        )
+
+        return roi_align_window_pallas_batched(
+            feats, strides_t, b, levels_of(b), s, r, aligned, window,
+            interpret=interpret,
+        )
+
+    def pool_fwd(feats, b):
+        return pool(feats, b), b
+
+    def pool_bwd(b, g):
+        lv = levels_of(b)
+        transpose = jax.linear_transpose(
+            lambda feats: dense_batched(feats, b, lv), shapes
+        )
+        (d_feats,) = transpose(g.astype(shapes[0].dtype))
+        return tuple(d_feats), jnp.zeros_like(b)
+
+    pool.defvjp(pool_fwd, pool_bwd)
+    return pool(features, boxes)
+
+
 def window_pool_setup_nopack(
     features, strides, boxes, levels, output_size, sampling_ratio,
     aligned, window,
