@@ -16,6 +16,14 @@
 #   - a step that fails twice with a healthy tunnel is marked .skip and
 #     reported, instead of blocking the queue.
 #
+# Late-round-3 ordering (after the first half of the queue completed and
+# commits e111c0e/0aafb2b changed the pooler): measure the batched windowed
+# kernel first (q3d + the two pooler tier tests at HEAD), then the
+# per-family benchmarks that fill README's hardware table (infer column
+# first — train compiles alone run ~10 min), then accumulation, the
+# cross-host artifact, the new deformable tier test, and finally optional
+# at-HEAD re-runs of tier tests already proven at earlier round-3 commits.
+#
 # SERIALIZE: this runner must be the only TPU client on the machine.
 cd "$(dirname "$0")/.."
 log=${1:-/tmp/tpu_meas_r3.log}
@@ -58,40 +66,53 @@ step() {
 # a shell function does not work; spell the module runner out.
 BM="python -m tpudet.cli.benchmark"
 
+TIER_TESTS="test_roi_align_window_pallas_real_shapes \
+  test_train_step_fpn_windowed_accum test_roi_align_backends_match_on_tpu \
+  test_deformable_detr_step_and_predict_on_tpu"
+RERUN_TESTS="test_predict_flagship_pallas_vs_xla test_train_step_flagship \
+  test_mask_rcnn_step_and_predict_on_tpu \
+  test_cascade_rcnn_step_and_predict_on_tpu \
+  test_keypoint_rcnn_step_and_predict_on_tpu \
+  test_panoptic_fpn_step_and_predict_on_tpu"
+SEEDED="bench q2a q2b q3c tier_test_nms_pallas_real_shapes \
+  tier_test_nms_pallas_presorted_real_shapes \
+  tier_test_nms_pallas_ragged_padded_4507 \
+  tier_test_predict_flagship_pallas_vs_xla tier_test_train_step_flagship \
+  tier_test_mask_rcnn_step_and_predict_on_tpu \
+  tier_test_fcos_step_and_predict_on_tpu \
+  tier_test_cascade_rcnn_step_and_predict_on_tpu \
+  tier_test_keypoint_rcnn_step_and_predict_on_tpu \
+  tier_test_panoptic_fpn_step_and_predict_on_tpu \
+  tier_test_detr_step_and_predict_on_tpu"
+
 run_pending() {
-  # Highest-value first: the round bench artifact, then the queued perf
-  # measurements, then the on-TPU correctness tier, then family benchmarks,
-  # then the cross-host artifact.
-  step bench      0   python bench.py || return 1
-  step q2a        900 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 || return 1
-  step q2b        900 $BM --preset coco_r101_fpn --mode train --batch-size 16 --iters 8 --set roi.pooler=roi_align || return 1
-  step q3         900 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
-  step q3c        700 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 4 --trace-dir /tmp/trace_proposals || return 1
-  for t in test_nms_pallas_real_shapes test_nms_pallas_presorted_real_shapes \
-           test_nms_pallas_ragged_padded_4507 test_roi_align_backends_match_on_tpu \
-           test_roi_align_window_pallas_real_shapes test_predict_flagship_pallas_vs_xla \
-           test_train_step_flagship test_train_step_fpn_windowed_accum \
-           test_mask_rcnn_step_and_predict_on_tpu test_fcos_step_and_predict_on_tpu \
-           test_cascade_rcnn_step_and_predict_on_tpu test_keypoint_rcnn_step_and_predict_on_tpu \
-           test_panoptic_fpn_step_and_predict_on_tpu test_detr_step_and_predict_on_tpu; do
+  # 1. Batched windowed pooler at HEAD: the headline measurement (the
+  #    trace bounded the win at ~2.2 ms scaffolding + pipeline drains)
+  #    plus the two pooler tier tests re-proven after the SMEM relayout.
+  step q3d        700 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 || return 1
+  for t in $TIER_TESTS; do
     step "tier_$t" 800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
   done
+  # 2. Per-family hardware table (VERDICT r2 item #2): infer column first.
   step q7a        700 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q7b        900 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q8a        700 $BM --preset coco_maskrcnn_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q8b        900 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q9a        700 $BM --preset coco_fcos_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step q9b        900 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q10a       700 $BM --preset coco_cascade_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q10b       900 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q11a       700 $BM --preset coco_keypoint_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q11b       900 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q12a       700 $BM --preset coco_panoptic_r50_fpn --mode infer --batch-size 16 --iters 10 || return 1
-  step q12b       900 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q13a       700 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
-  step q13b       900 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q14a       900 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  # 3. Train column.
+  step q7b        900 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8b        900 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9b        900 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q10b       900 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q11b       900 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q12b       900 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q13b       900 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q14b      1100 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  # 4. Remaining round-2 queue: accumulation, cross-host artifact.
+  step q3         900 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
   step q6export   300 env TPUDET_PLATFORM=cpu python -c "
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
@@ -110,25 +131,34 @@ m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
 dets = m.detect([np.zeros((100, 120, 3), np.uint8)])
 print('cross-host artifact ran on TPU:', type(dets), len(dets))
 " || return 1
+  # 5. Optional at-HEAD re-runs of tier tests already proven at round-3
+  #    commits 75572e5/edad312/e111c0e (TPU_PROVENANCE.jsonl) — these
+  #    refresh the pooler-adjacent families after the SMEM relayout.
+  for t in $RERUN_TESTS; do
+    step "rr_$t" 800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
+  done
   return 0
 }
 
 all_done() {
-  # done when every id has a marker (done or skip)
   local pending=0
-  for id in bench q2a q2b q3 q3c q7a q7b q8a q8b q9a q9b q10a q10b q11a q11b \
-            q12a q12b q13a q13b q14a q14b q6export q6run \
-            tier_test_nms_pallas_real_shapes tier_test_nms_pallas_presorted_real_shapes \
-            tier_test_nms_pallas_ragged_padded_4507 tier_test_roi_align_backends_match_on_tpu \
-            tier_test_roi_align_window_pallas_real_shapes tier_test_predict_flagship_pallas_vs_xla \
-            tier_test_train_step_flagship tier_test_train_step_fpn_windowed_accum \
-            tier_test_mask_rcnn_step_and_predict_on_tpu tier_test_fcos_step_and_predict_on_tpu \
-            tier_test_cascade_rcnn_step_and_predict_on_tpu tier_test_keypoint_rcnn_step_and_predict_on_tpu \
-            tier_test_panoptic_fpn_step_and_predict_on_tpu tier_test_detr_step_and_predict_on_tpu; do
+  for id in q3d q7a q8a q9a q10a q11a q12a q13a q14a \
+            q7b q8b q9b q10b q11b q12b q13b q14b q3 q6export q6run; do
     [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || pending=$((pending + 1))
+  done
+  for t in $TIER_TESTS; do
+    [ -e "$D/tier_$t" ] || [ -e "$D/tier_$t.skip" ] || pending=$((pending + 1))
+  done
+  for t in $RERUN_TESTS; do
+    [ -e "$D/rr_$t" ] || [ -e "$D/rr_$t.skip" ] || pending=$((pending + 1))
   done
   [ "$pending" -eq 0 ]
 }
+
+# Seed markers for steps whose results are already recorded in KERNELS.md /
+# TPU_PROVENANCE.jsonl from earlier round-3 sessions (the /tmp markers do
+# not survive machine restarts; the recorded numbers do).
+for id in $SEEDED; do touch "$D/$id"; done
 
 for attempt in $(seq 1 60); do
   if all_done; then
