@@ -55,8 +55,23 @@ if TPU_MODE:
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(_PROV_PATH),
         ).stdout.strip() or None
+        # Dirty-tree flag (round-3 advisor): a provenance entry taken from
+        # an uncommitted working tree must be distinguishable — otherwise
+        # the log can cite commits that don't contain the code that ran.
+        # The provenance logs themselves append mid-session; their own
+        # dirtiness says nothing about the code.
+        _status = _sp.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(_PROV_PATH),
+        ).stdout
+        _DIRTY = any(
+            not line.rstrip().endswith("PROVENANCE.jsonl")
+            for line in _status.splitlines() if line.strip()
+        )
     except Exception:  # noqa: BLE001
         _COMMIT = None
+        _DIRTY = None
 
     def pytest_runtest_logreport(report):
         if report.when != "call":
@@ -65,6 +80,7 @@ if TPU_MODE:
             "test": report.nodeid,
             "outcome": report.outcome,
             "commit": _COMMIT,
+            "dirty": _DIRTY,
             "date": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
             "duration_s": round(report.duration, 1),
         }
