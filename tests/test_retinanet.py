@@ -133,6 +133,56 @@ def test_predict_recovers_planted_box():
     assert float(scores[0]) > 0.99
 
 
+def test_prefilter_matches_exact_selection():
+    """The class-max prefilter (RetinaNetConfig.prefilter — the fix for the
+    82.65 img/s/chip flattened-selection pathology, KERNELS.md) must yield
+    the SAME candidates as the paper-exact flattened top-k whenever the
+    containment property holds: on continuous random logits the selected
+    (value, anchor, class) triples are identical, so every downstream array
+    (decode, clip, NMS) is bit-identical. P3 here has 1536 anchors vs
+    pre_nms_topk=64, so the prefilter branch genuinely runs."""
+    cfg = tiny_retinanet_config()
+    m = RetinaNet(cfg)
+    anchors = m.anchor_boxes()
+    sizes = m.anchor_level_sizes()
+    assert sizes[0] > cfg.retinanet.pre_nms_topk  # branch actually taken
+    n = anchors.shape[0]
+    c = cfg.data.num_classes
+    rng = np.random.RandomState(7)
+    cls_logits = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    deltas = jnp.asarray(0.1 * rng.randn(n, 4).astype(np.float32))
+    image_hw = jnp.array([128.0, 128.0])
+
+    outs = {}
+    for mode in ("on", "off"):
+        mm = RetinaNet(cfg.replace(
+            retinanet=dataclasses.replace(cfg.retinanet, prefilter=mode)
+        ))
+        outs[mode] = mm._predict_single(
+            anchors, sizes, cls_logits, deltas, image_hw
+        )
+    for a, b, name in zip(outs["on"], outs["off"],
+                          ("boxes", "scores", "classes", "valid")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
+def test_eval_referee_pins_prefilter_off():
+    """The parity referee runs the paper-exact selection: 'auto' is pinned
+    to 'off' by the eval CLI's referee_config; an explicit 'on' survives
+    (the opt-in for throughput-oriented eval)."""
+    from tpudet.cli.eval import referee_config
+
+    cfg = tiny_retinanet_config()
+    assert cfg.retinanet.prefilter == "auto"  # default is the fast path
+    assert referee_config(cfg).retinanet.prefilter == "off"
+    pinned_on = referee_config(cfg.replace(
+        retinanet=dataclasses.replace(cfg.retinanet, prefilter="on")
+    ))
+    assert pinned_on.retinanet.prefilter == "on"
+
+
 @pytest.mark.slow
 def test_loss_decreases_and_trains():
     """Short-horizon training signal through the shared trainer: total loss

@@ -437,6 +437,62 @@ def test_fcos_step_and_predict_on_tpu():
     assert np.isfinite(out["boxes"]).all()
 
 
+def test_retinanet_step_and_predict_on_tpu():
+    """Single-stage anchor family on the real chip: focal loss over ALL
+    anchors, shared towers, and the postprocess in BOTH selection
+    formulations — the class-max prefilter (the fix for the 82.65
+    img/s/chip flattened-selection pathology, KERNELS.md) and the
+    paper-exact flattened top-k — which must agree on the chip's own
+    arithmetic, not just in interpret mode (P3 at 512 px = 36.9k anchors
+    per level vs pre_nms_topk=1000, so the prefilter branch really runs)."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import build_model
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = preset_config("coco_retinanet_r50")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", num_classes=8, aspect_buckets=(),
+            canvas_height=512, canvas_width=512,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, num_data_shards=1, bf16=True
+        ),
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+
+    from tpudet.data import DataLoader, SyntheticDataset
+    from tpudet.data.preprocess import device_preprocess
+
+    ds = SyntheticDataset(num_classes=8, num_examples=2, image_size=500)
+    loader = DataLoader(cfg, ds, 2, shuffle=False, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    batch = device_preprocess(
+        cfg, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+
+    step = make_train_step(model, cfg)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+    assert metrics["num_pos_anchors"] > 0
+
+    out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
+    assert out["boxes"].shape == (2, cfg.retinanet.max_detections, 4)
+    assert np.isfinite(out["boxes"]).all()
+
+    exact = build_model(cfg.replace(
+        retinanet=dataclasses.replace(cfg.retinanet, prefilter="off")
+    ))
+    out_exact = jax.device_get(jax.jit(exact.predict)(state.variables, batch))
+    for key in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(out[key], out_exact[key], err_msg=key)
+
+
 def test_cascade_rcnn_step_and_predict_on_tpu():
     """Cascade family on the real chip: three pooling+head rounds (two in
     predict's chain before the final), stage re-labeling, and the shared

@@ -363,6 +363,39 @@ def evaluate(cfg, model, variables, dataset, batch_size=8, max_images=-1,
     return summary
 
 
+def referee_config(cfg):
+    """The evaluator is the parity referee: pin every throughput-oriented
+    approximation back to the protocol-exact formulation.
+
+    - ``roi.max_nms_candidates`` sentinel 0 → -1: ALL P*C (box, class)
+      candidates enter the final per-class NMS, like the reference's
+      dynamic-shape postprocess (``--set roi.max_nms_candidates=1024``
+      restores the serving cap here).
+    - ``rpn.topk_method="approx"`` never runs under the referee; "blocked"
+      is exempt — bit-identical to ``lax.top_k`` incl. tie order
+      (tpudet/ops/selection.py).
+    - RetinaNet's class-max prefilter is exact up to a tie-containment
+      caveat (RetinaNetConfig.prefilter): "auto" → "off" so the referee
+      runs the paper's flattened selection; an explicit "on" survives.
+    """
+    import dataclasses
+
+    if cfg.roi.max_nms_candidates == 0:
+        cfg = cfg.replace(
+            roi=dataclasses.replace(cfg.roi, max_nms_candidates=-1)
+        )
+    if cfg.rpn.topk_method not in ("exact", "blocked"):
+        print("eval: forcing rpn.topk_method=exact (parity referee)")
+        cfg = cfg.replace(
+            rpn=dataclasses.replace(cfg.rpn, topk_method="exact")
+        )
+    if cfg.model == "retinanet" and cfg.retinanet.prefilter == "auto":
+        cfg = cfg.replace(
+            retinanet=dataclasses.replace(cfg.retinanet, prefilter="off")
+        )
+    return cfg
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
@@ -387,30 +420,7 @@ def main(argv=None):
                    help="test-time augmentation: also predict on each "
                         "mirrored image and merge the candidates (~2x cost)")
     args = p.parse_args(argv)
-    cfg = config_from_args(args)
-
-    # The evaluator is the parity referee: postprocessing must be
-    # protocol-exact by default — ALL P*C (box, class) candidates enter the
-    # final per-class NMS, like the reference's dynamic-shape postprocess.
-    # The throughput-oriented candidate cap stays available for serving
-    # (--set roi.max_nms_candidates=1024 restores it here).
-    if cfg.roi.max_nms_candidates == 0:
-        import dataclasses
-
-        cfg = cfg.replace(
-            roi=dataclasses.replace(cfg.roi, max_nms_candidates=-1)
-        )
-    # Same principle for pre-NMS top-k: the approximate serving selection
-    # (rpn.topk_method="approx") never runs under the referee. "blocked" is
-    # exempt: it is bit-identical to lax.top_k (tie order included — see
-    # tpudet/ops/selection.py), so forcing it off would change nothing.
-    if cfg.rpn.topk_method not in ("exact", "blocked"):
-        import dataclasses
-
-        print("eval: forcing rpn.topk_method=exact (parity referee)")
-        cfg = cfg.replace(
-            rpn=dataclasses.replace(cfg.rpn, topk_method="exact")
-        )
+    cfg = referee_config(config_from_args(args))
 
     model = build_model(cfg)
     state = create_train_state(model, cfg.train, jax.random.key(0))

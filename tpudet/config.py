@@ -275,6 +275,16 @@ class ROIConfig:
     # max(canvas_h, canvas_w)/32 <= window - 12 so every RoI fits a tile at
     # p5 (checked at model build); 56 covers the 1344-px COCO canvases.
     window: int = 56
+    # Windowed-pooler batching formulation (pooler="roi_align_window" on a
+    # TPU lowering only). True = ONE pallas_call whose grid covers all B*N
+    # RoIs (image index rides the scalar-prefetched origins); False = vmap
+    # over the per-image kernel, which lowers to a per-image while loop
+    # around a B=1 grid. Round-3 predicted the batched grid saves ~2.2 ms
+    # of loop scaffolding/step, but the only at-HEAD chip measurement
+    # (coco_r101_fpn b=32) REGRESSED 258.0 -> 243.22 img/s/chip — this
+    # knob exists for the round-4 same-session A/B; the loser stays
+    # available but non-default (KERNELS.md "Batched windowed pooler").
+    window_batched: bool = True
     # Pool RoIs in sequential chunks of this size (lax.map) to bound the
     # gather workspace: peak memory ~ B * chunk * (S*ratio)^2 * C instead of
     # B * R * (...). 0 disables chunking. Applies ONLY to the
@@ -421,6 +431,22 @@ class RetinaNetConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     max_detections: int = 100
+    # Selection formulation for the per-level top-k. The paper's selection
+    # is over the FLATTENED (cell, anchor, class) axis — at P3 on the
+    # 1344-px COCO canvas that is 168*104*9*80 ≈ 12.6M entries per image
+    # (≈20.3M over levels), enormous sort traffic to keep 1000 candidates
+    # (measured 82.65 img/s/chip, 0.44x the flagship target — KERNELS.md
+    # "RetinaNet ... selection pathology"). The prefilter takes one VPU max
+    # over the class axis, top-k over the per-(cell,anchor) maxima (~253k
+    # over levels), gathers only the k survivors' class rows and re-selects
+    # over k*C. Containment: exact unless one cell hosts 2+ of the level's
+    # top-k (anchor, class) pairs AND thereby displaces another cell
+    # entirely — negligible at k=1000 and impossible for the final
+    # detections unless those pairs also survive score_thresh + NMS.
+    #   "auto" — prefilter on; the eval CLI (parity referee) pins it off
+    #   "on"   — prefilter unconditionally
+    #   "off"  — paper-exact flattened selection
+    prefilter: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

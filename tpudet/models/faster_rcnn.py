@@ -479,15 +479,17 @@ class FasterRCNN:
         """Batch-level C12 pooling: feats ``[B, H, W, C]`` per level, rois
         ``[B, N, 4]`` → ``[B, N, s, s, C]``.
 
-        When the windowed Pallas pooler is eligible (FPN inference on a TPU
-        lowering), pools ALL ``B*N`` RoIs in ONE ``pallas_call`` — a
-        ``jax.vmap`` over the per-image kernel lowers to a per-image
-        ``while`` loop instead (scalar-prefetch operands can't join the
-        grid), measured at 2.2 ms/step of scaffolding plus a pipeline drain
-        per image in the b=32 COCO trace (KERNELS.md round-3). Everything
-        else keeps the vmapped per-image path."""
+        When the windowed Pallas pooler is eligible (FPN on a TPU lowering)
+        AND ``roi.window_batched`` is set, pools ALL ``B*N`` RoIs in ONE
+        ``pallas_call``; otherwise ``jax.vmap`` over the per-image kernel,
+        which lowers to a per-image ``while`` loop around a B=1 grid. The
+        round-3 trace predicted the single grid saves ~2.2 ms/step of loop
+        scaffolding, but the at-HEAD chip measurement regressed (243.22 vs
+        258.0 img/s/chip) — the knob adjudicates the A/B on hardware
+        (KERNELS.md "Batched windowed pooler")."""
         roi = self.cfg.roi
         if (self.cfg.backbone.use_fpn and roi.pooler == "roi_align_window"
+                and roi.window_batched
                 and self.cfg.use_pallas and kernels.on_tpu_lowering()):
             level_feats = [feats[f"p{l}"] for l in (2, 3, 4, 5)]
             strides = (4.0, 8.0, 16.0, 32.0)
