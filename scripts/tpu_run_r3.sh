@@ -18,11 +18,18 @@
 #
 # Late-round-3 ordering (after the first half of the queue completed and
 # commits e111c0e/0aafb2b changed the pooler): measure the batched windowed
-# kernel first (q3d + the two pooler tier tests at HEAD), then the
-# per-family benchmarks that fill README's hardware table (infer column
-# first — train compiles alone run ~10 min), then accumulation, the
-# cross-host artifact, the new deformable tier test, and finally optional
-# at-HEAD re-runs of tier tests already proven at earlier round-3 commits.
+# kernel first (q3d, then TIER_TESTS — the two pooler tier tests plus the
+# new deformable tier test, all at HEAD), then the per-family benchmarks
+# that fill README's hardware table (infer column first — train compiles
+# alone run ~10 min), then accumulation, the cross-host artifact, and
+# finally optional at-HEAD re-runs of tier tests already proven at earlier
+# round-3 commits.
+#
+# [retired by scripts/tpu_run_r4.sh — kept as the round-3 record. The
+# round-3 SEEDED marker-seeding list was deleted (advisor: none of the
+# seeded ids were consulted by run_pending/all_done, so seeding implied a
+# restart-safety it didn't provide); benchmark VALUES now survive restarts
+# in BENCH_PROVENANCE.jsonl instead.]
 #
 # SERIALIZE: this runner must be the only TPU client on the machine.
 cd "$(dirname "$0")/.."
@@ -74,17 +81,6 @@ RERUN_TESTS="test_predict_flagship_pallas_vs_xla test_train_step_flagship \
   test_cascade_rcnn_step_and_predict_on_tpu \
   test_keypoint_rcnn_step_and_predict_on_tpu \
   test_panoptic_fpn_step_and_predict_on_tpu"
-SEEDED="bench q2a q2b q3c tier_test_nms_pallas_real_shapes \
-  tier_test_nms_pallas_presorted_real_shapes \
-  tier_test_nms_pallas_ragged_padded_4507 \
-  tier_test_predict_flagship_pallas_vs_xla tier_test_train_step_flagship \
-  tier_test_mask_rcnn_step_and_predict_on_tpu \
-  tier_test_fcos_step_and_predict_on_tpu \
-  tier_test_cascade_rcnn_step_and_predict_on_tpu \
-  tier_test_keypoint_rcnn_step_and_predict_on_tpu \
-  tier_test_panoptic_fpn_step_and_predict_on_tpu \
-  tier_test_detr_step_and_predict_on_tpu"
-
 run_pending() {
   # 1. Batched windowed pooler at HEAD: the headline measurement (the
   #    trace bounded the win at ~2.2 ms scaffolding + pipeline drains)
@@ -154,11 +150,6 @@ all_done() {
   done
   [ "$pending" -eq 0 ]
 }
-
-# Seed markers for steps whose results are already recorded in KERNELS.md /
-# TPU_PROVENANCE.jsonl from earlier round-3 sessions (the /tmp markers do
-# not survive machine restarts; the recorded numbers do).
-for id in $SEEDED; do touch "$D/$id"; done
 
 for attempt in $(seq 1 60); do
   if all_done; then

@@ -1,0 +1,166 @@
+#!/bin/bash
+# Round-4 resumable real-chip measurement runner (VERDICT r3 items 1-4).
+#
+# Queue order (== actual execution order; ids referenced from README's
+# hardware table and BENCH_PROVENANCE.jsonl):
+#   1. ab_*    — the batched-vs-vmap windowed-pooler A/B (VERDICT r3 #1):
+#                coco_r101_fpn b=32 infer, interleaved batched/vmap runs,
+#                two of each to bound noise, at ONE committed HEAD.
+#   2. q7pref  — RetinaNet with the class-max prefilter (VERDICT r3 #3;
+#                pre-fix measurement: 82.65 img/s/chip at ac07fa5), plus
+#                the new RetinaNet tier test (prefilter/exact agreement on
+#                the chip's own arithmetic).
+#   3. q13a/q14a — DETR + deformable-DETR inference, timeouts sized to the
+#                observed ~580 s train-compile floor (VERDICT r3 weak #7:
+#                q13a burned both 700 s attempts round 3).
+#   4. q7b-q14b — all eight per-family train benches (README train column).
+#   5. q3/q6*  — flagship b=32 accum-2 train bench; cross-host serving
+#                artifact export (CPU process) then execution (TPU process).
+#   6. rr_*    — at-HEAD re-runs of the pooler-adjacent tier tests (the
+#                r3 rr_ steps never ran before the round closed).
+#
+# Inherited design from scripts/tpu_run_r3.sh: done-markers make every step
+# resumable across tunnel wedges; each step is its own process+timeout; a
+# step failing twice with a healthy tunnel is skipped, not queue-blocking.
+# Differences from r3 (advisor findings): no marker seeding (values now
+# survive restarts in BENCH_PROVENANCE.jsonl, appended by the benchmark CLI
+# itself — seeding /tmp markers from recorded numbers is obsolete), and the
+# header's queue order is the code's order.
+#
+# SERIALIZE: this runner must be the only TPU client on the machine.
+# (CPU-side work is fine: TPUDET_PLATFORM=cpu processes never touch the
+# tunnel — the deformable/panoptic learning proofs run that way alongside.)
+cd "$(dirname "$0")/.."
+log=${1:-/tmp/tpu_meas_r4.log}
+D=/tmp/tpu_r4_done
+mkdir -p "$D"
+
+probe() {
+  timeout 300 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" >> "$log" 2>&1
+}
+
+# step <id> <timeout_s (0 = none)> <cmd...> ; returns 0 if done/ok
+step() {
+  local id=$1 to=$2 rc
+  shift 2
+  [ -e "$D/$id" ] && return 0
+  [ -e "$D/$id.skip" ] && return 0
+  echo "== [$id] $* ($(date -u +%FT%TZ))" | tee -a "$log"
+  if [ "$to" = "0" ]; then
+    "$@" >> "$log" 2>&1
+    rc=$?
+  else
+    timeout "$to" "$@" >> "$log" 2>&1
+    rc=$?
+  fi
+  if [ "$rc" -eq 0 ]; then
+    touch "$D/$id"
+    echo "   [$id] OK ($(date -u +%T))" | tee -a "$log"
+    return 0
+  fi
+  echo "   [$id] FAIL rc=$rc ($(date -u +%T))" | tee -a "$log"
+  echo x >> "$D/$id.fails"
+  if [ "$(wc -l < "$D/$id.fails")" -ge 2 ]; then
+    mv "$D/$id.fails" "$D/$id.skip"
+    echo "   [$id] SKIPPED after 2 failures" | tee -a "$log"
+  fi
+  return 1
+}
+
+# step() hands the command to `timeout`, which needs a real executable —
+# a shell function does not work; spell the module runner out.
+BM="python -m tpudet.cli.benchmark"
+
+RERUN_TESTS="test_roi_align_window_pallas_real_shapes \
+  test_roi_align_backends_match_on_tpu \
+  test_predict_flagship_pallas_vs_xla test_train_step_flagship \
+  test_train_step_fpn_windowed_accum"
+
+run_pending() {
+  # 1. Pooler A/B, interleaved to bound thermal/tunnel drift.
+  step ab_batched1 800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
+  step ab_vmap1    800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
+  step ab_batched2 800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
+  step ab_vmap2    800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
+  # 2. RetinaNet prefilter: measurement + on-chip exactness tier test.
+  step q7pref      800 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step tier_test_retinanet 1100 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_retinanet_step_and_predict_on_tpu" -m tpu -x -q || return 1
+  # 3. The two transformer-family inference benches that timed out / never
+  #    ran in round 3.
+  step q13a       1300 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q14a       1300 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  # 4. Train column (README hardware table).
+  step q7b        1100 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8b        1100 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9b        1100 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q10b       1100 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q11b       1100 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q12b       1100 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q13b       1300 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q14b       1300 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  # 5. Flagship accumulation + cross-host serving artifact.
+  step q3         1100 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
+  step q6export   300 env TPUDET_PLATFORM=cpu python -c "
+from tpudet.config import tiny_test_config
+from tpudet.models import FasterRCNN
+from tpudet.serving.export import save_artifact
+import jax
+cfg = tiny_test_config().replace(use_pallas=True)
+m = FasterRCNN(cfg)
+save_artifact('/tmp/crosshost_tiny.tpudet', cfg, m.init(jax.random.key(0)),
+              batch_size=1, platforms=('tpu',))
+print('exported')
+" || return 1
+  step q6run      700 python -c "
+import numpy as np
+from tpudet.serving import ServingModel
+m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
+dets = m.detect([np.zeros((100, 120, 3), np.uint8)])
+print('cross-host artifact ran on TPU:', type(dets), len(dets))
+" || return 1
+  # 6. At-HEAD tier re-runs (pooler-adjacent; families were proven at
+  #    ac07fa5 and their code is unchanged since).
+  for t in $RERUN_TESTS; do
+    step "rr_$t" 900 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
+  done
+  return 0
+}
+
+all_done() {
+  local pending=0
+  for id in ab_batched1 ab_vmap1 ab_batched2 ab_vmap2 q7pref \
+            tier_test_retinanet q13a q14a \
+            q7b q8b q9b q10b q11b q12b q13b q14b q3 q6export q6run; do
+    [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || pending=$((pending + 1))
+  done
+  for t in $RERUN_TESTS; do
+    [ -e "$D/rr_$t" ] || [ -e "$D/rr_$t.skip" ] || pending=$((pending + 1))
+  done
+  [ "$pending" -eq 0 ]
+}
+
+for attempt in $(seq 1 60); do
+  if all_done; then
+    echo "ALL STEPS DONE ($(date -u +%FT%TZ))" | tee -a "$log"
+    ls "$D" | tee -a "$log"
+    exit 0
+  fi
+  echo "-- runner pass $attempt: probing tunnel ($(date -u +%FT%TZ))" | tee -a "$log"
+  if probe; then
+    echo "-- tunnel healthy, running pending steps" | tee -a "$log"
+    run_pending && continue
+    # a step failed; probe to distinguish wedge from real failure
+    if probe; then
+      echo "-- tunnel still healthy after failure (real failure, will retry/skip)" | tee -a "$log"
+      sleep 30
+    else
+      echo "-- tunnel wedged after failure; sleeping 300" | tee -a "$log"
+      sleep 300
+    fi
+  else
+    echo "-- tunnel wedged; sleeping 240" | tee -a "$log"
+    sleep 240
+  fi
+done
+echo "RUNNER EXHAUSTED 60 PASSES ($(date -u +%FT%TZ))" | tee -a "$log"
+exit 1
