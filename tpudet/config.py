@@ -279,12 +279,14 @@ class ROIConfig:
     # TPU lowering only). True = ONE pallas_call whose grid covers all B*N
     # RoIs (image index rides the scalar-prefetched origins); False = vmap
     # over the per-image kernel, which lowers to a per-image while loop
-    # around a B=1 grid. Round-3 predicted the batched grid saves ~2.2 ms
-    # of loop scaffolding/step, but the only at-HEAD chip measurement
-    # (coco_r101_fpn b=32) REGRESSED 258.0 -> 243.22 img/s/chip — this
-    # knob exists for the round-4 same-session A/B; the loser stays
-    # available but non-default (KERNELS.md "Batched windowed pooler").
-    window_batched: bool = True
+    # around a B=1 grid. ADJUDICATED round 4 (interleaved same-session A/B
+    # on the chip, coco_r101_fpn b=32 infer): batched 243.43 / 244.40
+    # img/s/chip, vmap 259.13 — the round-3 prediction that one flat grid
+    # saves ~2.2 ms of loop scaffolding was WRONG on hardware (see
+    # KERNELS.md "Batched windowed pooler — adjudicated" for the why); the
+    # per-image formulation is the default and the batched grid stays
+    # gated here with its measurements.
+    window_batched: bool = False
     # Pool RoIs in sequential chunks of this size (lax.map) to bound the
     # gather workspace: peak memory ~ B * chunk * (S*ratio)^2 * C instead of
     # B * R * (...). 0 disables chunking. Applies ONLY to the

@@ -481,12 +481,13 @@ class FasterRCNN:
 
         When the windowed Pallas pooler is eligible (FPN on a TPU lowering)
         AND ``roi.window_batched`` is set, pools ALL ``B*N`` RoIs in ONE
-        ``pallas_call``; otherwise ``jax.vmap`` over the per-image kernel,
-        which lowers to a per-image ``while`` loop around a B=1 grid. The
-        round-3 trace predicted the single grid saves ~2.2 ms/step of loop
-        scaffolding, but the at-HEAD chip measurement regressed (243.22 vs
-        258.0 img/s/chip) — the knob adjudicates the A/B on hardware
-        (KERNELS.md "Batched windowed pooler")."""
+        ``pallas_call``; otherwise (the DEFAULT) ``jax.vmap`` over the
+        per-image kernel, which lowers to a per-image ``while`` loop around
+        a B=1 grid. Adjudicated on the chip round 4: the vmap formulation
+        measured 259.13 img/s/chip vs the batched grid's 243.43/244.40
+        (coco_r101_fpn b=32) — the round-3 "~2.2 ms scaffolding" prediction
+        was wrong on hardware (KERNELS.md "Batched windowed pooler —
+        adjudicated")."""
         roi = self.cfg.roi
         if (self.cfg.backbone.use_fpn and roi.pooler == "roi_align_window"
                 and roi.window_batched
