@@ -35,8 +35,14 @@ log=${1:-/tmp/tpu_meas_r4.log}
 D=/tmp/tpu_r4_done
 mkdir -p "$D"
 
+# PATIENT probe (learned mid-round-4): the tunnel QUEUES RPCs under a
+# wedge and eventually services patient clients (observed: served after
+# ~26 min), while a timeout-killed client mid-RPC deepens the wedge —
+# the r3-style 300 s probe turned a one-step wedge into a 60+ min outage
+# by re-killing its own probes every pass. 3600 s is a dead-tunnel
+# back-stop, not an expectation.
 probe() {
-  timeout 300 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" >> "$log" 2>&1
+  timeout 3600 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" >> "$log" 2>&1
 }
 
 # step <id> <timeout_s (0 = none)> <cmd...> ; returns 0 if done/ok
@@ -78,28 +84,28 @@ RERUN_TESTS="test_roi_align_window_pallas_real_shapes \
 
 run_pending() {
   # 1. Pooler A/B, interleaved to bound thermal/tunnel drift.
-  step ab_batched1 800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
-  step ab_vmap1    800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
-  step ab_batched2 800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
-  step ab_vmap2    800 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
+  step ab_batched1 1500 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
+  step ab_vmap1    1500 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
+  step ab_batched2 1500 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=True || return 1
+  step ab_vmap2    1500 $BM --preset coco_r101_fpn --mode infer --batch-size 32 --iters 10 --set roi.window_batched=False || return 1
   # 2. RetinaNet prefilter: measurement + on-chip exactness tier test.
-  step q7pref      800 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
-  step tier_test_retinanet 1100 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_retinanet_step_and_predict_on_tpu" -m tpu -x -q || return 1
+  step q7pref      1500 $BM --preset coco_retinanet_r50 --mode infer --batch-size 32 --iters 10 || return 1
+  step tier_test_retinanet 1500 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_retinanet_step_and_predict_on_tpu" -m tpu -x -q || return 1
   # 3. The two transformer-family inference benches that timed out / never
   #    ran in round 3.
-  step q13a       1300 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
-  step q14a       1300 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q13a       1800 $BM --preset coco_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
+  step q14a       1800 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 || return 1
   # 4. Train column (README hardware table).
-  step q7b        1100 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q8b        1100 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q9b        1100 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q7b        1500 $BM --preset coco_retinanet_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q8b        1500 $BM --preset coco_maskrcnn_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  step q9b        1500 $BM --preset coco_fcos_r50 --mode train --batch-size 8 --iters 8 || return 1
   step q10b       1100 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q11b       1100 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
   step q12b       1100 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
-  step q13b       1300 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
-  step q14b       1300 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q13b       1800 $BM --preset coco_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
+  step q14b       1800 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 || return 1
   # 5. Flagship accumulation + cross-host serving artifact.
-  step q3         1100 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
+  step q3         1500 $BM --preset coco_r101_fpn --mode train --batch-size 32 --iters 8 --set train.accum_steps=2 || return 1
   step q6export   300 env TPUDET_PLATFORM=cpu python -c "
 from tpudet.config import tiny_test_config
 from tpudet.models import FasterRCNN
@@ -111,7 +117,7 @@ save_artifact('/tmp/crosshost_tiny.tpudet', cfg, m.init(jax.random.key(0)),
               batch_size=1, platforms=('tpu',))
 print('exported')
 " || return 1
-  step q6run      700 python -c "
+  step q6run      1500 python -c "
 import numpy as np
 from tpudet.serving import ServingModel
 m = ServingModel.load('/tmp/crosshost_tiny.tpudet')
@@ -121,7 +127,7 @@ print('cross-host artifact ran on TPU:', type(dets), len(dets))
   # 6. At-HEAD tier re-runs (pooler-adjacent; families were proven at
   #    ac07fa5 and their code is unchanged since).
   for t in $RERUN_TESTS; do
-    step "rr_$t" 900 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
+    step "rr_$t" 1500 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::$t" -m tpu -x -q || return 1
   done
   return 0
 }
