@@ -319,6 +319,14 @@ class ROIConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     max_detections: int = 100
+    # Final-NMS formulation: "hard" (greedy suppression — the reference
+    # protocol) or "soft_linear"/"soft_gaussian" (Soft-NMS, arXiv:1704.04503:
+    # overlapping detections are RESCORED by the decay instead of removed —
+    # an eval/serving accuracy knob, off by default; detections below
+    # score_thresh after decay are dropped). soft_nms_sigma is the gaussian
+    # method's temperature (the paper's default 0.5).
+    nms_method: str = "hard"
+    soft_nms_sigma: float = 0.5
     # Cap on flattened (box, class) candidates entering the final per-class
     # NMS (top-k by score first; static shape). 0 -> the built-in default
     # (1024, the serving/throughput setting); -1 -> EXACT: all P*C
@@ -449,6 +457,10 @@ class RetinaNetConfig:
     #   "on"   — prefilter unconditionally
     #   "off"  — paper-exact flattened selection
     prefilter: str = "auto"
+    # Final-NMS formulation (see ROIConfig.nms_method): "hard" |
+    # "soft_linear" | "soft_gaussian".
+    nms_method: str = "hard"
+    soft_nms_sigma: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -517,6 +529,10 @@ class FCOSConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.6
     max_detections: int = 100
+    # Final-NMS formulation (see ROIConfig.nms_method): "hard" |
+    # "soft_linear" | "soft_gaussian".
+    nms_method: str = "hard"
+    soft_nms_sigma: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,3 +106,43 @@ def batched_nms_dispatch(boxes, scores, class_ids, iou_threshold, max_outputs,
         valid_mask=valid_mask, score_threshold=score_threshold,
         use_pallas=use_pallas,
     )
+
+
+def class_aware_select(boxes, scores, class_ids, iou_threshold, max_outputs,
+                       *, method="hard", sigma=0.5, prune_threshold=0.0,
+                       valid_mask=None, use_pallas=True,
+                       coordinate_offset=4096.0):
+    """Shared tail of every NMS-based family's postprocess: one class-aware
+    selection over flat (box, score, class) candidates.
+
+    ``method``: "hard" (greedy suppression — the reference protocol, via
+    the Pallas/jnp dispatch) or "soft_linear"/"soft_gaussian"
+    (``tpudet.ops.nms.soft_nms`` score decay; jnp only — an accuracy knob,
+    not the throughput path).
+
+    Returns ``(indices [D] int32, out_scores [D], valid [D] bool)`` —
+    out_scores are the ORIGINAL scores for hard and the DECAYED scores for
+    soft, zeroed where invalid, so callers report them directly and gather
+    boxes/classes through ``indices`` either way."""
+    import jax.numpy as jnp
+
+    if method == "hard":
+        keep, valid = batched_nms_dispatch(
+            boxes, scores, class_ids, iou_threshold, max_outputs,
+            valid_mask=valid_mask, use_pallas=use_pallas,
+            coordinate_offset=coordinate_offset,
+        )
+        return keep, jnp.where(valid, scores[keep], 0.0), valid
+    if method not in ("soft_linear", "soft_gaussian"):
+        raise ValueError(
+            f"nms_method must be 'hard', 'soft_linear' or 'soft_gaussian', "
+            f"got {method!r}"
+        )
+    from tpudet.ops.nms import batched_soft_nms
+
+    return batched_soft_nms(
+        boxes, scores, class_ids, iou_threshold, max_outputs,
+        method=method.removeprefix("soft_"), sigma=sigma,
+        valid_mask=valid_mask, prune_threshold=prune_threshold,
+        coordinate_offset=coordinate_offset,
+    )

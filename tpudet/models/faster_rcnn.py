@@ -39,7 +39,11 @@ from tpudet.ops import boxes as box_ops
 from tpudet.ops import anchors as anchor_ops
 from tpudet.ops import selection
 from tpudet import kernels
-from tpudet.kernels import batched_nms_dispatch, nms_dispatch
+from tpudet.kernels import (
+    batched_nms_dispatch,
+    class_aware_select,
+    nms_dispatch,
+)
 from tpudet.ops.matchers import match_boxes
 from tpudet.ops.samplers import sample_balanced
 from tpudet.ops.roi_align import (
@@ -928,15 +932,17 @@ class FasterRCNN:
         cand_classes = flat_classes[cand_idx]
         cand_valid = cand_scores > 0
 
-        keep, valid = batched_nms_dispatch(
+        keep, out_scores, valid = class_aware_select(
             cand_boxes, cand_scores, cand_classes,
             cfg.nms_thresh, cfg.max_detections, valid_mask=cand_valid,
+            method=cfg.nms_method, sigma=cfg.soft_nms_sigma,
+            prune_threshold=cfg.score_thresh,
             use_pallas=self.cfg.use_pallas,
             coordinate_offset=_nms_offset(self.cfg),
         )
         return (
             cand_boxes[keep],
-            jnp.where(valid, cand_scores[keep], 0.0),
+            out_scores,
             jnp.where(valid, cand_classes[keep], 0),
             valid,
         )

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpudet.config import Config
-from tpudet.kernels import batched_nms_dispatch
+from tpudet.kernels import class_aware_select
 from tpudet.models.fpn import RetinaNetFPN
 from tpudet.models.resnet import build_backbone
 from tpudet.ops import anchors as anchor_ops
@@ -384,14 +384,15 @@ class FCOS:
 
         from tpudet.models.faster_rcnn import _nms_offset
 
-        keep, keep_valid = batched_nms_dispatch(
+        keep, out_scores, keep_valid = class_aware_select(
             boxes, scores, classes, f.nms_thresh, f.max_detections,
-            valid_mask=valid, use_pallas=self.cfg.use_pallas,
+            valid_mask=valid, method=f.nms_method, sigma=f.soft_nms_sigma,
+            prune_threshold=f.score_thresh, use_pallas=self.cfg.use_pallas,
             coordinate_offset=_nms_offset(self.cfg),
         )
         return (
             boxes[keep],
-            jnp.where(keep_valid, scores[keep], 0.0),
+            out_scores,
             jnp.where(keep_valid, classes[keep], 0),
             keep_valid,
         )

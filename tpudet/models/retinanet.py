@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpudet.config import Config
-from tpudet.kernels import batched_nms_dispatch
+from tpudet.kernels import class_aware_select
 from tpudet.models.fpn import RetinaNetFPN
 from tpudet.models.resnet import build_backbone
 from tpudet.ops import anchors as anchor_ops
@@ -335,14 +335,15 @@ class RetinaNet:
 
         from tpudet.models.faster_rcnn import _nms_offset
 
-        keep, keep_valid = batched_nms_dispatch(
+        keep, out_scores, keep_valid = class_aware_select(
             boxes, scores, classes, r.nms_thresh, r.max_detections,
-            valid_mask=valid, use_pallas=self.cfg.use_pallas,
+            valid_mask=valid, method=r.nms_method, sigma=r.soft_nms_sigma,
+            prune_threshold=r.score_thresh, use_pallas=self.cfg.use_pallas,
             coordinate_offset=_nms_offset(self.cfg),
         )
         return (
             boxes[keep],
-            jnp.where(keep_valid, scores[keep], 0.0),
+            out_scores,
             jnp.where(keep_valid, classes[keep], 0),
             keep_valid,
         )

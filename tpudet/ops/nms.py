@@ -111,6 +111,98 @@ def coordinate_offset_for(max_coord: float) -> float:
     return out
 
 
+def soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    method: str = "gaussian",
+    sigma: float = 0.5,
+    valid_mask: Optional[jnp.ndarray] = None,
+    prune_threshold: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Bodla et al., arXiv:1704.04503 Alg. 1): instead of
+    removing boxes that overlap an accepted detection, DECAY their scores —
+    ``gaussian``: ``s *= exp(-iou^2 / sigma)`` (the paper's recommended
+    form, threshold-free); ``linear``: ``s *= 1 - iou`` when
+    ``iou > iou_threshold`` (strict ``>``, matching this module's hard-NMS
+    suppression convention).
+
+    TPU formulation: the paper's while-loop becomes a ``lax.scan`` of
+    exactly ``max_outputs`` steps — each step is one VPU argmax over [N] +
+    one vectorized one-vs-many IoU + one multiplicative decay. No dynamic
+    shapes, no N x N IoU matrix, O(D * N) work; this is an accuracy knob
+    for eval/serving (the paper's +1 mAP on COCO), not the throughput
+    path, so there is deliberately no Pallas variant (the hard kernel in
+    ``tpudet.kernels.nms`` covers the hot proposal loop).
+
+    Returns ``(indices [max_outputs] int32, rescored [max_outputs],
+    valid [max_outputs] bool)``. Unlike hard NMS the OUTPUT scores differ
+    from the input scores — callers must report ``rescored``, not a gather
+    of the originals. Picked scores are non-increasing (each pick is the
+    argmax of a sequence that only decays), so the output is score-sorted.
+    A pick is valid iff its decayed score exceeds ``prune_threshold``
+    (callers pass their family's ``score_thresh``); invalid entries point
+    at index 0 with score 0 and form a suffix.
+    """
+    del_score = jnp.float32(NEG_INF)
+    s = scores.astype(jnp.float32)
+    if valid_mask is not None:
+        s = jnp.where(valid_mask, s, del_score)
+
+    def body(s, _):
+        i = jnp.argmax(s)
+        si = s[i]
+        iou = _iou_one_vs_many(boxes[i].astype(jnp.float32),
+                               boxes.astype(jnp.float32))
+        if method == "linear":
+            decay = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        else:
+            decay = jnp.exp(-(iou * iou) / sigma)
+        # Decay live entries only: a dead entry's sentinel times a ~0 decay
+        # would otherwise NaN (NEG_INF * 0).
+        alive = s > del_score / 2
+        s = jnp.where(alive, s * decay, del_score)
+        s = s.at[i].set(del_score)
+        return s, (i.astype(jnp.int32), si)
+
+    _, (idx, picked) = jax.lax.scan(
+        body, s, None, length=max_outputs
+    )
+    valid = picked > prune_threshold
+    return (
+        jnp.where(valid, idx, 0),
+        jnp.where(valid, picked, 0.0),
+        valid,
+    )
+
+
+def batched_soft_nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    method: str = "gaussian",
+    sigma: float = 0.5,
+    valid_mask: Optional[jnp.ndarray] = None,
+    prune_threshold: float = 0.0,
+    coordinate_offset: float = 4096.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-class soft-NMS via the same class-offset trick as
+    :func:`batched_nms`: boxes shifted to disjoint per-class coordinate
+    bands have cross-class IoU exactly 0, so the decay factor is exactly 1
+    for both methods (``1 - 0`` never triggers the linear threshold;
+    ``exp(0) = 1``) — cross-class detections never rescore each other,
+    which is precisely the per-class protocol."""
+    offsets = class_ids.astype(boxes.dtype)[:, None] * coordinate_offset
+    return soft_nms(
+        boxes + offsets, scores, iou_threshold, max_outputs,
+        method=method, sigma=sigma, valid_mask=valid_mask,
+        prune_threshold=prune_threshold,
+    )
+
+
 def batched_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
