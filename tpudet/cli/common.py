@@ -114,6 +114,29 @@ def preset_config(name: str) -> Config:
             roi=ROIConfig(pooler="roi_align_window", window=56),
         )
         return cfg
+    if name == "vitdet_tiny":
+        from tpudet.config import tiny_vitdet_config
+
+        return tiny_vitdet_config()
+    if name == "coco_vitdet_b":
+        # ViTDet-B Faster R-CNN (arXiv:2203.16527 A.2): plain ViT-B/16
+        # backbone, window 14 with 4 evenly-spaced global blocks, simple
+        # feature pyramid p2-p6 — on the shared COCO pipeline (all COCO
+        # bucket dims are multiples of 16). AdamW is the paper's recipe
+        # (lr 1e-4, wd 0.1); the blocked top-k + windowed pooler serving
+        # path is inherited from the FPN preset it derives from.
+        import dataclasses as _dc
+
+        base = preset_config("coco_r101_fpn")
+        return base.replace(
+            backbone=_dc.replace(
+                base.backbone, name="vit_b", freeze_stem=False,
+            ),
+            train=_dc.replace(
+                base.train, optimizer="adamw", learning_rate=1e-4,
+                weight_decay=0.1,
+            ),
+        )
     if name == "coco_maskrcnn_r50_fpn":
         # Mask R-CNN (arXiv:1703.06870 §4.1 canonical: R50-FPN, 14²-pooled
         # mask branch, 4-conv 256ch FCN + deconv to 28² per-class masks):
@@ -301,6 +324,7 @@ def add_common_args(p: argparse.ArgumentParser):
                             "coco_keypoint_r50_fpn", "panoptic_tiny",
                             "coco_panoptic_r50_fpn", "detr_tiny",
                             "coco_detr_r50", "deformable_detr_tiny",
+                            "vitdet_tiny", "coco_vitdet_b",
                             "coco_deformable_detr_r50"])
     p.add_argument("--data-dir", default="", help="dataset root")
     p.add_argument("--dataset", default="",

@@ -157,6 +157,15 @@ class BackboneConfig:
     # trades recompute FLOPs for backbone-activation HBM so larger per-chip
     # training batches fit. Values are unchanged; inference is unaffected.
     remat: bool = False
+    # ViTDet knobs (name in {"vit_s","vit_b","vit_l","vit_tiny"} — Li et
+    # al., arXiv:2203.16527; models/vit.py). Window side for windowed
+    # attention blocks; every k-th block attends globally (depth 12, k=3 ->
+    # the paper's 4 evenly-spaced global blocks); side of the square
+    # positional-embedding parameter grid (resized to the canvas token grid
+    # at trace time, so checkpoints are canvas-independent).
+    vit_window: int = 14
+    vit_global_attn_every: int = 3
+    vit_pos_grid: int = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -780,6 +789,21 @@ def tiny_test_config(
         roi=ROIConfig(fc_dim=64, batch_size_per_image=32, max_detections=20),
         train=TrainConfig(batch_size=2, checkpoint_every=10**9),
         use_pallas=False,
+    )
+
+
+def tiny_vitdet_config(canvas: int = 128, num_classes: int = 3) -> Config:
+    """Small ViTDet config for unit tests / CPU: vit_tiny (dim 32, 2
+    blocks, window 4 with the second block global) + the simple feature
+    pyramid, over the standard tiny two-stage knobs. 128px canvas ->
+    8x8 token grid -> pos_grid 8 (no trace-time resize in the common
+    case; a different canvas exercises the bilinear resize path)."""
+    base = tiny_test_config(canvas=canvas, num_classes=num_classes)
+    return base.replace(
+        backbone=dataclasses.replace(
+            base.backbone, name="vit_tiny", use_fpn=True,
+            vit_window=4, vit_global_attn_every=2, vit_pos_grid=8,
+        ),
     )
 
 

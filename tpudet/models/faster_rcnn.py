@@ -89,12 +89,34 @@ class DetectorCore(nn.Module):
     def setup(self):
         bb = self.cfg.backbone
         dtype = jnp.bfloat16 if bb.dtype == "bfloat16" else jnp.float32
-        self.backbone = build_backbone(
-            bb.name, bb.norm, dtype, bb.freeze_stem, s2d_stem=bb.s2d_stem,
-            remat=bb.remat, stride_in_1x1=bb.stride_in_1x1,
-        )
+        from tpudet.models.vit import VIT_VARIANTS
+
+        is_vit = bb.name in VIT_VARIANTS
+        if is_vit:
+            from tpudet.models.vit import build_vit
+
+            if not bb.use_fpn:
+                raise ValueError(
+                    "ViTDet backbones are defined with the simple feature "
+                    "pyramid (p2-p6): set backbone.use_fpn=True"
+                )
+            self.backbone = build_vit(bb.name, bb, dtype)
+        else:
+            self.backbone = build_backbone(
+                bb.name, bb.norm, dtype, bb.freeze_stem,
+                s2d_stem=bb.s2d_stem, remat=bb.remat,
+                stride_in_1x1=bb.stride_in_1x1,
+            )
         if bb.use_fpn:
-            self.fpn = FPN(dtype=dtype)
+            # ViTDet's pyramid is built from the single stride-16 map
+            # (arXiv:2203.16527: no lateral/top-down pathway); both emit the
+            # same p2-p6/256ch dict, so everything downstream is shared.
+            if is_vit:
+                from tpudet.models.vit import SimpleFeaturePyramid
+
+                self.fpn = SimpleFeaturePyramid(dtype=dtype)
+            else:
+                self.fpn = FPN(dtype=dtype)
             num_anchors = self.cfg.anchors.num_fpn_anchors_per_cell
         else:
             num_anchors = self.cfg.anchors.num_anchors_per_cell

@@ -68,6 +68,29 @@ def _spec_for_path(path: str, leaf) -> P:
             return P("model")
         if path.endswith("fc2/kernel") and leaf.ndim == 2:
             return P("model", None)
+    # ViTDet backbone blocks (models/vit.py): q/k/v are [D, D] Dense layers
+    # whose COLUMN axis reshapes to (heads, head_dim) with heads outermost,
+    # so column-parallel sharding lands on a head boundary whenever 'model'
+    # divides num_heads (vit_b: 12 heads); out is row-parallel (one
+    # all-reduce per block). The block MLP follows the same column->row
+    # pattern under its mlp_fc1/mlp_fc2 names.
+    if "/attn/" in path:
+        if path.endswith("out/kernel") and leaf.ndim == 2:
+            return P("model", None)
+        if leaf.ndim == 2 and any(
+            path.endswith(f"{p}/kernel") for p in ("query", "key", "value")
+        ):
+            return P(None, "model")
+        if leaf.ndim == 1 and any(
+            path.endswith(f"{p}/bias") for p in ("query", "key", "value")
+        ):
+            return P("model")
+    if path.endswith("mlp_fc1/kernel") and leaf.ndim == 2:
+        return P(None, "model")
+    if path.endswith("mlp_fc1/bias") and leaf.ndim == 1:
+        return P("model")
+    if path.endswith("mlp_fc2/kernel") and leaf.ndim == 2:
+        return P("model", None)
     return P()
 
 
