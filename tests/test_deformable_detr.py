@@ -87,6 +87,34 @@ def test_ms_deform_attn_matches_numpy_oracle():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_ms_deform_attn_batched_matches_vmap():
+    """The whole-batch flat-gather formulation (the fix for the b=16
+    real-chip OOM: batched gathers one-hot-expand on TPU) computes exactly
+    what vmap(ms_deform_attn) computes, including when the query axis is
+    chunked (query_chunk < Q forces the padded lax.map path)."""
+    from tpudet.ops.deform_attn import ms_deform_attn_batched
+
+    rng = np.random.RandomState(1)
+    level_shapes = ((6, 8), (3, 4))
+    n = sum(h * w for h, w in level_shapes)
+    b, q, heads, p, d = 3, 13, 2, 4, 5
+    values = rng.randn(b, n, heads, d).astype(np.float32)
+    locations = rng.uniform(
+        -0.2, 1.2, size=(b, q, heads, len(level_shapes), p, 2)
+    ).astype(np.float32)
+    weights = rng.rand(b, q, heads, len(level_shapes), p).astype(np.float32)
+
+    want = np.asarray(jax.vmap(
+        lambda v, l, w: ms_deform_attn(v, level_shapes, l, w)
+    )(jnp.asarray(values), jnp.asarray(locations), jnp.asarray(weights)))
+    for chunk in (64, 5):  # unchunked; 3 chunks with padding (13 -> 15)
+        got = np.asarray(ms_deform_attn_batched(
+            jnp.asarray(values), level_shapes, jnp.asarray(locations),
+            jnp.asarray(weights), query_chunk=chunk,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_ms_deform_attn_exact_center_hit():
     """A location exactly at a token center returns exactly that token."""
     level_shapes = ((4, 4),)

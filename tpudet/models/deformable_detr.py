@@ -49,7 +49,7 @@ from tpudet.ops import boxes as box_ops
 from tpudet.ops.deform_attn import (
     inverse_sigmoid,
     level_reference_points,
-    ms_deform_attn,
+    ms_deform_attn_batched,
     sampling_offset_init_bias,
 )
 from tpudet.train import losses as L
@@ -131,13 +131,15 @@ class MSDeformAttn(nn.Module):
                 ref_xy[:, :, None, :, None, :]
                 + offsets / p * ref_wh[:, :, None, :, None, :] * 0.5
             )
-        # loc: [B, Nq, H, L, P, 2] -> ms_deform_attn wants [Nq, H, L, P, 2]
-        out = jax.vmap(
-            functools.partial(ms_deform_attn, level_shapes=level_shapes)
-        )(
+        # Whole-batch formulation (NOT vmap(ms_deform_attn)): the vmapped
+        # gather's batching dims trip XLA's TPU gather expander into a
+        # one-hot contraction — a 30 GB HBM OOM at the COCO b=16 decoder
+        # (see ops/deform_attn.py::ms_deform_attn_batched).
+        out = ms_deform_attn_batched(
             value,                # gathered in the value dtype (bf16-safe):
-            locations=loc,        # this op is HBM-gather-bound, and the
-            weights=attn,         # f32 reduction happens inside the einsum
+            level_shapes,         # this op is HBM-gather-bound, and the
+            locations=loc,        # f32 reduction happens inside the einsum
+            weights=attn,
         )                                              # [B, Nq, H, head_dim]
         out = out.reshape(b, nq, self.d_model).astype(self.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)

@@ -44,6 +44,46 @@ def level_start_offsets(level_shapes: Sequence[Tuple[int, int]]):
     return tuple(offsets), start
 
 
+def _corner_index_weight(locations, weights, level_shapes, offsets):
+    """Corner gather indices + combined bilinear x attention weights.
+
+    ``locations [..., L, P, 2]`` / ``weights [..., L, P]`` ->
+    ``(idx [..., K] int32, cw [..., K] f32)`` with ``K = L*4*P`` in
+    (level, corner, point) order. Out-of-grid corners contribute through a
+    zeroed WEIGHT (grid_sample ``padding_mode='zeros'``); their index is
+    clamped so the read stays in bounds."""
+    flat_idx, corner_w = [], []
+    for li, (hl, wl) in enumerate(level_shapes):
+        loc = locations[..., li, :, :]                 # [..., P, 2]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                cx = x0 + dx
+                cy = y0 + dy
+                wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+                inb = (cx >= 0) & (cx < wl) & (cy >= 0) & (cy < hl)
+                cxc = jnp.clip(cx, 0, wl - 1)
+                cyc = jnp.clip(cy, 0, hl - 1)
+                flat_idx.append(offsets[li] + cyc * wl + cxc)  # [..., P]
+                corner_w.append(jnp.where(inb, wgt, 0.0))
+    idx = jnp.stack(flat_idx, axis=-2)                 # [..., L*4, P]
+    cw = jnp.stack(corner_w, axis=-2)
+    # Fold the attention weight into the bilinear corner weight: the stack
+    # above interleaves (level, corner) on the -2 axis, i.e. element
+    # (li*4 + c, p) — repeat the [..., L, P] weights 4x accordingly.
+    aw = jnp.repeat(weights.astype(cw.dtype), 4, axis=-2)
+    cw = cw * aw
+    lead = idx.shape[:-2]
+    return idx.reshape(*lead, -1), cw.reshape(*lead, -1)
+
+
 def ms_deform_attn(
     values: jnp.ndarray,       # [N, H, D] level-concatenated value tokens
     level_shapes: Sequence[Tuple[int, int]],  # static ((h, w), ...) rows sum to N
@@ -71,36 +111,7 @@ def ms_deform_attn(
     if h != heads or len(level_shapes) != l:
         raise ValueError("locations/values head or level count mismatch")
 
-    flat_idx, corner_w = [], []
-    for li, (hl, wl) in enumerate(level_shapes):
-        loc = locations[:, :, li]                     # [Q, H, P, 2]
-        x = loc[..., 0] * wl - 0.5
-        y = loc[..., 1] * hl - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0 = x0.astype(jnp.int32)
-        y0 = y0.astype(jnp.int32)
-        for dy in (0, 1):
-            for dx in (0, 1):
-                cx = x0 + dx
-                cy = y0 + dy
-                wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
-                inb = (cx >= 0) & (cx < wl) & (cy >= 0) & (cy < hl)
-                cxc = jnp.clip(cx, 0, wl - 1)
-                cyc = jnp.clip(cy, 0, hl - 1)
-                flat_idx.append(offsets[li] + cyc * wl + cxc)  # [Q, H, P]
-                corner_w.append(jnp.where(inb, wgt, 0.0))
-    # [Q, H, L*4, P] -> [Q, H, K] with K = L*P*4 (order irrelevant: the
-    # reduction below is a plain weighted sum over K).
-    idx = jnp.stack(flat_idx, axis=2).reshape(q, h, -1)
-    cw = jnp.stack(corner_w, axis=2).reshape(q, h, -1)
-    # Fold the attention weight into the bilinear corner weight: weights is
-    # [Q, H, L, P] and the stack above interleaves (level, corner) on axis
-    # 2, i.e. element (li*4 + c, p) — broadcast accordingly.
-    aw = jnp.repeat(weights.astype(cw.dtype), 4, axis=2)  # [Q, H, L*4, P]
-    cw = cw * aw.reshape(q, h, -1)
+    idx, cw = _corner_index_weight(locations, weights, level_shapes, offsets)
 
     # One gather per head over the level-concatenated token axis, then the
     # weighted reduction as an einsum (a [Q, K] x [Q, K, D] contraction per
@@ -116,6 +127,71 @@ def ms_deform_attn(
         preferred_element_type=jnp.float32,
     )
     return out
+
+
+def ms_deform_attn_batched(
+    values: jnp.ndarray,       # [B, N, H, D] level-concatenated tokens
+    level_shapes: Sequence[Tuple[int, int]],
+    locations: jnp.ndarray,    # [B, Q, H, L, P, 2]
+    weights: jnp.ndarray,      # [B, Q, H, L, P]
+    query_chunk: int = 2048,
+) -> jnp.ndarray:              # [B, Q, H, D] (f32)
+    """Whole-batch multi-scale deformable attention — same math as
+    ``jax.vmap(ms_deform_attn)`` with two TPU-critical differences learned
+    from a real-chip OOM (KERNELS.md "Deformable attention gather"):
+
+    1. The corner gather is ONE flat embedding-style lookup over a
+       ``[B*H*N, D]`` table with precomputed row offsets. The vmapped
+       formulation hands XLA a gather with BATCHING dims, and the TPU
+       gather expander rewrites that into a one-hot contraction that
+       materializes ``[B*Q, N, K]`` f32 — 30 GB at the COCO b=16 decoder
+       (16x256 queries x 14365 tokens x 64 corners), an instant HBM OOM.
+       A plain rank-2 gather with 1-D indices is the canonical embedding
+       lookup and lowers natively.
+    2. The query axis is processed in static ``query_chunk`` slices
+       (``lax.map`` over equal chunks, body rematerialized) so the gathered
+       corners tensor ``[B, chunk, H, K, D]`` stays bounded regardless of
+       Q — the encoder's Q is the full token count (~14k at COCO scale:
+       unchunked that intermediate is ~7.5 GB bf16 at b=16, and training
+       would also save it for the backward).
+    """
+    b, n, h, d = values.shape
+    q = locations.shape[1]
+    offsets, total = level_start_offsets(level_shapes)
+    if total != n:
+        raise ValueError(
+            f"level_shapes {tuple(level_shapes)} sum to {total} tokens, "
+            f"values carry {n}"
+        )
+    idx, cw = _corner_index_weight(locations, weights, level_shapes, offsets)
+    k = idx.shape[-1]
+
+    table = values.transpose(0, 2, 1, 3).reshape(b * h * n, d)
+    row = (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None] * h
+        + jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
+    ) * n                                               # [B, 1, H, 1]
+    gidx = idx + row                                    # [B, Q, H, K]
+
+    def chunk_fn(args):
+        gi, w = args                                    # [B, c, H, K]
+        g = table[gi.reshape(-1)].reshape(*gi.shape, d)
+        return jnp.einsum(
+            "bqhk,bqhkd->bqhd", w, g,
+            preferred_element_type=jnp.float32,
+        )
+
+    if q <= query_chunk:
+        return chunk_fn((gidx, cw))
+    nc = -(-q // query_chunk)
+    pad = nc * query_chunk - q
+    gidx = jnp.pad(gidx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    cwp = jnp.pad(cw, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    gidx = gidx.reshape(b, nc, query_chunk, h, k).transpose(1, 0, 2, 3, 4)
+    cwp = cwp.reshape(b, nc, query_chunk, h, k).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(jax.checkpoint(chunk_fn), (gidx, cwp))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, nc * query_chunk, h, d)
+    return out[:, :q]
 
 
 def level_reference_points(
