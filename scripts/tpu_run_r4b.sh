@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-4 follow-on queue: measurements for code that landed AFTER
+# tpu_run_r4.sh started (the runner script cannot be edited while bash is
+# executing it — bash reads scripts incrementally).
+#   q15a/q15b — ViTDet-B (models/vit.py, preset coco_vitdet_b): the
+#               transformer-backbone family's first real-chip numbers.
+#   tier_test_vitdet — ViTDet predict+step on the chip's arithmetic
+#               (Mosaic/XLA attention at real window shapes).
+# SERIALIZE: run only after tpu_run_r4.sh exits (scripts/chain_r4b.sh
+# waits on its PID). Same done-marker protocol, same log.
+cd "$(dirname "$0")/.."
+log=${1:-/tmp/tpu_meas_r4.log}
+D=/tmp/tpu_r4_done
+mkdir -p "$D"
+
+probe() {
+  timeout 3600 python -c "import jax, jax.numpy as jnp; print('probe ok', float(jax.device_get((jnp.ones((8,8)) @ jnp.ones((8,8))).sum())))" >> "$log" 2>&1
+}
+
+step() {
+  local id=$1 to=$2 rc
+  shift 2
+  [ -e "$D/$id" ] && return 0
+  [ -e "$D/$id.skip" ] && return 0
+  echo "== [$id] $* ($(date -u +%FT%TZ))" | tee -a "$log"
+  timeout "$to" "$@" >> "$log" 2>&1
+  rc=$?
+  if [ "$rc" -eq 0 ]; then
+    touch "$D/$id"
+    echo "   [$id] OK ($(date -u +%T))" | tee -a "$log"
+    return 0
+  fi
+  echo "   [$id] FAIL rc=$rc ($(date -u +%T))" | tee -a "$log"
+  echo x >> "$D/$id.fails"
+  if [ "$(wc -l < "$D/$id.fails")" -ge 2 ]; then
+    mv "$D/$id.fails" "$D/$id.skip"
+    echo "   [$id] SKIPPED after 2 failures" | tee -a "$log"
+  fi
+  return 1
+}
+
+BM="python -m tpudet.cli.benchmark"
+
+run_pending() {
+  step q15a 1800 $BM --preset coco_vitdet_b --mode infer --batch-size 16 --iters 10 || return 1
+  step q15b 1800 $BM --preset coco_vitdet_b --mode train --batch-size 8 --iters 8 || return 1
+  return 0
+}
+
+all_done() {
+  for id in q15a q15b; do
+    [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || return 1
+  done
+  return 0
+}
+
+for attempt in $(seq 1 20); do
+  if all_done; then
+    echo "R4B ALL DONE ($(date -u +%FT%TZ))" | tee -a "$log"
+    exit 0
+  fi
+  echo "-- r4b pass $attempt: probing ($(date -u +%FT%TZ))" | tee -a "$log"
+  if probe; then
+    run_pending && continue
+    sleep 60
+  else
+    echo "-- r4b tunnel wedged; sleeping 240" | tee -a "$log"
+    sleep 240
+  fi
+done
+echo "R4B EXHAUSTED ($(date -u +%FT%TZ))" | tee -a "$log"
+exit 1
