@@ -298,3 +298,115 @@ def test_torch_resnet18_basic_block_parity(rng):
         assert got.shape == ref.shape, (level, got.shape, ref.shape)
         np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3,
                                    err_msg=level)
+
+
+# --------------------------------------------------------------- ViT import
+
+VIT_DIM, VIT_DEPTH, VIT_HEADS, VIT_GRID = 32, 2, 2, 8
+
+
+def _random_torch_vit_state_dict(rng, cls_token=True):
+    """Random state dict in the exact timm/MAE plain-ViT layout."""
+    sd = {}
+
+    def lin(key, out_d, in_d):
+        sd[key + ".weight"] = torch.tensor(
+            rng.normal(0, 0.05, (out_d, in_d)).astype(np.float32))
+        sd[key + ".bias"] = torch.tensor(
+            rng.normal(0, 0.02, out_d).astype(np.float32))
+
+    def ln(key, d):
+        sd[key + ".weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, d).astype(np.float32))
+        sd[key + ".bias"] = torch.tensor(
+            rng.normal(0, 0.1, d).astype(np.float32))
+
+    d = VIT_DIM
+    sd["patch_embed.proj.weight"] = torch.tensor(
+        rng.normal(0, 0.05, (d, 3, 16, 16)).astype(np.float32))
+    sd["patch_embed.proj.bias"] = torch.tensor(
+        rng.normal(0, 0.02, d).astype(np.float32))
+    n = VIT_GRID * VIT_GRID + (1 if cls_token else 0)
+    sd["pos_embed"] = torch.tensor(
+        rng.normal(0, 0.02, (1, n, d)).astype(np.float32))
+    for i in range(VIT_DEPTH):
+        ln(f"blocks.{i}.norm1", d)
+        lin(f"blocks.{i}.attn.qkv", 3 * d, d)
+        lin(f"blocks.{i}.attn.proj", d, d)
+        ln(f"blocks.{i}.norm2", d)
+        lin(f"blocks.{i}.mlp.fc1", 4 * d, d)
+        lin(f"blocks.{i}.mlp.fc2", d, 4 * d)
+    ln("norm", d)
+    return sd
+
+
+def _torch_vit_forward(sd, x):
+    """Functional timm-style ViT forward (global attention every block,
+    cls token dropped) -> [B, Hp, Wp, D]."""
+    d, h = VIT_DIM, VIT_HEADS
+    x = F.conv2d(x, sd["patch_embed.proj.weight"],
+                 sd["patch_embed.proj.bias"], stride=16)   # [B, D, Hp, Wp]
+    b, _, hp, wp = x.shape
+    x = x.permute(0, 2, 3, 1).reshape(b, hp * wp, d)
+    pos = sd["pos_embed"]
+    if pos.shape[1] == hp * wp + 1:
+        pos = pos[:, 1:]
+    x = x + pos
+
+    def ln(y, key):
+        return F.layer_norm(y, (d,), sd[key + ".weight"], sd[key + ".bias"])
+
+    for i in range(VIT_DEPTH):
+        y = ln(x, f"blocks.{i}.norm1")
+        qkv = F.linear(y, sd[f"blocks.{i}.attn.qkv.weight"],
+                       sd[f"blocks.{i}.attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        hd = d // h
+
+        def heads(t):
+            return t.reshape(b, -1, h, hd).transpose(1, 2)
+
+        attn = torch.softmax(
+            heads(q) @ heads(k).transpose(-2, -1) * hd ** -0.5, dim=-1)
+        y = (attn @ heads(v)).transpose(1, 2).reshape(b, -1, d)
+        y = F.linear(y, sd[f"blocks.{i}.attn.proj.weight"],
+                     sd[f"blocks.{i}.attn.proj.bias"])
+        x = x + y
+        y = ln(x, f"blocks.{i}.norm2")
+        y = F.linear(y, sd[f"blocks.{i}.mlp.fc1.weight"],
+                     sd[f"blocks.{i}.mlp.fc1.bias"])
+        y = F.linear(F.gelu(y), sd[f"blocks.{i}.mlp.fc2.weight"],
+                     sd[f"blocks.{i}.mlp.fc2.bias"])
+        x = x + y
+    x = ln(x, "norm")
+    return x.reshape(b, hp, wp, d)
+
+
+@pytest.mark.parametrize("cls_token", [True, False])
+def test_torch_vit_parity(rng, cls_token):
+    """convert_torch_vit + the ViT backbone (all-global blocks) match the
+    functional timm-style torch oracle on the native pos grid, cls token
+    dropped."""
+    from tpudet.models.import_weights import convert_torch_vit
+    from tpudet.models.vit import ViT
+
+    sd = _random_torch_vit_state_dict(rng, cls_token=cls_token)
+    params, constants = convert_torch_vit(sd, pos_grid=VIT_GRID)
+    assert constants == {}
+
+    vit = ViT(dim=VIT_DIM, depth=VIT_DEPTH, heads=VIT_HEADS, patch=16,
+              window=4, global_attn_every=1, pos_grid=VIT_GRID)
+    x = rng.normal(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    want = _torch_vit_forward(
+        sd, torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+    ).detach().numpy()
+    got = np.asarray(vit.apply({"params": params}, jnp.asarray(x))["plain"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_torch_vit_import_resizes_pos_grid(rng):
+    from tpudet.models.import_weights import convert_torch_vit
+
+    sd = _random_torch_vit_state_dict(rng, cls_token=True)
+    params, _ = convert_torch_vit(sd, pos_grid=16)
+    assert params["pos_embed"].shape == (1, 16, 16, VIT_DIM)

@@ -18,6 +18,7 @@ Semantics notes:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Tuple
 
 import numpy as np
@@ -186,6 +187,93 @@ def convert_torch_vgg16(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
         params[f"stage{stage}"] = p
         idx += 1  # maxpool
     return params, {}
+
+
+def convert_torch_vit(
+    state_dict: Dict[str, Any], pos_grid: int = 64
+) -> Tuple[Dict, Dict]:
+    """timm/MAE-layout plain-ViT state dict -> (params, {}) for the ViTDet
+    backbone (``models/vit.py``; constants is empty — no frozen norms).
+
+    Layout (timm ``vit_*_patch16_*`` / the MAE release):
+    ``patch_embed.proj.{weight,bias}`` ([D, 3, p, p] -> [p, p, 3, D]);
+    ``pos_embed`` [1, (1+)g*g, D] — a leading cls token is DROPPED
+    (detection uses only grid tokens) and the grid is bilinearly resized to
+    ``pos_grid`` (the model resizes again to the canvas grid at trace
+    time, so the parameter grid is a free choice);
+    ``blocks.{i}.attn.qkv.{weight,bias}`` — the fused [3D, D] projection
+    splits into the model's separate query/key/value Dense layers (row
+    blocks [0:D], [D:2D], [2D:3D]; torch Linear weights are [out, in] ->
+    transposed); ``attn.proj`` -> ``attn/out``; ``mlp.fc{1,2}`` ->
+    ``mlp_fc{1,2}``; ``norm{1,2}``/final ``norm`` -> LayerNorm
+    {scale, bias}.
+    """
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        return np.asarray(v, np.float32)
+
+    def lin(key):
+        return {"kernel": np.transpose(arr(key + ".weight")),
+                "bias": arr(key + ".bias")}
+
+    def ln(key):
+        return {"scale": arr(key + ".weight"), "bias": arr(key + ".bias")}
+
+    pw = arr("patch_embed.proj.weight")           # [D, 3, p, p]
+    d = pw.shape[0]
+    params: Dict = {
+        "patch_embed": {
+            "kernel": np.transpose(pw, (2, 3, 1, 0)),
+            "bias": arr("patch_embed.proj.bias"),
+        },
+    }
+
+    pos = arr("pos_embed")                        # [1, (1+)N, D]
+    n = pos.shape[1]
+    g = int(math.isqrt(n))
+    if g * g != n:
+        if int(math.isqrt(n - 1)) ** 2 == n - 1:  # leading cls token
+            pos = pos[:, 1:]
+            g = int(math.isqrt(n - 1))
+        else:
+            raise ValueError(f"pos_embed length {n} is not a square grid")
+    pos = pos.reshape(1, g, g, d)
+    if g != pos_grid:
+        import jax
+
+        pos = np.asarray(jax.image.resize(
+            jnp_asarray_f32(pos), (1, pos_grid, pos_grid, d), "bilinear"
+        ))
+    params["pos_embed"] = pos
+
+    i = 0
+    while f"blocks.{i}.norm1.weight" in state_dict:
+        qkv_w = np.transpose(arr(f"blocks.{i}.attn.qkv.weight"))  # [D, 3D]
+        qkv_b = arr(f"blocks.{i}.attn.qkv.bias")                  # [3D]
+        attn = {
+            "query": {"kernel": qkv_w[:, :d], "bias": qkv_b[:d]},
+            "key": {"kernel": qkv_w[:, d:2 * d], "bias": qkv_b[d:2 * d]},
+            "value": {"kernel": qkv_w[:, 2 * d:], "bias": qkv_b[2 * d:]},
+            "out": lin(f"blocks.{i}.attn.proj"),
+        }
+        params[f"block{i}"] = {
+            "norm1": ln(f"blocks.{i}.norm1"),
+            "attn": attn,
+            "norm2": ln(f"blocks.{i}.norm2"),
+            "mlp_fc1": lin(f"blocks.{i}.mlp.fc1"),
+            "mlp_fc2": lin(f"blocks.{i}.mlp.fc2"),
+        }
+        i += 1
+    params["norm"] = ln("norm")
+    return params, {}
+
+
+def jnp_asarray_f32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, jnp.float32)
 
 
 def save_backbone_npz(path: str, params: Dict, constants: Dict) -> None:

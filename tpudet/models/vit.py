@@ -142,7 +142,7 @@ class Block(nn.Module):
         ).astype(self.dtype)
         y = nn.Dense(self.mlp_ratio * self.dim, dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf: the timm/MAE convention (import parity)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -242,7 +242,7 @@ class SimpleFeaturePyramid(nn.Module):
         up4 = nn.ConvTranspose(
             d // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
             name="up4_deconv2",
-        )(nn.gelu(ln(up2, "up4_ln")))
+        )(nn.gelu(ln(up2, "up4_ln"), approximate=False))
         scaled = {
             "p2": up4,
             "p3": nn.ConvTranspose(
