@@ -42,13 +42,14 @@ step() {
 BM="python -m tpudet.cli.benchmark"
 
 run_pending() {
+  step tier_test_vitdet 1800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_vitdet_step_and_predict_on_tpu" -m tpu -x -q || return 1
   step q15a 1800 $BM --preset coco_vitdet_b --mode infer --batch-size 16 --iters 10 || return 1
   step q15b 1800 $BM --preset coco_vitdet_b --mode train --batch-size 8 --iters 8 || return 1
   return 0
 }
 
 all_done() {
-  for id in q15a q15b; do
+  for id in tier_test_vitdet q15a q15b; do
     [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || return 1
   done
   return 0

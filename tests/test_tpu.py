@@ -437,6 +437,53 @@ def test_fcos_step_and_predict_on_tpu():
     assert np.isfinite(out["boxes"]).all()
 
 
+def test_vitdet_step_and_predict_on_tpu():
+    """ViTDet on the real chip: window partitioning + global attention +
+    the simple feature pyramid's deconvs compile through XLA-TPU at a
+    real-ish scale (512 px -> 32x32 token grid, window 14 pads to 42 —
+    both the padded-window and global branches run), one train step and
+    one predict. Shapes matter on this backend (the deformable one-hot
+    OOM was invisible at tiny scale), hence the 512 canvas."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import build_model
+    from tpudet.train.state import create_train_state
+    from tpudet.train.step import make_train_step
+
+    cfg = preset_config("coco_vitdet_b")
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", num_classes=8, aspect_buckets=(),
+            canvas_height=512, canvas_width=512,
+        ),
+        train=dataclasses.replace(
+            cfg.train, batch_size=2, num_data_shards=1, bf16=True
+        ),
+    )
+    model = build_model(cfg)
+    state = create_train_state(model, cfg.train, jax.random.key(0))
+
+    from tpudet.data import DataLoader, SyntheticDataset
+    from tpudet.data.preprocess import device_preprocess
+
+    ds = SyntheticDataset(num_classes=8, num_examples=2, image_size=500)
+    loader = DataLoader(cfg, ds, 2, shuffle=False, num_workers=2)
+    raw = next(iter(loader.batches(0)))
+    batch = device_preprocess(
+        cfg, {k: jnp.asarray(v) for k, v in raw.items()}
+    )
+
+    step = make_train_step(model, cfg)
+    state, metrics = step(state, batch)
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(metrics["loss"]), metrics
+
+    out = jax.device_get(jax.jit(model.predict)(state.variables, batch))
+    assert out["boxes"].shape == (2, cfg.roi.max_detections, 4)
+    assert np.isfinite(out["boxes"]).all()
+
+
 def test_retinanet_step_and_predict_on_tpu():
     """Single-stage anchor family on the real chip: focal loss over ALL
     anchors, shared towers, and the postprocess in BOTH selection
