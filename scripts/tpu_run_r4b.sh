@@ -42,6 +42,10 @@ step() {
 BM="python -m tpudet.cli.benchmark"
 
 run_pending() {
+  # Deformable 29.86 s/batch pathology (q14a): trace first, then the
+  # gather-formulation microbench — the fix must be measurement-driven.
+  step q14trace 1800 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 2 --iters 2 --trace-dir /tmp/ddetr_trace || return 1
+  step gmb 1800 python scripts/gather_microbench.py || return 1
   step tier_test_vitdet 1800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_vitdet_step_and_predict_on_tpu" -m tpu -x -q || return 1
   step q15a 1800 $BM --preset coco_vitdet_b --mode infer --batch-size 16 --iters 10 || return 1
   step q15b 1800 $BM --preset coco_vitdet_b --mode train --batch-size 8 --iters 8 || return 1
@@ -49,7 +53,7 @@ run_pending() {
 }
 
 all_done() {
-  for id in tier_test_vitdet q15a q15b; do
+  for id in q14trace gmb tier_test_vitdet q15a q15b; do
     [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || return 1
   done
   return 0
