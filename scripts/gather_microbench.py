@@ -28,9 +28,16 @@ import jax.numpy as jnp
 import numpy as np
 
 # Real encoder scale: COCO 832x832 bucket, C3..C5 + one extra level.
-LEVEL_SHAPES = ((104, 104), (52, 52), (26, 26), (13, 13))
+# GMB_TINY=1 shrinks everything for a CPU shape-validation pass.
+import os
+
+if os.environ.get("GMB_TINY"):
+    LEVEL_SHAPES = ((12, 12), (6, 6), (3, 3), (2, 2))
+    B, H, D, L, P = 2, 2, 8, 4, 2
+else:
+    LEVEL_SHAPES = ((104, 104), (52, 52), (26, 26), (13, 13))
+    B, H, D, L, P = 16, 8, 32, 4, 4
 N = sum(h * w for h, w in LEVEL_SHAPES)
-B, H, D, L, P = 16, 8, 32, 4, 4
 K = L * P * 4
 
 

@@ -42,6 +42,17 @@ step() {
 BM="python -m tpudet.cli.benchmark"
 
 run_pending() {
+  # Longer-timeout retries for main-queue steps that hit their caps
+  # (cascade train compile exceeded 1100 s — the r3 lesson again).
+  if [ -e "$D/q10b.skip" ] && [ ! -e "$D/q10b_retry" ] && [ ! -e "$D/q10b_retry.skip" ]; then
+    step q10b_retry 2400 $BM --preset coco_cascade_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  fi
+  if [ -e "$D/q11b.skip" ] && [ ! -e "$D/q11b_retry" ] && [ ! -e "$D/q11b_retry.skip" ]; then
+    step q11b_retry 2400 $BM --preset coco_keypoint_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  fi
+  if [ -e "$D/q12b.skip" ] && [ ! -e "$D/q12b_retry" ] && [ ! -e "$D/q12b_retry.skip" ]; then
+    step q12b_retry 2400 $BM --preset coco_panoptic_r50_fpn --mode train --batch-size 8 --iters 8 || return 1
+  fi
   # Deformable 29.86 s/batch pathology (q14a): trace first, then the
   # gather-formulation microbench — the fix must be measurement-driven.
   step q14trace 1800 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 2 --iters 2 --trace-dir /tmp/ddetr_trace || return 1
