@@ -208,6 +208,59 @@ def main():
 
         report(f"F_headshared_{tag}", form_f, values, idx_shared, w)
 
+        # G: BOTH levers at once — head-shared locations AND 2x2 corner
+        # patches. Index count drops 32x vs A (B*q*L*P patch origins,
+        # shared across heads and corners) and each gather fetches a
+        # contiguous 2x2x(H*D) = 2 KB slice (vs A's 64 B rows, half a
+        # lane). If per-index overhead dominates (the 16 ns/row
+        # hypothesis), G should land near A/32; if the chip's gather is
+        # bandwidth-bound for wide rows, G bounds the best achievable
+        # without changing total bytes (~7.5 GB/layer either way).
+        vg = {
+            li: jnp.asarray(
+                rng.normal(
+                    size=(B, hl, wl, H * D)
+                ).astype(np.float32), jnp.bfloat16)
+            for li, (hl, wl) in enumerate(LEVEL_SHAPES)
+        }
+        og = {
+            li: jnp.asarray(np.stack([
+                rng.integers(0, hl - 1, size=(B, sp * P)),
+                rng.integers(0, wl - 1, size=(B, sp * P)),
+            ], -1).astype(np.int32))
+            for li, (hl, wl) in enumerate(LEVEL_SHAPES)
+        }
+        wg = jnp.asarray(
+            rng.random((B, H, sp * P, L, 4)).astype(np.float32))
+
+        @jax.jit
+        def form_g(vg, og, wg):
+            outs = []
+            for li in range(L):
+                dn = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(2, 3, 4),
+                    collapsed_slice_dims=(0,),
+                    start_index_map=(0, 1, 2),
+                )
+                bidx = jnp.arange(B, dtype=jnp.int32)[:, None, None]
+                starts = jnp.concatenate([
+                    jnp.broadcast_to(bidx, (B, sp * P, 1)),
+                    og[li],
+                ], axis=-1)
+                g = jax.lax.gather(
+                    vg[li], starts, dn, (1, 2, 2, H * D),
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                )                                  # [B, SP, 2, 2, H*D]
+                outs.append(jnp.einsum(
+                    "bhsc,bschd->bhsd",
+                    wg[:, :, :, li],
+                    g.reshape(B, sp * P, 4, H, D),
+                    preferred_element_type=jnp.float32,
+                ))
+            return sum(outs)
+
+        report(f"G_shared_patch_{tag}", form_g, vg, og, wg)
+
     # D: one-hot einsum at DECODER scale only (reference point).
     q = 256
     values = jnp.asarray(

@@ -115,6 +115,76 @@ def test_ms_deform_attn_batched_matches_vmap():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_ms_deform_attn_patch_matches_flat():
+    """The patch-gather formulation (4x fewer indices, full-lane 2x2xD
+    slices — the TPU gather cost model is per-index, KERNELS.md
+    "Deformable attention, part 2") computes exactly what the flat form
+    computes, including clamped-origin cell-weight reassignment at grid
+    edges and fully out-of-grid samples, chunked and unchunked."""
+    from tpudet.ops.deform_attn import (
+        ms_deform_attn_batched,
+        ms_deform_attn_patch,
+    )
+
+    rng = np.random.RandomState(2)
+    level_shapes = ((6, 8), (3, 4), (2, 2))
+    n = sum(h * w for h, w in level_shapes)
+    b, q, heads, p, d = 3, 13, 2, 4, 5
+    values = rng.randn(b, n, heads, d).astype(np.float32)
+    # Beyond-grid and boundary samples: the clamp-shift cell weights must
+    # reproduce zero-padding semantics exactly.
+    locations = rng.uniform(
+        -0.4, 1.4, size=(b, q, heads, len(level_shapes), p, 2)
+    ).astype(np.float32)
+    weights = rng.rand(b, q, heads, len(level_shapes), p).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_batched(
+        jnp.asarray(values), level_shapes, jnp.asarray(locations),
+        jnp.asarray(weights),
+    ))
+    for chunk in (64, 5):
+        got = np.asarray(ms_deform_attn_patch(
+            jnp.asarray(values), level_shapes, jnp.asarray(locations),
+            jnp.asarray(weights), query_chunk=chunk,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ms_deform_attn_patch_shared_locations():
+    """Head-SHARED sampling locations (the config-gated 4*Hx-fewer-indices
+    variant): the patch path with head-free locations must equal the flat
+    path fed those locations broadcast to every head (attention weights
+    stay per-head in both)."""
+    from tpudet.ops.deform_attn import (
+        ms_deform_attn_batched,
+        ms_deform_attn_patch,
+    )
+
+    rng = np.random.RandomState(3)
+    level_shapes = ((5, 7), (3, 3))
+    n = sum(h * w for h, w in level_shapes)
+    b, q, heads, p, d = 2, 9, 3, 2, 4
+    values = rng.randn(b, n, heads, d).astype(np.float32)
+    loc_shared = rng.uniform(
+        -0.3, 1.3, size=(b, q, len(level_shapes), p, 2)
+    ).astype(np.float32)
+    weights = rng.rand(b, q, heads, len(level_shapes), p).astype(np.float32)
+
+    want = np.asarray(ms_deform_attn_batched(
+        jnp.asarray(values), level_shapes,
+        jnp.asarray(np.broadcast_to(
+            loc_shared[:, :, None], (b, q, heads) + loc_shared.shape[2:]
+        )),
+        jnp.asarray(weights),
+    ))
+    for chunk in (64, 4):
+        got = np.asarray(ms_deform_attn_patch(
+            jnp.asarray(values), level_shapes, jnp.asarray(loc_shared),
+            jnp.asarray(weights), query_chunk=chunk,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_ms_deform_attn_exact_center_hit():
     """A location exactly at a token center returns exactly that token."""
     level_shapes = ((4, 4),)
@@ -248,6 +318,47 @@ def test_loss_and_predict_shapes():
         + dd.loss_weight_giou * met2["giou_box_loss"]
     )
     assert float(loss2) == pytest.approx(float(want), rel=1e-5)
+
+
+def test_patch_gather_model_parity_and_shared_variant():
+    """Model-level wiring of the gather knobs: (a) sampling_gather="patch"
+    produces numerically identical loss/predictions to "flat" under the
+    SAME parameters (it is a formulation, not a model change); (b)
+    shared_sampling_locations is a real model variant — different
+    parameter shapes (head-free offsets), finite loss, standard output
+    contract."""
+    base = tiny_deformable_detr_config()
+    cfg_patch = base.replace(deformable_detr=dataclasses.replace(
+        base.deformable_detr, sampling_gather="patch"))
+    m_flat, m_patch = build_model(base), build_model(cfg_patch)
+    v = m_flat.init(jax.random.key(0))
+    batch = make_batch(base)
+    loss_f, _ = m_flat.loss(v, batch, jax.random.key(1))
+    loss_p, _ = m_patch.loss(v, batch, jax.random.key(1))
+    assert float(loss_f) == pytest.approx(float(loss_p), rel=1e-5)
+    out_f = m_flat.predict(v, batch)
+    out_p = m_patch.predict(v, batch)
+    np.testing.assert_allclose(
+        np.asarray(out_f["boxes"]), np.asarray(out_p["boxes"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f["scores"]), np.asarray(out_p["scores"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    cfg_shared = base.replace(deformable_detr=dataclasses.replace(
+        base.deformable_detr, sampling_gather="patch",
+        shared_sampling_locations=True))
+    m_shared = build_model(cfg_shared)
+    v_s = m_shared.init(jax.random.key(0))
+    off = v_s["params"]["enc0"]["deform_attn"]["sampling_offsets"]["bias"]
+    dd = base.deformable_detr
+    assert off.shape == (dd.num_levels * dd.num_points * 2,)
+    loss_s, _ = m_shared.loss(v_s, batch, jax.random.key(1))
+    assert np.isfinite(float(loss_s))
+    out_s = m_shared.predict(v_s, batch)
+    assert out_s["boxes"].shape == (2, dd.max_detections, 4)
 
 
 def test_box_refine_variant():

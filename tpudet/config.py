@@ -703,6 +703,18 @@ class DeformableDETRConfig:
     # Inference: top-k over the flattened (query, class) sigmoid scores.
     score_thresh: float = 0.05
     max_detections: int = 100
+    # Bilinear-sampling gather formulation — "flat" (rank-2 embedding-style
+    # lookup, one 64 B row per corner) or "patch" (one 2x2 corner patch per
+    # sample: 4x fewer gather indices, full-lane rows). Exact-equivalent
+    # math (tests/test_deformable_detr.py); the default follows the chip
+    # microbench (KERNELS.md "Deformable attention, part 2/3").
+    sampling_gather: str = "flat"
+    # Share sampling locations across attention heads (Lite-DETR-style
+    # efficiency variant, 4*H x fewer gather indices; attention weights
+    # stay per-head). Changes parameter shapes — NOT the paper
+    # architecture, so off everywhere except explicitly-opted presets.
+    # Requires sampling_gather="patch".
+    shared_sampling_locations: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

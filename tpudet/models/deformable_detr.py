@@ -50,6 +50,7 @@ from tpudet.ops.deform_attn import (
     inverse_sigmoid,
     level_reference_points,
     ms_deform_attn_batched,
+    ms_deform_attn_patch,
     sampling_offset_init_bias,
 )
 from tpudet.train import losses as L
@@ -71,6 +72,18 @@ class MSDeformAttn(nn.Module):
     num_levels: int
     num_points: int
     dtype: Any
+    # Gather formulation for the bilinear sampling — "flat" (one rank-2
+    # embedding-style lookup, one row per corner) or "patch" (one 2x2
+    # corner patch per sample: 4x fewer indices, full-lane rows — the TPU
+    # gather cost model is per-index, KERNELS.md "Deformable attention,
+    # part 2"). Exact-equivalent; chip-adjudicated default in config.
+    gather: str = "flat"
+    # Share sampling locations across heads (Lite-DETR-style efficiency
+    # variant): offsets lose their head axis, the gather fetches all heads'
+    # channels per index (4*H x fewer indices), attention weights stay
+    # per-head. A MODEL change (different parameter shapes), so it is a
+    # config choice, never a silent default. Requires gather="patch".
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(
@@ -93,19 +106,38 @@ class MSDeformAttn(nn.Module):
         head_dim = self.d_model // h
         b, nq, _ = query.shape
 
+        if self.shared_locations and self.gather != "patch":
+            raise ValueError(
+                "shared_locations requires the patch gather formulation"
+            )
         value = nn.Dense(self.d_model, dtype=self.dtype, name="value")(
             memory
         )
         value = jnp.where(valid_tokens[..., None], value, 0.0)
         value = value.reshape(b, -1, h, head_dim)
-        offsets = nn.Dense(
-            h * lv * p * 2, dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros,
-            bias_init=lambda key, shape, dtype=jnp.float32: (
-                sampling_offset_init_bias(h, lv, p).astype(dtype)
-            ),
-            name="sampling_offsets",
-        )(query.astype(jnp.float32)).reshape(b, nq, h, lv, p, 2)
+        if self.shared_locations:
+            # Head-free offsets; the directional probe spreads the P points
+            # over angles 2πk/P at radius 1 (the per-head probe's role —
+            # break the zero-init symmetry — with the head axis gone).
+            probe = sampling_offset_init_bias(p, lv, 1).reshape(p, lv, 2)
+            shared_bias = jnp.transpose(probe, (1, 0, 2)).reshape(-1)
+            offsets = nn.Dense(
+                lv * p * 2, dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                bias_init=lambda key, shape, dtype=jnp.float32: (
+                    shared_bias.astype(dtype)
+                ),
+                name="sampling_offsets",
+            )(query.astype(jnp.float32)).reshape(b, nq, lv, p, 2)
+        else:
+            offsets = nn.Dense(
+                h * lv * p * 2, dtype=jnp.float32,
+                kernel_init=nn.initializers.zeros,
+                bias_init=lambda key, shape, dtype=jnp.float32: (
+                    sampling_offset_init_bias(h, lv, p).astype(dtype)
+                ),
+                name="sampling_offsets",
+            )(query.astype(jnp.float32)).reshape(b, nq, h, lv, p, 2)
         attn = nn.Dense(
             h * lv * p, dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
@@ -114,33 +146,47 @@ class MSDeformAttn(nn.Module):
         )(query.astype(jnp.float32)).reshape(b, nq, h, lv * p)
         attn = jax.nn.softmax(attn, axis=-1).reshape(b, nq, h, lv, p)
 
+        # Reference broadcast: head axis at dim 2 for per-head offsets,
+        # absent entirely in the shared layout ([B, Nq, L, P, 2]).
+        if self.shared_locations:
+            ref_b = ref_xy[:, :, :, None, :]
+            wh_b = None if ref_wh is None else ref_wh[:, :, :, None, :]
+        else:
+            ref_b = ref_xy[:, :, None, :, None, :]
+            wh_b = (
+                None if ref_wh is None else ref_wh[:, :, None, :, None, :]
+            )
         if ref_wh is None:
             # Point reference: offsets are in PIXELS of each level's grid
             # (paper: divided by the level's (W, H) to normalize).
             normalizer = jnp.array(
                 [[wl, hl] for hl, wl in level_shapes], jnp.float32
             )                                          # [L, 2] as (W, H)
-            loc = (
-                ref_xy[:, :, None, :, None, :]
-                + offsets / normalizer[None, None, None, :, None, :]
+            norm_b = (
+                normalizer[None, None, :, None, :]
+                if self.shared_locations
+                else normalizer[None, None, None, :, None, :]
             )
+            loc = ref_b + offsets / norm_b
         else:
             # Box reference (iterative refinement): offsets are relative to
             # the box size — offset/P * (w, h)/2 (official formulation).
-            loc = (
-                ref_xy[:, :, None, :, None, :]
-                + offsets / p * ref_wh[:, :, None, :, None, :] * 0.5
-            )
+            loc = ref_b + offsets / p * wh_b * 0.5
         # Whole-batch formulation (NOT vmap(ms_deform_attn)): the vmapped
         # gather's batching dims trip XLA's TPU gather expander into a
         # one-hot contraction — a 30 GB HBM OOM at the COCO b=16 decoder
         # (see ops/deform_attn.py::ms_deform_attn_batched).
-        out = ms_deform_attn_batched(
-            value,                # gathered in the value dtype (bf16-safe):
-            level_shapes,         # this op is HBM-gather-bound, and the
-            locations=loc,        # f32 reduction happens inside the einsum
-            weights=attn,
-        )                                              # [B, Nq, H, head_dim]
+        if self.gather == "patch":
+            out = ms_deform_attn_patch(
+                value, level_shapes, locations=loc, weights=attn,
+            )
+        else:
+            out = ms_deform_attn_batched(
+                value,            # gathered in the value dtype (bf16-safe):
+                level_shapes,     # this op is HBM-gather-bound, and the
+                locations=loc,    # f32 reduction happens inside the einsum
+                weights=attn,
+            )                                          # [B, Nq, H, head_dim]
         out = out.reshape(b, nq, self.d_model).astype(self.dtype)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out")(out)
 
@@ -157,13 +203,16 @@ class DeformableEncoderLayer(nn.Module):
     ffn_dim: int
     dropout: float
     dtype: Any
+    gather: str = "flat"
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(self, src, pos, ref_xy, valid_tokens, level_shapes,
                  deterministic: bool):
         attn = MSDeformAttn(
             self.d_model, self.num_heads, self.num_levels, self.num_points,
-            self.dtype, name="deform_attn",
+            self.dtype, self.gather, self.shared_locations,
+            name="deform_attn",
         )(src + pos, ref_xy, None, src, valid_tokens, level_shapes)
         src = nn.LayerNorm(name="norm1")(
             src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -187,6 +236,8 @@ class DeformableDecoderLayer(nn.Module):
     ffn_dim: int
     dropout: float
     dtype: Any
+    gather: str = "flat"
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, ref_xy, ref_wh,
@@ -201,7 +252,8 @@ class DeformableDecoderLayer(nn.Module):
         )
         attn = MSDeformAttn(
             self.d_model, self.num_heads, self.num_levels, self.num_points,
-            self.dtype, name="cross_attn",
+            self.dtype, self.gather, self.shared_locations,
+            name="cross_attn",
         )(tgt + query_pos, ref_xy, ref_wh, memory, valid_tokens,
           level_shapes)
         tgt = nn.LayerNorm(name="norm2")(
@@ -314,6 +366,8 @@ class DeformableDETRCore(nn.Module):
             dict, d_model=d.d_model, num_heads=d.num_heads,
             num_levels=d.num_levels, num_points=d.num_points,
             ffn_dim=d.ffn_dim, dropout=d.dropout, dtype=dtype,
+            gather=d.sampling_gather,
+            shared_locations=d.shared_sampling_locations,
         )
         self.encoder = [
             DeformableEncoderLayer(**mk(), name=f"enc{i}")

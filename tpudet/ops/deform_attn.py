@@ -194,6 +194,218 @@ def ms_deform_attn_batched(
     return out[:, :q]
 
 
+def _patch_origin_cellweight(locations, weights, level_shapes):
+    """Per-level clamped 2x2 patch origins + per-cell combined weights.
+
+    The flat-gather formulation reads each of the 4 bilinear corners as its
+    own 64 B row — a quarter of a lane-width per index, and the real-chip
+    microbench (KERNELS.md "Deformable attention, part 2") measured the
+    gather cost as per-INDEX, not per-byte. This helper re-derives the same
+    math as one 2x2 PATCH per (level, point) sample: 4x fewer gather
+    indices, each fetching a contiguous ``[2, 2, D]`` slice (a full
+    128-element lane at D=32).
+
+    Exactness under ``padding_mode='zeros'``: the patch origin is clamped to
+    ``[0, hl-2]`` so the slice stays in bounds, and each patch CELL's weight
+    is re-derived from the corner it actually covers after the clamp shift
+    (``s = floor - origin`` in {-1, 0, 1}): a cell receives corner ``dy``'s
+    bilinear weight iff ``s + dy`` lands on it AND that corner is in-grid,
+    else zero — bit-matching the corner formulation's zeroed-weight
+    semantics (tested in tests/test_deform_attn.py).
+
+    ``locations [..., L, P, 2]`` / ``weights [..., L, P]`` -> per level
+    ``(origin [..., P, 2] int32 (y, x), cellw [..., P, 4] f32)`` with cells
+    in (dy, dx) row-major order. Levels must be at least 2x2.
+    """
+    out = []
+    for li, (hl, wl) in enumerate(level_shapes):
+        if hl < 2 or wl < 2:
+            raise ValueError(
+                f"patch gather needs level >= 2x2, got {(hl, wl)}"
+            )
+        loc = locations[..., li, :, :]                 # [..., P, 2]
+        x = loc[..., 0] * wl - 0.5
+        y = loc[..., 1] * hl - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        ox = jnp.clip(x0, 0, wl - 2)
+        oy = jnp.clip(y0, 0, hl - 2)
+        sx = x0 - ox                                   # in {-1, 0, 1}
+        sy = y0 - oy
+
+        def axis_cells(s, f, c0, size):
+            # cell weight along one axis: cells (0, 1) of the clamped
+            # patch; corner d in (0, 1) has weight (1-f, f) and grid
+            # coordinate c0 + d.
+            cells = []
+            for a in (0, 1):
+                acc = 0.0
+                for dcorner in (0, 1):
+                    wgt = f if dcorner else 1.0 - f
+                    hit = (s + dcorner == a) & (c0 + dcorner >= 0) & (
+                        c0 + dcorner < size
+                    )
+                    acc = acc + jnp.where(hit, wgt, 0.0)
+                cells.append(acc)
+            return cells                               # ([...], [...])
+
+        cy = axis_cells(sy, fy, y0, hl)
+        cx = axis_cells(sx, fx, x0, wl)
+        aw = weights[..., li, :]                       # [..., P]
+        cellw = jnp.stack(
+            [cy[a] * cx[b_] * aw for a in (0, 1) for b_ in (0, 1)],
+            axis=-1,
+        )                                              # [..., P, 4]
+        origin = jnp.stack([oy, ox], axis=-1)          # [..., P, 2]
+        out.append((origin, cellw))
+    return out
+
+
+def ms_deform_attn_patch(
+    values: jnp.ndarray,       # [B, N, H, D] level-concatenated tokens
+    level_shapes: Sequence[Tuple[int, int]],
+    locations: jnp.ndarray,    # [B, Q, H, L, P, 2], or [B, Q, L, P, 2] when
+                               #   sampling locations are SHARED across heads
+    weights: jnp.ndarray,      # [B, Q, H, L, P]
+    query_chunk: int = 2048,
+) -> jnp.ndarray:              # [B, Q, H, D] (f32)
+    """Patch-gather formulation of whole-batch deformable attention — same
+    math as ``ms_deform_attn_batched`` (exact to grid_sample zero-padding
+    semantics), restructured for the TPU gather lowering's measured cost
+    model (per-index, scalar-granularity — KERNELS.md "Deformable
+    attention, part 2"):
+
+    - each (level, point) sample is ONE ``lax.gather`` start fetching a
+      contiguous ``[2, 2, D]`` corner patch from that level's ``[BH, hl,
+      wl, D]`` grid — 4x fewer indices than the flat form, full-lane rows;
+    - with ``locations`` lacking the head axis (head-SHARED sampling, a
+      config-gated model variant), the level grids keep all heads in the
+      row (``[B, hl, wl, H*D]``) — 4*H x fewer indices, 2 KB rows — and
+      only the attention weights stay per-head;
+    - the query axis is chunked exactly like the flat form so gathered
+      patches stay bounded on the encoder's ~14k-token query axis.
+    """
+    b, n, h, d = values.shape
+    q = locations.shape[1]
+    shared = locations.ndim == 5
+    offsets, total = level_start_offsets(level_shapes)
+    if total != n:
+        raise ValueError(
+            f"level_shapes {tuple(level_shapes)} sum to {total} tokens, "
+            f"values carry {n}"
+        )
+    p = locations.shape[-2]
+
+    # Per-level spatial grids. Shared: [B, hl, wl, H*D] (heads ride the
+    # row); per-head: [B*H, hl, wl, D].
+    grids = []
+    for li, (hl, wl) in enumerate(level_shapes):
+        vl = values[:, offsets[li]:offsets[li] + hl * wl]  # [B, hw, H, D]
+        if shared:
+            grids.append(vl.reshape(b, hl, wl, h * d))
+        else:
+            grids.append(
+                vl.reshape(b, hl, wl, h, d)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(b * h, hl, wl, d)
+            )
+
+    # Per-level origin/cellw ONCE on the full query axis (cheap VPU math),
+    # then chunk those tensors — nothing index-related is re-derived inside
+    # lax.map. Shared layout: geometry is head-free (unit weights in), the
+    # per-head attention weights fold in afterwards by broadcast.
+    if shared:
+        geo = _patch_origin_cellweight(
+            locations, jnp.ones(locations.shape[:-1], jnp.float32),
+            level_shapes,
+        )
+        origins = [o for o, _ in geo]          # [B, Q, P, 2] each
+        cellws = [
+            cw[:, :, None, :, :] * weights[:, :, :, li, :, None]
+            for li, (_, cw) in enumerate(geo)
+        ]                                      # [B, Q, H, P, 4] each
+    else:
+        per_level = _patch_origin_cellweight(
+            locations, weights, level_shapes
+        )
+        origins = [o for o, _ in per_level]    # [B, Q, H, P, 2] each
+        cellws = [cw for _, cw in per_level]   # [B, Q, H, P, 4] each
+
+    rows = b if shared else b * h
+    bidx = jnp.arange(rows, dtype=jnp.int32)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+
+    def chunk_fn(args):
+        # origins[li]: shared [B, c, P, 2]; per-head [B, c, H, P, 2].
+        # cellws: [B, c, H, P, 4] either way (weights are always per-head;
+        # in the shared layout _patch_origin_cellweight broadcast the
+        # head-free locations against the per-head attention weights).
+        origins, cellws = args
+        c = origins[0].shape[1]
+        acc = 0.0
+        for li, _ in enumerate(level_shapes):
+            og = origins[li]
+            if shared:
+                og = og.reshape(b, c * p, 2)
+            else:
+                og = og.transpose(0, 2, 1, 3, 4).reshape(b * h, c * p, 2)
+            starts = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        bidx[:, None, None], (rows, og.shape[1], 1)
+                    ),
+                    og,
+                ],
+                axis=-1,
+            )
+            g = jax.lax.gather(
+                grids[li], starts, dnums,
+                (1, 2, 2, grids[li].shape[-1]),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )                               # [rows, cP, 2, 2, lastdim]
+            if shared:
+                g = g.reshape(b, c, p, 4, h, d)
+                acc = acc + jnp.einsum(
+                    "bqhpc,bqpchd->bqhd", cellws[li], g,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                g = g.reshape(b, h, c, p, 4, d)
+                acc = acc + jnp.einsum(
+                    "bqhpc,bhqpcd->bqhd", cellws[li], g,
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    if q <= query_chunk:
+        return chunk_fn((origins, cellws))
+
+    nc = -(-q // query_chunk)
+    pad = nc * query_chunk - q
+
+    def split(t):
+        t = jnp.pad(
+            t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2)
+        )
+        return t.reshape(
+            (t.shape[0], nc, query_chunk) + t.shape[2:]
+        ).transpose((1, 0, 2) + tuple(range(3, t.ndim + 1)))
+
+    og_c = [split(o) for o in origins]
+    cw_c = [split(cw) for cw in cellws]
+    out = jax.lax.map(jax.checkpoint(chunk_fn), (og_c, cw_c))
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, nc * query_chunk, h, d)
+    return out[:, :q]
+
+
 def level_reference_points(
     level_shapes: Sequence[Tuple[int, int]],
 ) -> jnp.ndarray:
