@@ -60,11 +60,18 @@ run_pending() {
   step tier_test_vitdet 1800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_vitdet_step_and_predict_on_tpu" -m tpu -x -q || return 1
   step q15a 1800 $BM --preset coco_vitdet_b --mode infer --batch-size 16 --iters 10 || return 1
   step q15b 1800 $BM --preset coco_vitdet_b --mode train --batch-size 8 --iters 8 || return 1
+  # Deformable gather A/B at the MODEL level (commit 5d48926): the patch
+  # formulation (4x fewer indices, exact) and the head-shared variant
+  # (4*H x fewer, config-gated model change) vs the recorded flat 0.54
+  # img/s/chip. Generous timeouts: the flat run took 24 min wall.
+  step q14patch 2400 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 --set deformable_detr.sampling_gather=patch || return 1
+  step q14shared 2400 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 --set deformable_detr.sampling_gather=patch --set deformable_detr.shared_sampling_locations=True || return 1
+  step q14btrain_patch 2400 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 --set deformable_detr.sampling_gather=patch || return 1
   return 0
 }
 
 all_done() {
-  for id in q14trace gmb tier_test_vitdet q15a q15b; do
+  for id in q14trace gmb tier_test_vitdet q15a q15b q14patch q14shared q14btrain_patch; do
     [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || return 1
   done
   return 0
