@@ -64,6 +64,7 @@ run_pending() {
   # formulation (4x fewer indices, exact) and the head-shared variant
   # (4*H x fewer, config-gated model change) vs the recorded flat 0.54
   # img/s/chip. Generous timeouts: the flat run took 24 min wall.
+  step tier_test_ddetr_patch 1800 env TPUDET_TEST_TPU=1 python -m pytest "tests/test_tpu.py::test_deformable_patch_gather_matches_flat_on_tpu" -m tpu -x -q || return 1
   step q14patch 2400 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 --set deformable_detr.sampling_gather=patch || return 1
   step q14shared 2400 $BM --preset coco_deformable_detr_r50 --mode infer --batch-size 16 --iters 10 --set deformable_detr.sampling_gather=patch --set deformable_detr.shared_sampling_locations=True || return 1
   step q14btrain_patch 2400 $BM --preset coco_deformable_detr_r50 --mode train --batch-size 8 --iters 8 --set deformable_detr.sampling_gather=patch || return 1
@@ -71,7 +72,7 @@ run_pending() {
 }
 
 all_done() {
-  for id in q14trace gmb tier_test_vitdet q15a q15b q14patch q14shared q14btrain_patch; do
+  for id in q14trace gmb tier_test_vitdet q15a q15b tier_test_ddetr_patch q14patch q14shared q14btrain_patch; do
     [ -e "$D/$id" ] || [ -e "$D/$id.skip" ] || return 1
   done
   return 0

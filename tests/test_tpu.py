@@ -733,6 +733,46 @@ def test_detr_step_and_predict_on_tpu():
     assert np.isfinite(out["boxes"]).all()
 
 
+def test_deformable_patch_gather_matches_flat_on_tpu(rng):
+    """Patch-gather vs flat-gather deformable sampling ON THE CHIP at
+    mid-size multi-level shapes (r3 lesson: TPU gather lowering depends on
+    SHAPES — the CPU equivalence tests cannot see expander rewrites). Also
+    pins the head-shared layout against flat with broadcast locations."""
+    from tpudet.ops.deform_attn import (
+        ms_deform_attn_batched,
+        ms_deform_attn_patch,
+    )
+
+    level_shapes = ((52, 52), (26, 26), (13, 13), (7, 7))
+    n = sum(h * w for h, w in level_shapes)
+    b, q, heads, p, d = 2, n, 8, 4, 32
+    values = rng.normal(0, 1, (b, n, heads, d)).astype(np.float32)
+    loc = rng.uniform(
+        -0.2, 1.2, (b, q, heads, len(level_shapes), p, 2)
+    ).astype(np.float32)
+    w = rng.random((b, q, heads, len(level_shapes), p)).astype(np.float32)
+
+    vj, lj, wj = jnp.asarray(values), jnp.asarray(loc), jnp.asarray(w)
+    want = np.asarray(jax.device_get(jax.jit(
+        lambda v, l, ww: ms_deform_attn_batched(v, level_shapes, l, ww)
+    )(vj, lj, wj)))
+    got = np.asarray(jax.device_get(jax.jit(
+        lambda v, l, ww: ms_deform_attn_patch(v, level_shapes, l, ww)
+    )(vj, lj, wj)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    loc_shared = jnp.asarray(loc[:, :, 0])
+    want_s = np.asarray(jax.device_get(jax.jit(
+        lambda v, l, ww: ms_deform_attn_batched(
+            v, level_shapes,
+            jnp.broadcast_to(l[:, :, None], lj.shape), ww)
+    )(vj, loc_shared, wj)))
+    got_s = np.asarray(jax.device_get(jax.jit(
+        lambda v, l, ww: ms_deform_attn_patch(v, level_shapes, l, ww)
+    )(vj, loc_shared, wj)))
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-4)
+
+
 def test_deformable_detr_step_and_predict_on_tpu():
     """Deformable DETR on the real chip: multi-scale deformable attention
     (the fused XLA gather path — KERNELS.md treatment row), the sparse
