@@ -1,0 +1,103 @@
+"""One-hot MXU deformable-attention kernel (kernels/deform_attn_mxu.py):
+interpret-mode equivalence against the flat-gather formulation (the
+numerical oracle, itself oracle-fuzzed in test_deformable_detr.py), forward
+and backward, including out-of-grid zero-padding cases and query padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudet.kernels.deform_attn_mxu import ms_deform_attn_mxu
+from tpudet.ops.deform_attn import ms_deform_attn_batched
+
+
+def _rand_case(seed, b=2, q=13, heads=2, p=3, d=8,
+               level_shapes=((6, 8), (3, 4), (2, 2)), span=0.4):
+    rng = np.random.RandomState(seed)
+    n = sum(h * w for h, w in level_shapes)
+    values = rng.randn(b, n, heads, d).astype(np.float32)
+    locations = rng.uniform(
+        -span, 1.0 + span, size=(b, q, heads, len(level_shapes), p, 2)
+    ).astype(np.float32)
+    weights = rng.rand(b, q, heads, len(level_shapes), p).astype(np.float32)
+    return level_shapes, values, locations, weights
+
+
+def test_mxu_forward_matches_flat():
+    """Forward equality incl. boundary and fully out-of-grid samples, and a
+    query count that forces tile padding (q=13 with the default tile)."""
+    level_shapes, values, locations, weights = _rand_case(0)
+    want = np.asarray(ms_deform_attn_batched(
+        jnp.asarray(values), level_shapes, jnp.asarray(locations),
+        jnp.asarray(weights),
+    ))
+    got = np.asarray(ms_deform_attn_mxu(
+        jnp.asarray(values), level_shapes, jnp.asarray(locations),
+        jnp.asarray(weights), interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mxu_forward_bf16_values():
+    """bf16 values: the 0/1 selection is exact in bf16, so the kernel must
+    agree with the flat path run on the same bf16 values at f32-weight
+    tolerances (not bf16 tolerances)."""
+    level_shapes, values, locations, weights = _rand_case(1)
+    vb = jnp.asarray(values, jnp.bfloat16)
+    want = np.asarray(ms_deform_attn_batched(
+        vb, level_shapes, jnp.asarray(locations), jnp.asarray(weights),
+    ))
+    got = np.asarray(ms_deform_attn_mxu(
+        vb, level_shapes, jnp.asarray(locations), jnp.asarray(weights),
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mxu_small_tile_multiple_tiles():
+    """query_tile smaller than Q exercises the grid's query axis and the
+    backward's cross-tile dV accumulation."""
+    level_shapes, values, locations, weights = _rand_case(2, q=11)
+    want = np.asarray(ms_deform_attn_batched(
+        jnp.asarray(values), level_shapes, jnp.asarray(locations),
+        jnp.asarray(weights),
+    ))
+    got = np.asarray(ms_deform_attn_mxu(
+        jnp.asarray(values), level_shapes, jnp.asarray(locations),
+        jnp.asarray(weights), query_tile=8, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mxu_gradients_match_flat():
+    """Full VJP (values, locations, weights) against jax.grad of the flat
+    formulation — the kernel's backward recomputes selections on the MXU
+    and chains through the XLA weight prologue."""
+    level_shapes, values, locations, weights = _rand_case(
+        3, b=1, q=7, heads=2, p=2, d=8, level_shapes=((5, 6), (3, 3))
+    )
+    vj = jnp.asarray(values)
+    lj = jnp.asarray(locations)
+    wj = jnp.asarray(weights)
+
+    def loss_flat(v, l, w):
+        out = ms_deform_attn_batched(v, level_shapes, l, w)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    def loss_mxu(v, l, w):
+        out = ms_deform_attn_mxu(
+            v, level_shapes, l, w, query_tile=8, interpret=True
+        )
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    gv_f, gl_f, gw_f = jax.grad(loss_flat, argnums=(0, 1, 2))(vj, lj, wj)
+    gv_m, gl_m, gw_m = jax.grad(loss_mxu, argnums=(0, 1, 2))(vj, lj, wj)
+    np.testing.assert_allclose(
+        np.asarray(gv_m), np.asarray(gv_f), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_m), np.asarray(gw_f), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gl_m), np.asarray(gl_f), rtol=1e-4, atol=1e-4
+    )

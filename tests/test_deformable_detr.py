@@ -347,6 +347,16 @@ def test_patch_gather_model_parity_and_shared_variant():
         rtol=1e-4, atol=1e-5,
     )
 
+    # "mxu" wiring: off-TPU it dispatches to the flat fallback, so the
+    # result must be bit-comparable under the same params (the kernel
+    # itself is equivalence-tested in tests/test_deform_attn_mxu.py and
+    # on-chip in tests/test_tpu.py).
+    cfg_mxu = base.replace(deformable_detr=dataclasses.replace(
+        base.deformable_detr, sampling_gather="mxu"))
+    m_mxu = build_model(cfg_mxu)
+    loss_m, _ = m_mxu.loss(v, batch, jax.random.key(1))
+    assert float(loss_m) == pytest.approx(float(loss_f), rel=1e-6)
+
     cfg_shared = base.replace(deformable_detr=dataclasses.replace(
         base.deformable_detr, sampling_gather="patch",
         shared_sampling_locations=True))

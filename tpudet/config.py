@@ -703,11 +703,14 @@ class DeformableDETRConfig:
     # Inference: top-k over the flattened (query, class) sigmoid scores.
     score_thresh: float = 0.05
     max_detections: int = 100
-    # Bilinear-sampling gather formulation — "flat" (rank-2 embedding-style
-    # lookup, one 64 B row per corner) or "patch" (one 2x2 corner patch per
-    # sample: 4x fewer gather indices, full-lane rows). Exact-equivalent
-    # math (tests/test_deformable_detr.py); the default follows the chip
-    # microbench (KERNELS.md "Deformable attention, part 2/3").
+    # Bilinear-sampling formulation — "flat" (rank-2 embedding-style XLA
+    # gather, one 64 B row per corner), "patch" (one 2x2 corner patch per
+    # sample: 4x fewer gather indices), or "mxu" (one-hot matmul Pallas
+    # kernel, kernels/deform_attn_mxu.py — no gathers at all; falls back
+    # to "flat" off-TPU). All exact-equivalent math
+    # (tests/test_deformable_detr.py, test_deform_attn_mxu.py); the
+    # default follows the chip adjudication (KERNELS.md "Deformable
+    # attention" series).
     sampling_gather: str = "flat"
     # Share sampling locations across attention heads (Lite-DETR-style
     # efficiency variant, 4*H x fewer gather indices; attention weights

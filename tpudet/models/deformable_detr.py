@@ -176,7 +176,23 @@ class MSDeformAttn(nn.Module):
         # gather's batching dims trip XLA's TPU gather expander into a
         # one-hot contraction — a 30 GB HBM OOM at the COCO b=16 decoder
         # (see ops/deform_attn.py::ms_deform_attn_batched).
-        if self.gather == "patch":
+        if self.gather == "mxu":
+            # One-hot MXU kernel (kernels/deform_attn_mxu.py) on TPU
+            # lowering; the flat gather is its exact-math fallback
+            # elsewhere (CPU tests, mixed-platform exports) — the same
+            # dispatch policy as every kernel in tpudet.kernels.
+            from tpudet import kernels as K
+            from tpudet.kernels.deform_attn_mxu import ms_deform_attn_mxu
+
+            if K.on_tpu_lowering():
+                out = ms_deform_attn_mxu(
+                    value, level_shapes, locations=loc, weights=attn,
+                )
+            else:
+                out = ms_deform_attn_batched(
+                    value, level_shapes, locations=loc, weights=attn,
+                )
+        elif self.gather == "patch":
             out = ms_deform_attn_patch(
                 value, level_shapes, locations=loc, weights=attn,
             )
