@@ -39,14 +39,24 @@ BASELINE_IMAGES_PER_SEC_PER_CHIP = 1500.0 / 8.0
 
 
 def _vs_baseline(cfg, per_chip: float) -> dict:
-    """The BASELINE target governs the FLAGSHIP (Faster R-CNN) only —
-    emitting a ratio against it for other families invited misreading in
-    both directions (VERDICT r3 weak #6), so they get no such field."""
-    if cfg.model != "faster_rcnn":
+    """The BASELINE target governs the FLAGSHIP (Faster R-CNN on a ResNet
+    backbone) only — emitting a ratio against it for other families OR
+    other backbones (ViTDet runs the faster_rcnn pipeline but is its own
+    family for benchmarking) invited misreading in both directions
+    (VERDICT r3 weak #6), so they get no such field."""
+    if _family(cfg) != "faster_rcnn":
         return {}
     return {
         "vs_baseline": round(per_chip / BASELINE_IMAGES_PER_SEC_PER_CHIP, 4)
     }
+
+
+def _family(cfg) -> str:
+    """Benchmark family label: the model name, except ViT-backbone
+    Faster R-CNN configs report as their own ``vitdet`` family."""
+    if cfg.model == "faster_rcnn" and cfg.backbone.name.startswith("vit"):
+        return "vitdet"
+    return cfg.model
 
 
 def _make_batch(cfg, batch_size: int):
@@ -128,7 +138,7 @@ def bench_infer(cfg, batch_size: int, iters: int) -> dict:
     # device_count() would under-report by 8x on a v5e-8 host).
     per_chip = ips
     return {
-        "metric": f"{cfg.model}_infer_images_per_sec_per_chip",
+        "metric": f"{_family(cfg)}_infer_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         **_vs_baseline(cfg, per_chip),
@@ -180,7 +190,7 @@ def bench_infer_stream(cfg, batch_size: int, num_batches: int = 20) -> dict:
     ips = batch_size / sec
     per_chip = ips  # mesh-less single-chip step; see bench_infer
     return {
-        "metric": f"{cfg.model}_infer_stream_images_per_sec_per_chip",
+        "metric": f"{_family(cfg)}_infer_stream_images_per_sec_per_chip",
         "value": round(per_chip, 2),
         "unit": "images/sec/chip",
         **_vs_baseline(cfg, per_chip),
@@ -216,7 +226,7 @@ def bench_train(cfg, batch_size: int, iters: int) -> dict:
     sec = _timeit(run, iters)
     ips = batch_size / sec
     return {
-        "metric": f"{cfg.model}_train_images_per_sec",
+        "metric": f"{_family(cfg)}_train_images_per_sec",
         "value": round(ips, 2),
         "unit": "images/sec",
         "batch_size": batch_size,
