@@ -75,18 +75,21 @@ def _fwd_kernel(v_ref, y0_ref, x0_ref, wy_ref, wx_ref, out_ref,
     wy = wy_ref[0, 0]                              # [sp, 2] f32
     wx = wx_ref[0, 0]                              # [sp, 2] f32
 
-    row_y = jax.lax.broadcasted_iota(fdt, (sp, hlpad), 1)
-    s0 = (row_y == y0).astype(v.dtype)             # 0/1 exact in any dtype
-    s1 = (row_y == y0 + 1.0).astype(v.dtype)
+    # Mosaic's tpu.iota is integer-only — compare in int32 (the f32
+    # inputs hold exact small integers; truncation is exact for them).
+    row_y = jax.lax.broadcasted_iota(jnp.int32, (sp, hlpad), 1)
+    y0i = y0.astype(jnp.int32)
+    s0 = (row_y == y0i).astype(v.dtype)            # 0/1 exact in any dtype
+    s1 = (row_y == y0i + 1).astype(v.dtype)
     r0 = jnp.dot(s0, v, preferred_element_type=fdt)   # [sp, WDpad]
     r1 = jnp.dot(s1, v, preferred_element_type=fdt)
     ry = wy[:, 0:1] * r0 + wy[:, 1:2] * r1
 
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (sp, wdpad), 1) // d
-    lane_x = lane_x.astype(fdt)
+    x0i = x0.astype(jnp.int32)
     xexp = (
-        jnp.where(lane_x == x0, wx[:, 0:1], 0.0)
-        + jnp.where(lane_x == x0 + 1.0, wx[:, 1:2], 0.0)
+        jnp.where(lane_x == x0i, wx[:, 0:1], 0.0)
+        + jnp.where(lane_x == x0i + 1, wx[:, 1:2], 0.0)
     )
     pm = ry * xexp                                 # [sp, WDpad] f32
 
@@ -125,17 +128,18 @@ def _bwd_kernel(v_ref, y0c_ref, y0r_ref, x0_ref, wy_ref, wx_ref, g_ref,
     def _():
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    row_y = jax.lax.broadcasted_iota(fdt, (sp, hlpad), 1)
-    s0 = (row_y == y0).astype(v.dtype)
-    s1 = (row_y == y0 + 1.0).astype(v.dtype)
+    row_y = jax.lax.broadcasted_iota(jnp.int32, (sp, hlpad), 1)
+    y0i = y0.astype(jnp.int32)
+    s0 = (row_y == y0i).astype(v.dtype)
+    s1 = (row_y == y0i + 1).astype(v.dtype)
     r0 = jnp.dot(s0, v, preferred_element_type=fdt)
     r1 = jnp.dot(s1, v, preferred_element_type=fdt)
     ry = wy[:, 0:1] * r0 + wy[:, 1:2] * r1
 
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (sp, wdpad), 1) // d
-    lane_x = lane_x.astype(fdt)
-    h0 = lane_x == x0
-    h1 = lane_x == x0 + 1.0
+    x0i = x0.astype(jnp.int32)
+    h0 = lane_x == x0i
+    h1 = lane_x == x0i + 1
     xexp = jnp.where(h0, wx[:, 0:1], 0.0) + jnp.where(h1, wx[:, 1:2], 0.0)
 
     # dT[s, d] = g[s // P, d]  (M2^T), then dP = dT @ M^T.
@@ -167,9 +171,10 @@ def _bwd_kernel(v_ref, y0c_ref, y0r_ref, x0_ref, wy_ref, wx_ref, g_ref,
 
     # dV += S0^T @ (wy0 . dRy) + S1^T @ (wy1 . dRy); the transposed selects
     # are built directly from the row-layout y0 (no in-kernel transpose).
-    col_y = jax.lax.broadcasted_iota(fdt, (hlpad, sp), 0)
-    s0t = (col_y == y0r).astype(fdt)
-    s1t = (col_y == y0r + 1.0).astype(fdt)
+    col_y = jax.lax.broadcasted_iota(jnp.int32, (hlpad, sp), 0)
+    y0ri = y0r.astype(jnp.int32)
+    s0t = (col_y == y0ri).astype(fdt)
+    s1t = (col_y == y0ri + 1).astype(fdt)
     dv_ref[0] += (
         jnp.dot(s0t, wy[:, 0:1] * dry, preferred_element_type=fdt)
         + jnp.dot(s1t, wy[:, 1:2] * dry, preferred_element_type=fdt)
