@@ -1,7 +1,21 @@
 """One-hot MXU deformable-attention kernel (kernels/deform_attn_mxu.py):
 interpret-mode equivalence against the flat-gather formulation (the
 numerical oracle, itself oracle-fuzzed in test_deformable_detr.py), forward
-and backward, including out-of-grid zero-padding cases and query padding."""
+and backward, including out-of-grid zero-padding cases and query padding.
+
+Tolerance design (round-5 re-tolerance, with the error bound): the kernel
+represents every f32 MXU operand as hi + lo bf16 parts (the chip's MXU
+rounds single-pass operands to bf16 — KERNELS.md "Deformable attention,
+part 4"), so each value carries relative error <= 2^-9 * 2^-9 = 2^-18
+(~3.8e-6); products against 0/1 matrices are exact and accumulation is
+f32. An output element sums 4 corner terms per point over P points with
+|term| bounded by ~|v|max * w <= ~4 on these unit-normal cases, giving
+abs error <= ~P*4*4*2^-18 ~ 2e-4 worst-case and ~7e-6 observed. The
+asserts use atol=5e-5 / rtol=1e-3 (relative blows up only under
+cancellation, which atol covers). Interpret mode executes the SAME hi/lo
+split as the chip, so these tolerances are the design contract, not a
+hardware fudge.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +49,7 @@ def test_mxu_forward_matches_flat():
         jnp.asarray(values), level_shapes, jnp.asarray(locations),
         jnp.asarray(weights), interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
 
 
 def test_mxu_forward_bf16_values():
@@ -51,7 +65,7 @@ def test_mxu_forward_bf16_values():
         vb, level_shapes, jnp.asarray(locations), jnp.asarray(weights),
         interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
 
 
 def test_mxu_small_tile_multiple_tiles():
@@ -66,7 +80,7 @@ def test_mxu_small_tile_multiple_tiles():
         jnp.asarray(values), level_shapes, jnp.asarray(locations),
         jnp.asarray(weights), query_tile=8, interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
 
 
 def test_mxu_gradients_match_flat():

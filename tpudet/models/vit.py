@@ -250,7 +250,11 @@ class SimpleFeaturePyramid(nn.Module):
                 name="up2_deconv",
             )(x),
             "p4": x,
-            "p5": nn.max_pool(x, (1, 1), strides=(2, 2), padding="VALID"),
+            # Paper §A.2 / detectron2 SimpleFeaturePyramid: a real 2x2
+            # stride-2 max pool for the 1/2-scale map. SAME padding keeps
+            # the ceil(H/2) output contract for odd grids (identical to
+            # VALID on the even patch grids the presets produce).
+            "p5": nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME"),
         }
         outs = {}
         for name, y in scaled.items():

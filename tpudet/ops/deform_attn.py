@@ -211,7 +211,8 @@ def _patch_origin_cellweight(locations, weights, level_shapes):
     (``s = floor - origin`` in {-1, 0, 1}): a cell receives corner ``dy``'s
     bilinear weight iff ``s + dy`` lands on it AND that corner is in-grid,
     else zero — bit-matching the corner formulation's zeroed-weight
-    semantics (tested in tests/test_deform_attn.py).
+    semantics (tested in tests/test_deformable_detr.py::
+    test_ms_deform_attn_patch_matches_flat and tests/test_deform_attn_mxu.py).
 
     ``locations [..., L, P, 2]`` / ``weights [..., L, P]`` -> per level
     ``(origin [..., P, 2] int32 (y, x), cellw [..., P, 4] f32)`` with cells
@@ -392,16 +393,30 @@ def ms_deform_attn_patch(
     pad = nc * query_chunk - q
 
     def split(t):
+        # Chunk-MINOR residual layout [nc, B, ...rest, c]: the train path
+        # saves the whole stacked lax.map operands as backward residuals,
+        # and the natural [nc, B, c, H, P, 4|2] layout puts the size-4/2
+        # dims tile-minor — 32x HBM padding expansion, the q14btrain_patch
+        # OOM (KERNELS.md "Deformable attention, part 4"). With the query
+        # chunk minor the arrays tile densely; the per-chunk moveaxis back
+        # is a transient inside the (checkpointed) map body.
         t = jnp.pad(
             t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2)
         )
-        return t.reshape(
-            (t.shape[0], nc, query_chunk) + t.shape[2:]
-        ).transpose((1, 0, 2) + tuple(range(3, t.ndim + 1)))
+        r = t.reshape((t.shape[0], nc, query_chunk) + t.shape[2:])
+        return r.transpose((1, 0) + tuple(range(3, r.ndim)) + (2,))
 
     og_c = [split(o) for o in origins]
     cw_c = [split(cw) for cw in cellws]
-    out = jax.lax.map(jax.checkpoint(chunk_fn), (og_c, cw_c))
+
+    def chunk_fn_cminor(args):
+        og, cw = args
+        return chunk_fn((
+            [jnp.moveaxis(o, -1, 1) for o in og],
+            [jnp.moveaxis(w, -1, 1) for w in cw],
+        ))
+
+    out = jax.lax.map(jax.checkpoint(chunk_fn_cminor), (og_c, cw_c))
     out = out.transpose(1, 0, 2, 3, 4).reshape(b, nc * query_chunk, h, d)
     return out[:, :q]
 
