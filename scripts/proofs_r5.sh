@@ -15,6 +15,7 @@ rm -rf /tmp/ddetr_shared_proof
 TPUDET_PLATFORM=cpu timeout 86400 python -m tpudet.cli.train \
   --preset deformable_detr_tiny --dataset synthetic --steps 20000 \
   --batch-size 8 --seed 0 --no-mesh \
+  --set deformable_detr.sampling_gather=patch \
   --set deformable_detr.shared_sampling_locations=True \
   --set train.checkpoint_every=5000 \
   --checkpoint-dir /tmp/ddetr_shared_proof >> "$log" 2>&1
@@ -23,6 +24,7 @@ echo "== train done rc=$? ($(date -u +%FT%TZ))" | tee -a "$log"
 echo "== eval ($(date -u +%FT%TZ))" | tee -a "$log"
 TPUDET_PLATFORM=cpu timeout 10800 python -m tpudet.cli.eval \
   --preset deformable_detr_tiny --dataset synthetic \
+  --set deformable_detr.sampling_gather=patch \
   --set deformable_detr.shared_sampling_locations=True \
   --checkpoint-dir /tmp/ddetr_shared_proof --max-images 512 --batch-size 8 \
   --no-mesh --metric voc >> "$log" 2>&1
