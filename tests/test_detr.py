@@ -96,6 +96,62 @@ def test_hungarian_greedy_trap_and_padded_rows():
         hungarian(jnp.zeros((3, 2)))
 
 
+def test_hungarian_masked_vs_scipy_fuzz():
+    """hungarian_masked: optimal over the VALID rows only (scattered
+    anywhere in the matrix, not just a prefix), sentinel C for invalid
+    rows, injective among valid matches — total cost equals scipy on the
+    valid sub-matrix. Also: zero-valid and all-valid edge cases, and the
+    while_loop trip count must not depend on padding (vmap lockstep)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from tpudet.ops.hungarian import hungarian_masked
+
+    solve = jax.jit(hungarian_masked)
+    rng = np.random.RandomState(2)
+    for trial in range(40):
+        r = rng.randint(1, 12)
+        c = rng.randint(r, 15)
+        if trial % 3 == 0:
+            cost = rng.randint(0, 4, (r, c)).astype(np.float32)
+        else:
+            cost = (rng.randn(r, c) * 10).astype(np.float32)
+        valid = rng.rand(r) < 0.6
+        col = np.asarray(solve(jnp.asarray(cost), jnp.asarray(valid)))
+        assert (col[~valid] == c).all()
+        vcols = col[valid]
+        assert len(set(vcols.tolist())) == valid.sum()
+        if valid.any():
+            sub = cost[valid]
+            ri, ci = linear_sum_assignment(sub)
+            got = sub[np.arange(valid.sum()), vcols].sum()
+            assert got == pytest.approx(sub[ri, ci].sum(), abs=1e-3), trial
+
+    # all-valid == plain hungarian total cost
+    cost = (np.random.RandomState(3).randn(8, 10) * 5).astype(np.float32)
+    col_m = np.asarray(solve(jnp.asarray(cost), jnp.ones(8, bool)))
+    col_p = np.asarray(hungarian(jnp.asarray(cost)))
+    assert cost[np.arange(8), col_m].sum() == pytest.approx(
+        cost[np.arange(8), col_p].sum(), abs=1e-3
+    )
+    # zero-valid: all sentinel
+    col0 = np.asarray(solve(jnp.asarray(cost), jnp.zeros(8, bool)))
+    assert (col0 == 10).all()
+
+    # vmapped (the set-loss usage): lockstep across a batch of masks
+    costs = np.random.RandomState(4).randn(5, 7, 9).astype(np.float32) * 3
+    valids = np.random.RandomState(5).rand(5, 7) < 0.5
+    cols = np.asarray(jax.jit(jax.vmap(hungarian_masked))(
+        jnp.asarray(costs), jnp.asarray(valids)))
+    for b in range(5):
+        v = valids[b]
+        assert (cols[b][~v] == 9).all()
+        if v.any():
+            sub = costs[b][v]
+            ri, ci = linear_sum_assignment(sub)
+            got = sub[np.arange(v.sum()), cols[b][v]].sum()
+            assert got == pytest.approx(sub[ri, ci].sum(), abs=1e-3)
+
+
 def test_sine_embedding_padding_invariance():
     """The embedding over the VALID region must be identical no matter how
     much canvas padding surrounds it (the mask-cumsum normalization keys on

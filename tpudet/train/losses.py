@@ -238,11 +238,11 @@ def detr_set_loss(
     class-prob + L1 + GIoU cost, then CE over ALL queries (no-object
     down-weighted by ``eos_coef``) + L1 + (1 − GIoU) on the matched pairs.
 
-    Static shapes throughout: the padded GT rows enter the cost matrix with
-    CONSTANT cost (indifferent across queries — see ops/hungarian.py for
-    why that cannot perturb the real matches) and are masked out of the box
-    terms; their matched queries scatter class 0, the same no-object target
-    every unmatched query gets.
+    Static shapes throughout: padded GT rows are excluded from the
+    matching itself (``hungarian_masked`` processes valid rows only —
+    their sentinel matches are dropped by the class scatter and masked
+    out of the box terms), so the matcher's sequential trip count scales
+    with the REAL object count, not the padded G.
 
     Returns per-image SUMS (``ce_sum, ce_weight_sum, l1_sum, giou_sum,
     num_pos``) so the caller can apply the paper's batch-level
@@ -267,13 +267,18 @@ def detr_set_loss(
     )
     cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
     cost = jnp.where(gt_valid[:, None], cost, 0.0)
-    from tpudet.ops.hungarian import hungarian
+    from tpudet.ops.hungarian import hungarian_masked
 
-    match = hungarian(jax.lax.stop_gradient(cost))          # [G] query idx
+    # Valid rows only: the padded-G row scan was the train step's lockstep
+    # latency wall under the (layers x batch) vmap (KERNELS.md "DETR
+    # training"). Invalid rows get the out-of-bounds sentinel Q — the
+    # scatter below drops them; the pred_boxes gather clamps and the box
+    # terms are valid-masked.
+    match = hungarian_masked(jax.lax.stop_gradient(cost), gt_valid)
 
     # --- classification: CE over all queries, eos_coef on no-object -------
     tgt_cls = jnp.zeros((num_queries,), jnp.int32).at[match].set(
-        jnp.where(gt_valid, gt_classes, 0)
+        gt_classes, mode="drop"
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ce = -logp[jnp.arange(num_queries), tgt_cls]
@@ -340,10 +345,10 @@ def deformable_detr_set_loss(
     elements — matched queries target their GT class one-hot, everything
     else zero — plus L1 + (1 − GIoU) on the matched pairs.
 
-    Same static-shape contract as ``detr_set_loss``: padded GT rows enter
-    the cost matrix with constant cost (cannot perturb real matches — see
-    ops/hungarian.py) and are masked out of the box terms; their matched
-    queries keep the all-zero (background) focal target. Returns per-image
+    Same static-shape contract as ``detr_set_loss``: padded GT rows are
+    excluded from the matching (sentinel matches dropped by the scatter,
+    masked out of the box terms); every unmatched query keeps the
+    all-zero (background) focal target. Returns per-image
     SUMS (``focal_sum, l1_sum, giou_sum, num_pos``) for the paper's
     batch-level normalization (every term / total matched pairs)."""
     from tpudet.ops.boxes import (
@@ -351,7 +356,7 @@ def deformable_detr_set_loss(
         elementwise_giou,
         pairwise_giou,
     )
-    from tpudet.ops.hungarian import hungarian
+    from tpudet.ops.hungarian import hungarian_masked
 
     num_queries, num_classes = logits.shape
     logits = logits.astype(jnp.float32)
@@ -375,11 +380,13 @@ def deformable_detr_set_loss(
     )
     cost = cost_class * c_class + cost_bbox * c_bbox + cost_giou * c_giou
     cost = jnp.where(gt_valid[:, None], cost, 0.0)
-    match = hungarian(jax.lax.stop_gradient(cost))           # [G] query idx
+    # Valid rows only (sentinel Q for padding; scatter drops, gather
+    # clamps + valid-masked box terms) — see detr_set_loss.
+    match = hungarian_masked(jax.lax.stop_gradient(cost), gt_valid)
 
     # --- classification: sigmoid focal over every (query, class) ----------
     tgt_cls = jnp.zeros((num_queries,), jnp.int32).at[match].set(
-        jnp.where(gt_valid, gt_classes, 0)
+        gt_classes, mode="drop"
     )
     onehot = (
         jax.nn.one_hot(tgt_cls - 1, num_classes, dtype=jnp.float32)
