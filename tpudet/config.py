@@ -718,6 +718,11 @@ class DeformableDETRConfig:
     # architecture, so off everywhere except explicitly-opted presets.
     # Requires sampling_gather="patch".
     shared_sampling_locations: bool = False
+    # Query-tile height of the one-hot MXU sampling kernel (samples per
+    # grid step = tile * num_points). Larger tiles amortize per-step VPU
+    # mask construction over bigger matmuls at more VMEM per step; 64 is
+    # the chip-adjudicated default (KERNELS.md "Deformable attention" 5).
+    mxu_query_tile: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,6 +84,7 @@ class MSDeformAttn(nn.Module):
     # per-head. A MODEL change (different parameter shapes), so it is a
     # config choice, never a silent default. Requires gather="patch".
     shared_locations: bool = False
+    mxu_query_tile: int = 64
 
     @nn.compact
     def __call__(
@@ -187,6 +188,7 @@ class MSDeformAttn(nn.Module):
             if K.on_tpu_lowering():
                 out = ms_deform_attn_mxu(
                     value, level_shapes, locations=loc, weights=attn,
+                    query_tile=self.mxu_query_tile,
                 )
             else:
                 out = ms_deform_attn_batched(
@@ -221,6 +223,7 @@ class DeformableEncoderLayer(nn.Module):
     dtype: Any
     gather: str = "flat"
     shared_locations: bool = False
+    mxu_query_tile: int = 64
 
     @nn.compact
     def __call__(self, src, pos, ref_xy, valid_tokens, level_shapes,
@@ -228,7 +231,7 @@ class DeformableEncoderLayer(nn.Module):
         attn = MSDeformAttn(
             self.d_model, self.num_heads, self.num_levels, self.num_points,
             self.dtype, self.gather, self.shared_locations,
-            name="deform_attn",
+            self.mxu_query_tile, name="deform_attn",
         )(src + pos, ref_xy, None, src, valid_tokens, level_shapes)
         src = nn.LayerNorm(name="norm1")(
             src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
@@ -254,6 +257,7 @@ class DeformableDecoderLayer(nn.Module):
     dtype: Any
     gather: str = "flat"
     shared_locations: bool = False
+    mxu_query_tile: int = 64
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, ref_xy, ref_wh,
@@ -269,7 +273,7 @@ class DeformableDecoderLayer(nn.Module):
         attn = MSDeformAttn(
             self.d_model, self.num_heads, self.num_levels, self.num_points,
             self.dtype, self.gather, self.shared_locations,
-            name="cross_attn",
+            self.mxu_query_tile, name="cross_attn",
         )(tgt + query_pos, ref_xy, ref_wh, memory, valid_tokens,
           level_shapes)
         tgt = nn.LayerNorm(name="norm2")(
@@ -384,6 +388,7 @@ class DeformableDETRCore(nn.Module):
             ffn_dim=d.ffn_dim, dropout=d.dropout, dtype=dtype,
             gather=d.sampling_gather,
             shared_locations=d.shared_sampling_locations,
+            mxu_query_tile=d.mxu_query_tile,
         )
         self.encoder = [
             DeformableEncoderLayer(**mk(), name=f"enc{i}")

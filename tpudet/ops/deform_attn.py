@@ -393,30 +393,39 @@ def ms_deform_attn_patch(
     pad = nc * query_chunk - q
 
     def split(t):
-        # Chunk-MINOR residual layout [nc, B, ...rest, c]: the train path
-        # saves the whole stacked lax.map operands as backward residuals,
-        # and the natural [nc, B, c, H, P, 4|2] layout puts the size-4/2
-        # dims tile-minor — 32x HBM padding expansion, the q14btrain_patch
-        # OOM (KERNELS.md "Deformable attention, part 4"). With the query
-        # chunk minor the arrays tile densely; the per-chunk moveaxis back
-        # is a transient inside the (checkpointed) map body.
+        # FLATTENED chunk-minor residual layout [nc, B, rest*c]: the train
+        # path saves the whole stacked lax.map operands as backward
+        # residuals, and any layout that puts the size-4/2 trailing dims
+        # tile-minor costs a 32x HBM padding expansion — the
+        # q14btrain_patch OOM (KERNELS.md "Deformable attention, parts
+        # 4–5"). Merely reordering logical dims does NOT fix it (XLA's
+        # layout assignment transposed a [nc, B, ..., c] version right
+        # back, measured on chip); flattening removes every small dim so
+        # no physical layout can pad. The map body reshapes back —
+        # transient, per-chunk, inside the checkpointed region.
         t = jnp.pad(
             t, ((0, 0), (0, pad)) + ((0, 0),) * (t.ndim - 2)
         )
         r = t.reshape((t.shape[0], nc, query_chunk) + t.shape[2:])
-        return r.transpose((1, 0) + tuple(range(3, r.ndim)) + (2,))
+        r = r.transpose((1, 0) + tuple(range(3, r.ndim)) + (2,))
+        return r.reshape(nc, r.shape[1], -1), r.shape[2:]
 
-    og_c = [split(o) for o in origins]
-    cw_c = [split(cw) for cw in cellws]
+    og_c, og_shapes = zip(*(split(o) for o in origins))
+    cw_c, cw_shapes = zip(*(split(cw) for cw in cellws))
+    og_c, cw_c = list(og_c), list(cw_c)
 
-    def chunk_fn_cminor(args):
+    def chunk_fn_flat(args):
         og, cw = args
+
+        def unflatten(t, rest):
+            return jnp.moveaxis(t.reshape((t.shape[0],) + rest), -1, 1)
+
         return chunk_fn((
-            [jnp.moveaxis(o, -1, 1) for o in og],
-            [jnp.moveaxis(w, -1, 1) for w in cw],
+            [unflatten(o, og_shapes[li]) for li, o in enumerate(og)],
+            [unflatten(w, cw_shapes[li]) for li, w in enumerate(cw)],
         ))
 
-    out = jax.lax.map(jax.checkpoint(chunk_fn_cminor), (og_c, cw_c))
+    out = jax.lax.map(jax.checkpoint(chunk_fn_flat), (og_c, cw_c))
     out = out.transpose(1, 0, 2, 3, 4).reshape(b, nc * query_chunk, h, d)
     return out[:, :q]
 
