@@ -719,10 +719,11 @@ class DeformableDETRConfig:
     # Requires sampling_gather="patch".
     shared_sampling_locations: bool = False
     # Query-tile height of the one-hot MXU sampling kernel (samples per
-    # grid step = tile * num_points). Larger tiles amortize per-step VPU
-    # mask construction over bigger matmuls at more VMEM per step; 64 is
-    # the chip-adjudicated default (KERNELS.md "Deformable attention" 5).
-    mxu_query_tile: int = 64
+    # grid step = tile * num_points). Larger tiles amortize per-step
+    # overheads over bigger matmuls at more VMEM per step; 128 is the
+    # chip-adjudicated default (A/B at COCO b=16: infer 6.31 vs 6.11,
+    # train 2.20 vs 2.15 img/s — KERNELS.md "Deformable attention" 5).
+    mxu_query_tile: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
