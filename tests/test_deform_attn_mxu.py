@@ -11,8 +11,9 @@ part 4"), so each value carries relative error <= 2^-9 * 2^-9 = 2^-18
 f32. An output element sums 4 corner terms per point over P points with
 |term| bounded by ~|v|max * w <= ~4 on these unit-normal cases, giving
 abs error <= ~P*4*4*2^-18 ~ 2e-4 worst-case and ~7e-6 observed. The
-asserts use atol=5e-5 / rtol=1e-3 (relative blows up only under
-cancellation, which atol covers). Interpret mode executes the SAME hi/lo
+asserts use atol=2e-4 (the derived worst-case bound, so a reseed of
+the fuzz data cannot produce a spurious failure) / rtol=1e-3 (relative
+blows up only under cancellation, which atol covers). Interpret mode executes the SAME hi/lo
 split as the chip, so these tolerances are the design contract, not a
 hardware fudge.
 """
@@ -49,7 +50,7 @@ def test_mxu_forward_matches_flat():
         jnp.asarray(values), level_shapes, jnp.asarray(locations),
         jnp.asarray(weights), interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
 def test_mxu_forward_bf16_values():
@@ -65,7 +66,7 @@ def test_mxu_forward_bf16_values():
         vb, level_shapes, jnp.asarray(locations), jnp.asarray(weights),
         interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
 def test_mxu_small_tile_multiple_tiles():
@@ -80,7 +81,7 @@ def test_mxu_small_tile_multiple_tiles():
         jnp.asarray(values), level_shapes, jnp.asarray(locations),
         jnp.asarray(weights), query_tile=8, interpret=True,
     ))
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
 def test_mxu_gradients_match_flat():

@@ -313,7 +313,10 @@ def preset_config(name: str) -> Config:
             # automatically. shared_sampling_locations stays off (model
             # fidelity to the paper's per-head sampling; the shared variant
             # measured 6.85 img/s AND beat the per-head synthetic proof
-            # 0.747 vs 0.553 — available as a knob).
+            # 0.747 vs 0.553 — opt in with BOTH
+            # --set deformable_detr.sampling_gather=patch AND
+            # --set deformable_detr.shared_sampling_locations=True;
+            # shared locations require the patch gather).
             deformable_detr=DeformableDETRConfig(with_box_refine=True,
                                                  sampling_gather="mxu"),
             train=TrainConfig(optimizer="adamw", learning_rate=2e-4,

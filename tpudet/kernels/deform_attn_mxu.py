@@ -366,7 +366,7 @@ def ms_deform_attn_mxu(
     level_shapes: Sequence[Tuple[int, int]],
     locations: jnp.ndarray,    # [B, Q, H, L, P, 2]
     weights: jnp.ndarray,      # [B, Q, H, L, P]
-    query_tile: int = 64,
+    query_tile: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:              # [B, Q, H, D] (f32)
     """Whole-batch multi-scale deformable attention through the one-hot

@@ -84,7 +84,7 @@ class MSDeformAttn(nn.Module):
     # per-head. A MODEL change (different parameter shapes), so it is a
     # config choice, never a silent default. Requires gather="patch".
     shared_locations: bool = False
-    mxu_query_tile: int = 64
+    mxu_query_tile: int = 128
 
     @nn.compact
     def __call__(
@@ -223,7 +223,7 @@ class DeformableEncoderLayer(nn.Module):
     dtype: Any
     gather: str = "flat"
     shared_locations: bool = False
-    mxu_query_tile: int = 64
+    mxu_query_tile: int = 128
 
     @nn.compact
     def __call__(self, src, pos, ref_xy, valid_tokens, level_shapes,
@@ -257,7 +257,7 @@ class DeformableDecoderLayer(nn.Module):
     dtype: Any
     gather: str = "flat"
     shared_locations: bool = False
-    mxu_query_tile: int = 64
+    mxu_query_tile: int = 128
 
     @nn.compact
     def __call__(self, tgt, query_pos, memory, ref_xy, ref_wh,
