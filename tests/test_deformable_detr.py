@@ -603,3 +603,39 @@ def test_train_step_tensor_parallel_deformable():
     assert not val.sharding.is_fully_replicated
     stem = jax.tree_util.tree_leaves(state.params["backbone"])[0]
     assert stem.sharding.is_fully_replicated
+
+
+def test_coco_preset_mxu_dispatch_cpu_fallback():
+    """The COCO preset defaults to sampling_gather='mxu'; off-TPU the
+    dispatch must fall back to the flat gather (identical math) rather
+    than attempting a Mosaic lowering — this guards the preset's CPU
+    surfaces (tests, parity dry-runs, CPU learning proofs)."""
+    import dataclasses
+
+    from tpudet.cli.common import preset_config
+    from tpudet.models import build_model
+
+    cfg = preset_config("coco_deformable_detr_r50")
+    assert cfg.deformable_detr.sampling_gather == "mxu"
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, dataset="synthetic", num_classes=4, aspect_buckets=(),
+            canvas_height=64, canvas_width=64, max_gt_boxes=5,
+        ),
+        deformable_detr=dataclasses.replace(
+            cfg.deformable_detr, d_model=32, num_heads=2, enc_layers=1,
+            dec_layers=1, ffn_dim=32, num_queries=8, max_detections=4,
+        ),
+        backbone=dataclasses.replace(cfg.backbone, name="resnet18"),
+    )
+    model = build_model(cfg)
+    variables = model.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(
+            rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32) / 255.0
+        ),
+        "image_hw": jnp.asarray([[64.0, 64.0]], jnp.float32),
+    }
+    out = jax.device_get(model.predict(variables, batch))
+    assert np.isfinite(out["boxes"]).all()
