@@ -223,6 +223,13 @@ def bench_train(cfg, batch_size: int, iters: int) -> dict:
         state_holder[0] = new_state
         return metrics["loss"]
 
+    # Compile + warm OUTSIDE the (possibly traced) measured span — infer
+    # gets this for free from its pipelined pass, but train's first run()
+    # used to compile inside --trace-dir's span, burying the handful of
+    # measured steps under ~10 min of remote-compile host events (the
+    # round-5 DETR train trace captured 1M python frames and zero device
+    # ops because of this).
+    _sync(run())
     sec = _timeit(run, iters)
     ips = batch_size / sec
     return {
