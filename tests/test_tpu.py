@@ -799,7 +799,10 @@ def test_deformable_mxu_kernel_on_tpu(rng):
     got = np.asarray(jax.device_get(jax.jit(
         lambda v, l, ww: ms_deform_attn_mxu(v, level_shapes, l, ww)
     )(vj, lj, wj)))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # atol: the round-5 weight-folded selectors carry three bf16x2 split
+    # sources (~3 * P*4*|v.w| * 2^-18 worst case) — derivation in
+    # tests/test_deform_attn_mxu.py's module docstring.
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=4e-4)
 
     def loss_of(fn):
         def f(v, l, ww):

@@ -11,63 +11,65 @@ layer's reads at COCO b=16 (uncontended chip microbench,
 scripts/gather_microbench.py). Pallas cannot vectorize a random in-VMEM
 gather either (Mosaic has no vector gather op — scalar dynamic slices
 only). The one unit this chip DOES reward is the MXU, so this kernel
-reformulates bilinear sampling as dense 0/1 matmuls:
+reformulates bilinear sampling as dense 0/1(-weighted) matmuls. Two
+formulations, chosen per level by a measured crossover (KERNELS.md
+"Deformable attention, part 7" has the A/B table):
 
-  For each level (hl, wl) and query tile (sp = Qt*P samples):
-    S_a[s, y]   = (y == y0[s] + a)            a in {0,1} — 0/1 row-select,
-                                              built on the VPU from an iota,
-                                              exact in ANY dtype
-    R_a         = S_a @ V                     MXU: [sp, HL] @ [HL, wl*D],
-                                              value dtype, f32 accumulation
-    Ry          = wy_0 . R_0 + wy_1 . R_1     f32 row weights (bilinear y
-                                              weight x attention weight)
-    P           = Ry . Xexp                   Xexp[s, x*D+d] = per-sample
-                                              f32 x-corner weights expanded
-                                              along lanes by an iota compare
-    T           = P @ M                       M[x*D+d, d'] = (d==d') — the
-                                              lane segment-sum as a matmul
-    out[q]      = M2 @ T                      M2 0/1 sums the P points/query
+BANDED (large levels, ``hlpad > max(32, d)``), fully transposed so every
+per-sample field is consumed as the [1, sp] lane-row it arrives as (the
+round-5 fix for the VPU row->column floor that dominated small levels):
+
+    WyT[y, s] = wy0[s]*(y==y0[s]) + wy1[s]*(y==y0[s]+1)   [hlpad, sp]
+                built on the VPU from a sublane iota and lane rows
+    RyT       = V^T-contract(WyT)                         A^T B matmul,
+                dims ((0,),(0,)): [hlpad,WD]x[hlpad,sp] -> [WD, sp]
+    xexpT     = broadcast of the [wlpad, sp] per-x weight rows over the
+                d sublanes of each x (exact reshape-merge, no compares
+                on the [WD, sp] array)
+    pmT       = RyT . xexpT
+    tT        = M^T-contract(pmT)    M[j, dd] = (j % d == dd) 0/1
+    outT[q]   = tT @ M2T             M2T[s, q] = (s // P == q) 0/1
+
+FLAT (small levels): the whole (y, x) grid fits the contraction, so the
+four bilinear corners collapse into ONE weighted one-hot matmul over the
+flattened level:
+
+    W2T[yx, s] = the four corner weights at yx0[s] + {0, 1, W, W+1}
+                 (u = yx - yx0 nested selects; wrap targets provably
+                 carry zero weight — see ``_pack_fields``)
+    tT         = V2^T-contract(W2T)  [hw2, d] x [hw2, sp] -> [d, sp]
+    outT[q]    = tT @ M2T
 
 Numerics — the round-4 hardware lesson (KERNELS.md "Deformable attention,
 part 4"): the MXU's default single-pass matmul rounds BOTH operands to
-bf16. A 0/1 selector times *bf16 values* is therefore exact (the first
-S_a @ V stage), but every later stage whose data operand is an f32
-intermediate (the lane segment-sum T = P @ M, the point-sum out = M2 @ T,
-and their backward transposes) silently quantized its f32 side — the
-on-chip tier test failed 6x with 93.4% of elements outside 1e-4 while
-interpret mode (true f32) stayed green. The fix is a two-pass bf16x2
-split of the f32 data operand (`_dot01_*` below): x = hi + lo with
-hi = bf16(x), lo = bf16(x - hi); both products are exact against a 0/1
-matrix and accumulate in f32, leaving relative error ~2^-18 — back inside
-the gather-path tolerances. MXU cost doubles only on the small segment/
-point-sum matmuls (~D/HL of the select cost).
+bf16, so every matmul whose data operand is f32 goes through a two-pass
+bf16x2 split (x = hi + lo, both products exact against a bf16 0/1 or
+value operand, f32 accumulation, relative error ~2^-18 per split). The
+round-5 formulations fold the f32 bilinear weights INTO the selector
+(WyT / W2T above), which adds one more 2^-18-relative source on the
+select stage that round 4's unweighted 0/1 selects did not have; the
+flat kernel's corner products wy*wx add one f32 rounding (2^-24,
+negligible). Per-element worst case is derived in
+tests/test_deform_attn_mxu.py (atol 4e-4); the on-chip tier test uses
+the same bound.
 
 Memory — the second round-4 hardware lesson: per-sample index/weight
 operands shaped [.., sp, 1]/[.., sp, 2] force XLA's tiled layouts to pad
 the minor dim to 128 lanes (64x expansion, 3.52 GB temps, HBM OOM at
-COCO b=16). All six per-sample fields now ship as ONE field-stacked
-array F[bh, nqt, 8, sp] (fields along SUBLANES, samples along LANES —
-zero padding waste), and the kernel converts a field row [1, sp] to the
-column [sp, 1] its math needs with an exact VPU trick: broadcast the row
-over sublanes, mask with a 0/1 identity, lane-reduce (each row sums
-exactly one nonzero — no rounding). The backward emits its dwy/dwx rows
-into the same [8, sp] layout via the transposed trick.
+COCO b=16). All seven per-sample fields ship as ONE field-stacked array
+F[bh, nqt, 8, sp] (fields along SUBLANES, samples along LANES — zero
+padding waste). The transposed formulations consume the field ROWS
+directly; nothing converts rows to columns any more (round 4's eye-mask
+trick and its per-grid-step VPU floor are gone).
 
-Exactness: selection matrices are 0/1 (representable exactly in bf16),
-all weights stay f32, accumulation is f32 — numerically the same
-contraction as the flat-gather path (bf16 values x f32 weights, f32
-accumulate) up to the bf16x2 split's 2^-18. grid_sample
-``padding_mode='zeros'`` semantics come from zeroing the per-AXIS corner
-weights of out-of-grid coordinates (the product zeroes the corner iff
-either coordinate is out), identical to ``ops/deform_attn.py``'s masking.
-
-Cost model (why this beats the gather by ~20x, not by 1000x): the row
-select burns HL*wl*D MACs per sample against 4*D useful ones — the MXU
-waste factor IS the formulation. Per COCO encoder layer that is ~16 TFLOP
-bf16, ~0.17 s at realistic MXU rates, vs the gather's measured 6.5 s; the
-remaining gap to the ~30 ms FLOP roofline is the price of random sampling
-on hardware with no scatter/gather datapath. See KERNELS.md for the
-measured adjudication against the gather formulations.
+Cost model (why this beats the gather by ~20x, not by 1000x): the banded
+select burns hlpad*wl*D MACs per sample against 4*D useful ones, the flat
+select hlpad*wlpad*D — the MXU waste factor IS the formulation. The
+measured per-level crossover (banded wins where the y-band is tall, flat
+wins where the whole grid is barely larger than the band) is in
+KERNELS.md part 7 with the chip A/B that set the ``hlpad <= max(32, d)``
+rule. The remaining gap to the FLOP roofline is the price of random
+sampling on hardware with no vector gather/scatter datapath.
 """
 
 from __future__ import annotations
@@ -82,137 +84,186 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpudet.ops.deform_attn import level_start_offsets
 
-# Scoped-VMEM budget for both kernels. The backward keeps ~6 [sp, WDpad]
-# f32 intermediates live (~5.5 MB each at sp=256 / COCO level-0 widths) —
-# the compiler's default 16 MB scoped limit OOM'd on the real chip
-# (16.83 M needed; KERNELS.md part 4). v5e has 128 MiB of physical VMEM.
+# Scoped-VMEM budget for both kernels. The backward keeps several
+# [sp, WDpad] f32 intermediates live (~5.5 MB each at sp=512 / COCO
+# level-0 widths) — the compiler's default 16 MB scoped limit OOM'd on
+# the real chip (KERNELS.md part 4). v5e has 128 MiB of physical VMEM.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 # Field-row indices inside the stacked F[.., 8, sp] operand.
-_F_Y0, _F_X0, _F_WY0, _F_WY1, _F_WX0, _F_WX1 = range(6)
+_F_Y0, _F_X0, _F_WY0, _F_WY1, _F_WX0, _F_WX1, _F_YX0 = range(7)
 _F_ROWS = 8  # padded to the f32 sublane tile
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _flat_level(hlpad: int, d: int) -> bool:
+    """Measured crossover (KERNELS.md part 7 A/B): the flat formulation
+    wins when the level's padded height is comparable to the head dim."""
+    return hlpad <= max(32, d)
+
+
+def _split(x):
+    """bf16x2 split of f32 data: x = hi + lo with both parts exact MXU
+    operands; hi + lo carries relative error <= 2^-18."""
+    hi = x.astype(_BF16)
+    lo = (x - hi.astype(_F32)).astype(_BF16)
+    return hi, lo
+
+
 def _dot01_rhs(x, m01):
-    """dot(x_f32_data, m01) with two bf16 passes — exact 0/1 rhs, f32 data
-    lhs split hi/lo so the MXU's bf16 operand rounding cannot bite."""
-    f32 = jnp.float32
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(f32)).astype(jnp.bfloat16)
-    mb = m01.astype(jnp.bfloat16)
-    return (jnp.dot(hi, mb, preferred_element_type=f32)
-            + jnp.dot(lo, mb, preferred_element_type=f32))
+    """dot(x_f32_data, m01) with two bf16 passes — exact 0/1 rhs."""
+    hi, lo = _split(x)
+    mb = m01.astype(_BF16)
+    return (jnp.dot(hi, mb, preferred_element_type=_F32)
+            + jnp.dot(lo, mb, preferred_element_type=_F32))
 
 
 def _dot01_lhs(m01, x):
-    """dot(m01, x_f32_data) with two bf16 passes (0/1 lhs, f32 data rhs)."""
-    f32 = jnp.float32
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(f32)).astype(jnp.bfloat16)
-    mb = m01.astype(jnp.bfloat16)
-    return (jnp.dot(mb, hi, preferred_element_type=f32)
-            + jnp.dot(mb, lo, preferred_element_type=f32))
+    """dot(m01, x_f32_data) with two bf16 passes (0/1 lhs)."""
+    hi, lo = _split(x)
+    mb = m01.astype(_BF16)
+    return (jnp.dot(mb, hi, preferred_element_type=_F32)
+            + jnp.dot(mb, lo, preferred_element_type=_F32))
 
 
-def _select_dot(s01_bool, v):
-    """The row-select matmul S @ V. For sub-f32 values (the model path —
-    bf16) a single MXU pass is exact: 0/1 times bf16 rounds nothing. For
-    f32 values (tests/debug) the MXU would silently round V to bf16, so
-    they go through the bf16x2 split too."""
-    if v.dtype == jnp.float32:
-        return _dot01_lhs(s01_bool.astype(jnp.float32), v)
-    return jnp.dot(s01_bool.astype(v.dtype), v,
-                   preferred_element_type=jnp.float32)
+def _dot_data_data(x, y):
+    """dot(x_f32_data, y_f32_data) as three bf16 passes (hi@hi + hi@lo +
+    lo@hi; the dropped lo@lo term is O(2^-36) relative)."""
+    xh, xl = _split(x)
+    yh, yl = _split(y)
+    return (jnp.dot(xh, yh, preferred_element_type=_F32)
+            + jnp.dot(xh, yl, preferred_element_type=_F32)
+            + jnp.dot(xl, yh, preferred_element_type=_F32))
 
 
-def _eye(sp, dtype=jnp.float32):
-    a = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
-    b = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
-    return (a == b).astype(dtype)
+def _dotg00(a, b):
+    """A^T B on the MXU: contract dim 0 of both operands (sublanes) —
+    the orientation Mosaic lowers natively, chip-probed round 5."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=_F32)
 
 
-def _col(eye, row):
-    """[1, sp] field row -> [sp, 1] column, exactly (each output element is
-    a lane-sum of one nonzero + zeros; IEEE x+0=x)."""
-    return jnp.sum(eye * row, axis=1, keepdims=True)
+def _dotg00_data(a_vals, b_data):
+    """A^T B where a is bf16 values (or f32 test data) and b is f32 data:
+    split the data side; split the value side too iff it is f32."""
+    bh, bl = _split(b_data)
+    if a_vals.dtype == _F32:
+        ah, al = _split(a_vals)
+        return (_dotg00(ah, bh) + _dotg00(ah, bl) + _dotg00(al, bh))
+    return _dotg00(a_vals, bh) + _dotg00(a_vals, bl)
 
 
-def _row(eye, col):
-    """[sp, 1] column -> [1, sp] row, exactly (sublane-sum transpose)."""
-    return jnp.sum(eye * col, axis=0, keepdims=True)
+def _m2t(sp, qt, p, dtype=_BF16):
+    """M2T[s, q] = (s // P == q) — the point-sum matmul operand."""
+    scol = jax.lax.broadcasted_iota(jnp.int32, (sp, qt), 0) // p
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (sp, qt), 1)
+    return (scol == qcol).astype(dtype)
 
 
 # --------------------------------------------------------------- kernels
 
 
-def _fwd_kernel(v_ref, f_ref, out_ref, *, sp, qt, p, hlpad, wdpad, d):
-    """One (bh, query-tile) grid step of one level's sampling."""
-    fdt = jnp.float32
-    v = v_ref[0]                                   # [HLpad, WDpad] value dt
+def _fwd_banded_kernel(v_ref, f_ref, out_ref, *, sp, qt, p, hlpad, wdpad, d):
+    """One (bh, query-tile) grid step of a banded level's sampling, fully
+    transposed (samples stay on lanes end to end)."""
+    wlpad = wdpad // d
+    v = v_ref[0]                                   # [hlpad, WDpad] value dt
     f = f_ref[0, 0]                                # [8, sp] f32 field rows
-    eye = _eye(sp)
-    y0 = _col(eye, f[_F_Y0:_F_Y0 + 1])             # [sp, 1] f32
-    x0 = _col(eye, f[_F_X0:_F_X0 + 1])
-    wy0 = _col(eye, f[_F_WY0:_F_WY0 + 1])
-    wy1 = _col(eye, f[_F_WY1:_F_WY1 + 1])
-    wx0 = _col(eye, f[_F_WX0:_F_WX0 + 1])
-    wx1 = _col(eye, f[_F_WX1:_F_WX1 + 1])
+    y0r = f[_F_Y0:_F_Y0 + 1].astype(jnp.int32)     # [1, sp]
+    x0r = f[_F_X0:_F_X0 + 1].astype(jnp.int32)
+    wy0r = f[_F_WY0:_F_WY0 + 1]
+    wy1r = f[_F_WY1:_F_WY1 + 1]
+    wx0r = f[_F_WX0:_F_WX0 + 1]
+    wx1r = f[_F_WX1:_F_WX1 + 1]
 
-    # Mosaic's tpu.iota is integer-only — compare in int32 (the f32
-    # inputs hold exact small integers; truncation is exact for them).
-    row_y = jax.lax.broadcasted_iota(jnp.int32, (sp, hlpad), 1)
-    y0i = y0.astype(jnp.int32)
-    s0 = row_y == y0i
-    s1 = row_y == y0i + 1
-    r0 = _select_dot(s0, v)                        # [sp, WDpad] f32
-    r1 = _select_dot(s1, v)
-    ry = wy0 * r0 + wy1 * r1
+    # Weighted transposed y-selector, built on the small [hlpad, sp] array.
+    col_y = jax.lax.broadcasted_iota(jnp.int32, (hlpad, sp), 0)
+    wyT = (jnp.where(col_y == y0r, wy0r, 0.0)
+           + jnp.where(col_y == y0r + 1, wy1r, 0.0))
+    ryT = _dotg00_data(v, wyT)                     # [WDpad, sp] f32
 
-    lane_x = jax.lax.broadcasted_iota(jnp.int32, (sp, wdpad), 1) // d
-    x0i = x0.astype(jnp.int32)
-    xexp = (
-        jnp.where(lane_x == x0i, wx0, 0.0)
-        + jnp.where(lane_x == x0i + 1, wx1, 0.0)
-    )
-    pm = ry * xexp                                 # [sp, WDpad] f32
+    # Per-x weight rows on [wlpad, sp], expanded exactly over each x's d
+    # sublanes by a broadcast reshape-merge (no compares on [WD, sp]).
+    sub_x = jax.lax.broadcasted_iota(jnp.int32, (wlpad, sp), 0)
+    xs = (jnp.where(sub_x == x0r, wx0r, 0.0)
+          + jnp.where(sub_x == x0r + 1, wx1r, 0.0))
+    xexpT = jnp.broadcast_to(
+        xs[:, None, :], (wlpad, d, sp)).reshape(wdpad, sp)
+    pmT = ryT * xexpT                              # [WDpad, sp]
 
-    # Lane segment-sum over x via a 0/1 matmul: M[j, d'] = (j % D == d').
-    # pm is f32 DATA — two bf16 passes (module docstring, numerics note).
+    # Lane segment-sum over x via a 0/1 A^T B: M[j, dd] = (j % d == dd).
     mj = jax.lax.broadcasted_iota(jnp.int32, (wdpad, d), 0) % d
     md = jax.lax.broadcasted_iota(jnp.int32, (wdpad, d), 1)
-    m = (mj == md).astype(fdt)
-    t = _dot01_rhs(pm, m)                          # [sp, D]
+    mb = (mj == md).astype(_BF16)
+    ph, plo = _split(pmT)
+    tT = _dotg00(mb, ph) + _dotg00(mb, plo)        # [d, sp]
 
-    # Sum the P points of each query: M2[q, s] = (s // P == q).
-    srow = jax.lax.broadcasted_iota(jnp.int32, (qt, sp), 1) // p
-    qrow = jax.lax.broadcasted_iota(jnp.int32, (qt, sp), 0)
-    m2 = (srow == qrow).astype(fdt)
-    out_ref[0, 0] = _dot01_lhs(m2, t)
+    # Sum the P points of each query; emit the transposed [d, qt] block.
+    th, tl = _split(tT)
+    m2tb = _m2t(sp, qt, p)
+    out_ref[0, 0] = (jnp.dot(th, m2tb, preferred_element_type=_F32)
+                     + jnp.dot(tl, m2tb, preferred_element_type=_F32))
 
 
-def _bwd_kernel(v_ref, f_ref, g_ref, dv_ref, df_ref,
-                *, sp, qt, p, hlpad, wdpad, d):
-    """Backward of one (bh, query-tile) grid step: recomputes the forward's
-    selections (cheaper than saving [sp, WDpad] residuals to HBM) and emits
-    dV (accumulated across query tiles — the output block's index map is
-    constant in qt, so sequential grid steps revisit it) and the dwy/dwx
-    rows of dF (dy0/dx0 rows stay zero — selector coords are not
-    differentiable)."""
-    fdt = jnp.float32
+def _fwd_flat_kernel(v_ref, f_ref, out_ref, *, sp, qt, p, hw2, wlpad, d):
+    """One (bh, query-tile) grid step of a flat level's sampling: the four
+    bilinear corners as ONE weighted one-hot over the flattened grid."""
+    v2 = v_ref[0]                                  # [hw2, d] value dt
+    f = f_ref[0, 0]
+    yx0 = f[_F_YX0:_F_YX0 + 1].astype(jnp.int32)   # [1, sp] flat corner idx
+    wy0r = f[_F_WY0:_F_WY0 + 1]
+    wy1r = f[_F_WY1:_F_WY1 + 1]
+    wx0r = f[_F_WX0:_F_WX0 + 1]
+    wx1r = f[_F_WX1:_F_WX1 + 1]
+    w00 = wy0r * wx0r
+    w01 = wy0r * wx1r
+    w10 = wy1r * wx0r
+    w11 = wy1r * wx1r
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (hw2, sp), 0)
+    u = j - yx0
+    w2T = jnp.where(
+        u == 0, w00, jnp.where(
+            u == 1, w01, jnp.where(
+                u == wlpad, w10, jnp.where(u == wlpad + 1, w11, 0.0))))
+    tT = _dotg00_data(v2, w2T)                     # [d, sp]
+
+    th, tl = _split(tT)
+    m2tb = _m2t(sp, qt, p)
+    out_ref[0, 0] = (jnp.dot(th, m2tb, preferred_element_type=_F32)
+                     + jnp.dot(tl, m2tb, preferred_element_type=_F32))
+
+
+def _bwd_banded_kernel(v_ref, f_ref, g_ref, dv_ref, df_ref,
+                       *, sp, qt, p, hlpad, wdpad, d):
+    """Backward of one banded (bh, query-tile) grid step: recomputes the
+    forward's selections (cheaper than saving [sp, WDpad] residuals to
+    HBM) and emits dV (accumulated across query tiles — the output
+    block's index map is constant in qt, so sequential grid steps
+    revisit it) and the dwy/dwx rows of dF (dy0/dx0/dyx0 rows stay
+    zero — selector coords are not differentiable). Runs in the
+    UNtransposed orientation: the dV contraction is only a standard
+    matmul when samples sit on the contracted lane/sublane pair, and
+    lane-dim broadcast merges do not lower (round-5 Mosaic probes)."""
+    wlpad = wdpad // d
     v = v_ref[0]
     f = f_ref[0, 0]                                # [8, sp]
-    g = g_ref[0, 0]                                # [Qt, D] f32
-    eye = _eye(sp)
-    y0 = _col(eye, f[_F_Y0:_F_Y0 + 1])
-    x0 = _col(eye, f[_F_X0:_F_X0 + 1])
-    wy0 = _col(eye, f[_F_WY0:_F_WY0 + 1])
-    wy1 = _col(eye, f[_F_WY1:_F_WY1 + 1])
-    wx0 = _col(eye, f[_F_WX0:_F_WX0 + 1])
-    wx1 = _col(eye, f[_F_WX1:_F_WX1 + 1])
+    gT = g_ref[0, 0]                               # [d, qt] f32 (transposed)
+    g = jnp.transpose(gT, (1, 0))                  # [qt, d] — exact
+    ft = jnp.transpose(f, (1, 0))                  # [sp, 8] — exact
+    y0 = ft[:, _F_Y0:_F_Y0 + 1].astype(jnp.int32)  # [sp, 1]
+    x0 = ft[:, _F_X0:_F_X0 + 1].astype(jnp.int32)
+    wy0 = ft[:, _F_WY0:_F_WY0 + 1]
+    wy1 = ft[:, _F_WY1:_F_WY1 + 1]
+    wx0 = ft[:, _F_WX0:_F_WX0 + 1]
+    wx1 = ft[:, _F_WX1:_F_WX1 + 1]
 
     qtile = pl.program_id(1)
 
@@ -221,28 +272,27 @@ def _bwd_kernel(v_ref, f_ref, g_ref, dv_ref, df_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     row_y = jax.lax.broadcasted_iota(jnp.int32, (sp, hlpad), 1)
-    y0i = y0.astype(jnp.int32)
-    s0 = row_y == y0i
-    s1 = row_y == y0i + 1
-    r0 = _select_dot(s0, v)                        # [sp, WDpad] f32
-    r1 = _select_dot(s1, v)
+    s0 = row_y == y0
+    s1 = row_y == y0 + 1
+    if v.dtype == _F32:
+        r0 = _dot01_lhs(s0.astype(_F32), v)
+        r1 = _dot01_lhs(s1.astype(_F32), v)
+    else:
+        r0 = jnp.dot(s0.astype(v.dtype), v, preferred_element_type=_F32)
+        r1 = jnp.dot(s1.astype(v.dtype), v, preferred_element_type=_F32)
     ry = wy0 * r0 + wy1 * r1
 
     lane_x = jax.lax.broadcasted_iota(jnp.int32, (sp, wdpad), 1) // d
-    x0i = x0.astype(jnp.int32)
-    h0 = lane_x == x0i
-    h1 = lane_x == x0i + 1
-    xexp = jnp.where(h0, wx0, 0.0) + jnp.where(h1, wx1, 0.0)
+    h0 = lane_x == x0
+    h1 = lane_x == x0 + 1
+    xexp = jnp.where(h0, wx0, jnp.where(h1, wx1, 0.0))
 
-    # dT[s, d] = g[s // P, d]  (M2^T), then dP = dT @ M^T. g and dT are
-    # f32 data — two bf16 passes each.
-    scol = jax.lax.broadcasted_iota(jnp.int32, (sp, qt), 0) // p
-    qcol = jax.lax.broadcasted_iota(jnp.int32, (sp, qt), 1)
-    m2t = (scol == qcol).astype(fdt)
-    dt_ = _dot01_lhs(m2t, g)                        # [sp, D]
+    # dT[s, dd] = g[s // P, dd] (M2^T), then dP = dT @ M^T.
+    m2t_ = _m2t(sp, qt, p, _F32)                    # [sp, qt]
+    dt_ = _dot01_lhs(m2t_, g)                       # [sp, d]
     mj = jax.lax.broadcasted_iota(jnp.int32, (d, wdpad), 1) % d
     md = jax.lax.broadcasted_iota(jnp.int32, (d, wdpad), 0)
-    mt = (mj == md).astype(fdt)
+    mt = (mj == md).astype(_F32)
     dp = _dot01_rhs(dt_, mt)                        # [sp, WDpad]
 
     dry = dp * xexp
@@ -251,103 +301,175 @@ def _bwd_kernel(v_ref, f_ref, g_ref, dv_ref, df_ref,
     dwy1 = jnp.sum(dry * r1, axis=-1, keepdims=True)
     dwx0 = jnp.sum(jnp.where(h0, dxexp, 0.0), axis=-1, keepdims=True)
     dwx1 = jnp.sum(jnp.where(h1, dxexp, 0.0), axis=-1, keepdims=True)
-    zrow = jnp.zeros((1, sp), fdt)
-    df_ref[0, 0] = jnp.concatenate(
-        [
-            zrow,                     # dy0 (selector coord — nondiff)
-            zrow,                     # dx0
-            _row(eye, dwy0),
-            _row(eye, dwy1),
-            _row(eye, dwx0),
-            _row(eye, dwx1),
-            zrow,
-            zrow,
-        ],
-        axis=0,
-    )
+    zcol = jnp.zeros((sp, 1), _F32)
+    dft = jnp.concatenate(
+        [zcol, zcol, dwy0, dwy1, dwx0, dwx1, zcol, zcol], axis=1)
+    df_ref[0, 0] = jnp.transpose(dft, (1, 0))       # [8, sp] — exact
 
-    # dV += S0^T @ (wy0 . dRy) + S1^T @ (wy1 . dRy); the transposed selects
-    # are built from the field ROW directly (no in-kernel transpose), and
-    # the f32 data rhs goes through the bf16x2 split.
+    # dV += (wy0.S0 + wy1.S1)^T @ dry in ONE both-split matmul: the
+    # weighted transposed selector is built from the field ROWS (no
+    # in-kernel transpose), f32-data x f32-data -> three bf16 passes.
     col_y = jax.lax.broadcasted_iota(jnp.int32, (hlpad, sp), 0)
-    y0ri = f[_F_Y0:_F_Y0 + 1].astype(jnp.int32)     # [1, sp]
-    s0t = (col_y == y0ri).astype(fdt)
-    s1t = (col_y == y0ri + 1).astype(fdt)
-    dv_ref[0] += (
-        _dot01_lhs(s0t, wy0 * dry)
-        + _dot01_lhs(s1t, wy1 * dry)
-    )
+    y0r = f[_F_Y0:_F_Y0 + 1].astype(jnp.int32)      # [1, sp]
+    wsT = (jnp.where(col_y == y0r, f[_F_WY0:_F_WY0 + 1], 0.0)
+           + jnp.where(col_y == y0r + 1, f[_F_WY1:_F_WY1 + 1], 0.0))
+    dv_ref[0] += _dot_data_data(wsT, dry)
+
+
+def _bwd_flat_kernel(v_ref, f_ref, g_ref, dv_ref, df_ref,
+                     *, sp, qt, p, hw2, wlpad, d):
+    """Backward of one flat (bh, query-tile) grid step: one corner-weight
+    cotangent matmul + four masked sublane reductions for the weight
+    rows, one standard matmul for dV2."""
+    v2 = v_ref[0]                                  # [hw2, d]
+    f = f_ref[0, 0]
+    gT = g_ref[0, 0]                               # [d, qt]
+    yx0 = f[_F_YX0:_F_YX0 + 1].astype(jnp.int32)
+    wy0r = f[_F_WY0:_F_WY0 + 1]
+    wy1r = f[_F_WY1:_F_WY1 + 1]
+    wx0r = f[_F_WX0:_F_WX0 + 1]
+    wx1r = f[_F_WX1:_F_WX1 + 1]
+
+    qtile = pl.program_id(1)
+
+    @pl.when(qtile == 0)
+    def _():
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    # dTT[dd, s] = g[s // P, dd]^T via the point-sum operand:
+    # dTT = gT @ M2 with M2[q, s] = (s // P == q).
+    m2b = jnp.transpose(_m2t(sp, qt, p), (1, 0))   # [qt, sp] — exact
+    gh, gl = _split(gT)
+    dTT = (jnp.dot(gh, m2b, preferred_element_type=_F32)
+           + jnp.dot(gl, m2b, preferred_element_type=_F32))  # [d, sp]
+
+    # dW2[yx, s] = sum_dd V2[yx, dd] * dTT[dd, s] — standard matmul.
+    dh, dl = _split(dTT)
+    if v2.dtype == _F32:
+        v2h, v2l = _split(v2)
+        dW2 = (jnp.dot(v2h, dh, preferred_element_type=_F32)
+               + jnp.dot(v2h, dl, preferred_element_type=_F32)
+               + jnp.dot(v2l, dh, preferred_element_type=_F32))
+    else:
+        dW2 = (jnp.dot(v2, dh, preferred_element_type=_F32)
+               + jnp.dot(v2, dl, preferred_element_type=_F32))  # [hw2, sp]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (hw2, sp), 0)
+    u = j - yx0
+    dw00 = jnp.sum(jnp.where(u == 0, dW2, 0.0), axis=0, keepdims=True)
+    dw01 = jnp.sum(jnp.where(u == 1, dW2, 0.0), axis=0, keepdims=True)
+    dw10 = jnp.sum(jnp.where(u == wlpad, dW2, 0.0), axis=0, keepdims=True)
+    dw11 = jnp.sum(jnp.where(u == wlpad + 1, dW2, 0.0),
+                   axis=0, keepdims=True)          # [1, sp] rows
+    dwy0 = dw00 * wx0r + dw01 * wx1r
+    dwy1 = dw10 * wx0r + dw11 * wx1r
+    dwx0 = dw00 * wy0r + dw10 * wy1r
+    dwx1 = dw01 * wy0r + dw11 * wy1r
+    zrow = jnp.zeros((1, sp), _F32)
+    df_ref[0, 0] = jnp.concatenate(
+        [zrow, zrow, dwy0, dwy1, dwx0, dwx1, zrow, zrow], axis=0)
+
+    # dV2[yx, dd] = sum_s W2T[yx, s] * dT[s, dd] — rebuild the forward's
+    # weighted one-hot, transpose the small dT, standard both-split dot.
+    w00 = wy0r * wx0r
+    w01 = wy0r * wx1r
+    w10 = wy1r * wx0r
+    w11 = wy1r * wx1r
+    w2T = jnp.where(
+        u == 0, w00, jnp.where(
+            u == 1, w01, jnp.where(
+                u == wlpad, w10, jnp.where(u == wlpad + 1, w11, 0.0))))
+    dT = jnp.transpose(dTT, (1, 0))                # [sp, d] — exact
+    dv_ref[0] += _dot_data_data(w2T, dT)
 
 
 # ------------------------------------------------- per-level custom VJP
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9)
 )
-def _level_attn(vpad, fpack, sp, qt, p, hlpad, wdpad, d, interpret):
+def _level_attn(vpad, fpack, sp, qt, p, dim_a, dim_b, d, flat, interpret):
+    """dim_a/dim_b are (hlpad, wdpad) for banded levels and (hw2, wlpad)
+    for flat levels."""
     return _level_attn_fwd_impl(
-        vpad, fpack, sp, qt, p, hlpad, wdpad, d, interpret
+        vpad, fpack, sp, qt, p, dim_a, dim_b, d, flat, interpret
     )
 
 
-def _level_attn_fwd_impl(vpad, fpack, sp, qt, p, hlpad, wdpad, d, interpret):
+def _level_attn_fwd_impl(vpad, fpack, sp, qt, p, dim_a, dim_b, d, flat,
+                         interpret):
     bh, nqt = fpack.shape[0], fpack.shape[1]
-    kern = functools.partial(
-        _fwd_kernel, sp=sp, qt=qt, p=p, hlpad=hlpad, wdpad=wdpad, d=d
-    )
+    if flat:
+        kern = functools.partial(
+            _fwd_flat_kernel, sp=sp, qt=qt, p=p, hw2=dim_a, wlpad=dim_b,
+            d=d)
+        vblock = (1, dim_a, d)
+    else:
+        kern = functools.partial(
+            _fwd_banded_kernel, sp=sp, qt=qt, p=p, hlpad=dim_a,
+            wdpad=dim_b, d=d)
+        vblock = (1, dim_a, dim_b)
     return pl.pallas_call(
         kern,
         grid=(bh, nqt),
         in_specs=[
-            pl.BlockSpec((1, hlpad, wdpad), lambda b, q: (b, 0, 0),
+            pl.BlockSpec(vblock, lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _F_ROWS, sp), lambda b, q: (b, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, qt, d), lambda b, q: (b, q, 0, 0),
+            (1, 1, d, qt), lambda b, q: (b, q, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, nqt, qt, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bh, nqt, d, qt), _F32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(vpad, fpack)
 
 
-def _level_attn_fwd(vpad, fpack, sp, qt, p, hlpad, wdpad, d, interpret):
+def _level_attn_fwd(vpad, fpack, sp, qt, p, dim_a, dim_b, d, flat,
+                    interpret):
     out = _level_attn_fwd_impl(
-        vpad, fpack, sp, qt, p, hlpad, wdpad, d, interpret
+        vpad, fpack, sp, qt, p, dim_a, dim_b, d, flat, interpret
     )
     return out, (vpad, fpack)
 
 
-def _level_attn_bwd(sp, qt, p, hlpad, wdpad, d, interpret, res, g):
+def _level_attn_bwd(sp, qt, p, dim_a, dim_b, d, flat, interpret, res, g):
     vpad, fpack = res
     bh, nqt = fpack.shape[0], fpack.shape[1]
-    kern = functools.partial(
-        _bwd_kernel, sp=sp, qt=qt, p=p, hlpad=hlpad, wdpad=wdpad, d=d
-    )
+    if flat:
+        kern = functools.partial(
+            _bwd_flat_kernel, sp=sp, qt=qt, p=p, hw2=dim_a, wlpad=dim_b,
+            d=d)
+        vblock = (1, dim_a, d)
+    else:
+        kern = functools.partial(
+            _bwd_banded_kernel, sp=sp, qt=qt, p=p, hlpad=dim_a,
+            wdpad=dim_b, d=d)
+        vblock = (1, dim_a, dim_b)
     dvpad, dfpack = pl.pallas_call(
         kern,
         grid=(bh, nqt),
         in_specs=[
-            pl.BlockSpec((1, hlpad, wdpad), lambda b, q: (b, 0, 0),
+            pl.BlockSpec(vblock, lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _F_ROWS, sp), lambda b, q: (b, q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qt, d), lambda b, q: (b, q, 0, 0),
+            pl.BlockSpec((1, 1, d, qt), lambda b, q: (b, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, hlpad, wdpad), lambda b, q: (b, 0, 0),
+            pl.BlockSpec(vblock, lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, _F_ROWS, sp), lambda b, q: (b, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(vpad.shape, jnp.float32),
-            jax.ShapeDtypeStruct(fpack.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vpad.shape, _F32),
+            jax.ShapeDtypeStruct(fpack.shape, _F32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -370,12 +492,13 @@ def ms_deform_attn_mxu(
     interpret: bool = False,
 ) -> jnp.ndarray:              # [B, Q, H, D] (f32)
     """Whole-batch multi-scale deformable attention through the one-hot
-    MXU kernel — same math and zero-padding semantics as
+    MXU kernels — same math and zero-padding semantics as
     ``ops.deform_attn.ms_deform_attn_batched`` (equivalence-tested),
-    differentiable (custom VJP, backward also on the MXU)."""
+    differentiable (custom VJP, backward also on the MXU). Each level
+    dispatches to the banded or flat formulation by the measured
+    ``_flat_level`` crossover."""
     b, n, h, d = values.shape
     q = locations.shape[1]
-    l = len(level_shapes)
     p = locations.shape[-2]
     offsets, total = level_start_offsets(level_shapes)
     if total != n:
@@ -398,17 +521,23 @@ def ms_deform_attn_mxu(
     sp = qt * p
     bh = b * h
 
-    out = jnp.zeros((bh, nqt, qt, d), jnp.float32)
+    out = jnp.zeros((bh, nqt, d, qt), _F32)
     for li, (hl, wl) in enumerate(level_shapes):
         hlpad = _round_up(hl + 1, 16)   # sublane tile for bf16 operands
         wdpad = _round_up(wl * d, 128)
         wlpad = wdpad // d
+        flat = _flat_level(hlpad, d)
 
         vl = values[:, offsets[li]:offsets[li] + hl * wl]
         vl = vl.reshape(b, hl, wl, h, d).transpose(0, 3, 1, 2, 4)
         vl = jnp.pad(
             vl, ((0, 0), (0, 0), (0, hlpad - hl), (0, wlpad - wl), (0, 0))
-        ).reshape(bh, hlpad, wdpad)
+        )
+        if flat:
+            hw2 = hlpad * wlpad        # multiple of 8 by construction
+            vl = vl.reshape(bh, hw2, d)
+        else:
+            vl = vl.reshape(bh, hlpad, wdpad)
 
         loc = locations[..., li, :, :]             # [B, Q, H, P, 2]
         x = loc[..., 0] * wl - 0.5
@@ -428,8 +557,14 @@ def ms_deform_attn_mxu(
         # Clamp the SELECTOR coordinates into the padded grid so the
         # iota equality can only fire on rows whose weight is
         # nonzero-eligible (weights above already gate correctness).
+        # For the flat kernel the clamps also bound the flat corner
+        # index: hlpad >= hl + 1 guarantees every nonzero-weight corner
+        # (y0s + 1 <= hl <= hlpad - 1) stays inside the hw2 rows, and any
+        # x-wrap target (x0s = wlpad - 1 wrapping to the next row) has a
+        # provably zero wx gate above.
         y0s = jnp.clip(y0, -1.0, float(hlpad - 1))
         x0s = jnp.clip(x0, -1.0, float(wlpad - 1))
+        yx0s = y0s * float(wlpad) + x0s
 
         def pack_field(t):
             # [B, Q, H, P] -> [BH, nqt, sp] with Q padded.
@@ -449,15 +584,21 @@ def ms_deform_attn_mxu(
                 pack_field(wy1),
                 pack_field(wx0),
                 pack_field(wx1),
-                jnp.zeros((bh, nqt, sp), jnp.float32),
-                jnp.zeros((bh, nqt, sp), jnp.float32),
+                pack_field(yx0s),
+                jnp.zeros((bh, nqt, sp), _F32),
             ],
             axis=2,
         )                                          # [BH, nqt, 8, sp]
 
-        out = out + _level_attn(
-            vl, fpack, sp, qt, p, hlpad, wdpad, d, interpret,
-        )
+        if flat:
+            out = out + _level_attn(
+                vl, fpack, sp, qt, p, hw2, wlpad, d, True, interpret,
+            )
+        else:
+            out = out + _level_attn(
+                vl, fpack, sp, qt, p, hlpad, wdpad, d, False, interpret,
+            )
 
-    out = out.reshape(b, h, qpad, d)[:, :, :q]
-    return out.transpose(0, 2, 1, 3)               # [B, Q, H, D]
+    # [BH, nqt, d, qt] -> [B, Q, H, D]
+    out = out.reshape(b, h, nqt, d, qt).transpose(0, 2, 4, 1, 3)
+    return out.reshape(b, qpad, h, d)[:, :q]
